@@ -1,0 +1,199 @@
+"""Fused SSL loss ops (DINO CE, iBOT patch CE, KoLeo, NT-Xent, distillation).
+
+TPU-native rebuild of the reference losses
+(``src/lightly_train/_methods/dinov2/dinov2_loss.py:61-297``,
+``_methods/distillationv3/distillationv3_loss.py``). All ops are pure
+functions designed to run *inside* the jitted train step over a globally
+sharded batch: reductions over the batch axis compile to cross-replica
+``psum`` automatically under GSPMD, which replaces the reference's explicit
+(async) ``torch.distributed.all_reduce`` calls with collectives XLA schedules
+and overlaps itself.
+
+Loss math is kept in float32 regardless of the compute dtype, mirroring the
+reference's fp32 loss boundary (``dinov2_loss.py:184-186``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_center_teacher(
+    teacher_logits: jax.Array, center: jax.Array, temp: float
+) -> jax.Array:
+    """Teacher softmax with EMA-center subtraction (``dinov2_loss.py:119-138``)."""
+    t = teacher_logits.astype(jnp.float32)
+    return jax.nn.softmax((t - center) / temp, axis=-1)
+
+
+def update_center(
+    center: jax.Array, teacher_logits: jax.Array, momentum: float = 0.9
+) -> jax.Array:
+    """EMA update of the teacher center from the *global* batch mean.
+
+    The reference launches an async all-reduce and waits at next use
+    (``dinov2_loss.py:140-160``); here the mean over the sharded batch axis IS
+    the global mean, and XLA overlaps the psum with surrounding compute.
+    ``teacher_logits``: (..., K) — all leading axes are averaged.
+    """
+    t = teacher_logits.astype(jnp.float32)
+    reduce_axes = tuple(range(t.ndim - 1))
+    batch_center = jnp.mean(t, axis=reduce_axes)
+    return center * momentum + batch_center * (1.0 - momentum)
+
+
+def sinkhorn_knopp_teacher(
+    teacher_logits: jax.Array,
+    temp: float,
+    n_iterations: int = 3,
+    sample_weights: jax.Array | None = None,
+) -> jax.Array:
+    """Sinkhorn-Knopp centering of teacher outputs (``dinov2_loss.py:85-115``).
+
+    teacher_logits: (B, K) (flatten any leading axes first).
+    sample_weights: optional (B,) 0/1 mask of valid rows (for the iBOT variant
+    where only masked patches participate, ``dinov2_loss.py:189-224``).
+    Row/column sums over the sharded batch axis become global psums under
+    GSPMD, matching the reference's up-to-7 all-reduces per step.
+    """
+    t = teacher_logits.astype(jnp.float32)
+    Q = jnp.exp(t / temp).T  # (K, B)
+    if sample_weights is not None:
+        Q = Q * sample_weights[None, :].astype(jnp.float32)
+        n_samples = jnp.maximum(jnp.sum(sample_weights.astype(jnp.float32)), 1.0)
+    else:
+        n_samples = jnp.asarray(float(Q.shape[1]), dtype=jnp.float32)
+    K = Q.shape[0]
+    Q = Q / jnp.sum(Q)
+
+    def body(_, Q: jax.Array) -> jax.Array:
+        # normalize rows: total weight per prototype must be 1/K
+        Q = Q / jnp.sum(Q, axis=1, keepdims=True)
+        Q = Q / K
+        # normalize columns: total weight per sample must be 1/B
+        Q = Q / jnp.maximum(jnp.sum(Q, axis=0, keepdims=True), 1e-12)
+        Q = Q / n_samples
+        return Q
+
+    Q = jax.lax.fori_loop(0, n_iterations, body, Q)
+    Q = Q * n_samples
+    return Q.T  # (B, K)
+
+
+def dino_cross_entropy(
+    teacher_probs: jax.Array,
+    student_logits: jax.Array,
+    student_temp: float = 0.1,
+) -> jax.Array:
+    """Mean CE between teacher distributions and student logits.
+
+    teacher_probs/student_logits: (..., K); mean over all leading axes.
+    """
+    logp = jax.nn.log_softmax(
+        student_logits.astype(jnp.float32) / student_temp, axis=-1
+    )
+    ce = -jnp.sum(teacher_probs.astype(jnp.float32) * logp, axis=-1)
+    return jnp.mean(ce)
+
+
+def ibot_patch_loss(
+    teacher_probs: jax.Array,
+    student_logits: jax.Array,
+    mask: jax.Array,
+    mask_weight: jax.Array,
+    student_temp: float = 0.1,
+) -> jax.Array:
+    """Masked-patch CE with per-sample weight normalization.
+
+    teacher_probs/student_logits: (B, N, K) over ALL patch tokens (fixed shape);
+    mask: (B, N) bool of masked positions; mask_weight: (B, N) weights equal to
+    1/num_masked_in_sample at masked positions (``dinov2_loss.py:246-268``).
+    The fixed-size mask-budget design replaces the reference's data-dependent
+    ``index_select`` gather (SURVEY.md §7 hard parts).
+    """
+    logp = jax.nn.log_softmax(
+        student_logits.astype(jnp.float32) / student_temp, axis=-1
+    )
+    ce = -jnp.sum(teacher_probs.astype(jnp.float32) * logp, axis=-1)  # (B, N)
+    weighted = ce * mask.astype(jnp.float32) * mask_weight.astype(jnp.float32)
+    n_masked_samples = jnp.maximum(
+        jnp.sum(jnp.any(mask, axis=1).astype(jnp.float32)), 1.0
+    )
+    return jnp.sum(weighted) / n_masked_samples
+
+
+def koleo_loss(embeddings: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Kozachenko-Leonenko entropy regularizer (``dinov2_loss.py`` KoLeo).
+
+    embeddings: (B, D) student CLS embeddings. L2-normalize, find the nearest
+    *other* sample, and penalize small nearest-neighbor distances:
+    ``-mean(log(||x_i - x_nn(i)||))``. The (B, B) similarity matmul rides the
+    MXU. NOTE: per-device batch semantics in the reference (KoLeo is NOT
+    all-gathered there either) — apply per shard via shard_map if exactness
+    matters; global matmul under GSPMD is the default here.
+    """
+    x = embeddings.astype(jnp.float32)
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    sim = x @ x.T  # (B, B)
+    B = x.shape[0]
+    sim = sim - 2.0 * jnp.eye(B, dtype=sim.dtype)  # exclude self
+    nn_idx = jnp.argmax(sim, axis=1)
+    nn = x[nn_idx]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum((x - nn) ** 2, axis=-1), eps))
+    return -jnp.mean(jnp.log(dist + eps))
+
+
+def ntxent_loss(
+    z0: jax.Array, z1: jax.Array, temperature: float = 0.5, eps: float = 1e-8
+) -> jax.Array:
+    """NT-Xent contrastive loss for SimCLR (reference uses lightly's NTXentLoss).
+
+    z0, z1: (B, D) projections of two views. Global (2B, 2B) similarity —
+    under GSPMD with sharded batch this is an all-gather-style matmul XLA
+    handles; negatives span the global batch as in the reference's gather mode.
+    """
+    z0 = z0 / jnp.maximum(jnp.linalg.norm(z0, axis=-1, keepdims=True), eps)
+    z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), eps)
+    B = z0.shape[0]
+    z = jnp.concatenate([z0, z1], axis=0).astype(jnp.float32)  # (2B, D)
+    sim = (z @ z.T) / temperature
+    sim = sim - 1e9 * jnp.eye(2 * B, dtype=sim.dtype)  # mask self
+    targets = jnp.concatenate([jnp.arange(B) + B, jnp.arange(B)])
+    logp = jax.nn.log_softmax(sim, axis=-1)
+    return -jnp.mean(logp[jnp.arange(2 * B), targets])
+
+
+def similarity_queue_ce(
+    student_emb: jax.Array,
+    teacher_emb: jax.Array,
+    queue: jax.Array,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """DistillationV3 similarity CE against a teacher-embedding queue.
+
+    Rebuild of ``distillationv3_loss.py``: both student and teacher embeddings
+    are l2-normalized and compared against the (Q, D) normalized queue; the
+    teacher's softmax over queue similarities is the target distribution for
+    the student's. Shapes: student_emb/teacher_emb (B, D) or (B, N, D).
+    """
+    s = student_emb.astype(jnp.float32)
+    t = teacher_emb.astype(jnp.float32)
+    q = queue.astype(jnp.float32)
+    s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-8)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    sim_s = jnp.einsum("...d,qd->...q", s, q) / temperature
+    sim_t = jnp.einsum("...d,qd->...q", t, q) / temperature
+    p_t = jax.nn.softmax(sim_t, axis=-1)
+    logp_s = jax.nn.log_softmax(sim_s, axis=-1)
+    return -jnp.mean(jnp.sum(p_t * logp_s, axis=-1))
+
+
+def mse_feature_loss(student_feat: jax.Array, teacher_feat: jax.Array) -> jax.Array:
+    """Plain feature MSE (Distillation v1, ``_methods/distillation/``)."""
+    return jnp.mean(
+        (student_feat.astype(jnp.float32) - teacher_feat.astype(jnp.float32)) ** 2
+    )

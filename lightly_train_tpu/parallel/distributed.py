@@ -1,0 +1,69 @@
+"""Multi-host process helpers.
+
+TPU-native replacement for the reference rank helpers
+(``src/lightly_train/_distributed.py:21-87``). Where the reference derives ranks
+from torch.distributed / SLURM env vars, here JAX owns process identity:
+``jax.process_index()`` / ``jax.process_count()``. ``initialize_distributed``
+wraps ``jax.distributed.initialize`` for multi-host (DCN) jobs and is a no-op
+for single-process runs.
+
+There is no ``reduce_dict`` equivalent: cross-replica reductions happen *inside*
+the jitted step as ``psum``/``pmean`` over the mesh batch axis (GSPMD inserts
+them automatically for sharded-batch reductions).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax
+
+logger = logging.getLogger("lightly_train_tpu.distributed")
+
+_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize JAX multi-host runtime if running under a multi-process launcher.
+
+    Safe to call multiple times and in single-process runs (no-op). Multi-host
+    environments (GKE/TPU VMs) are usually auto-detected by
+    ``jax.distributed.initialize`` with no arguments.
+    """
+    global _initialized
+    if _initialized:
+        return
+    should_init = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    )
+    if should_init:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logger.info(
+            "Initialized JAX distributed: process %d/%d",
+            jax.process_index(),
+            jax.process_count(),
+        )
+    _initialized = True
+
+
+def get_process_index() -> int:
+    return jax.process_index()
+
+
+def get_process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
