@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark: DINOv2 ViT-B/14 multi-crop pretraining throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The metric is images/sec/chip for the full fused train step (on-device
+multi-crop augmentation + EMA teacher + DINO/iBOT/KoLeo losses + AdamW),
+matching BASELINE.json's north star. ``vs_baseline`` reports measured MFU
+relative to the 45%-MFU target (BASELINE.json; the reference publishes no
+throughput numbers, SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# Rough peak bf16 FLOP/s per chip by device kind.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+    "cpu": 1e11,
+}
+
+
+def peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "cpu")
+    for k, v in _PEAK_FLOPS.items():
+        if k.lower() in str(kind).lower():
+            return v
+    return 275e12
+
+
+def main() -> None:
+    from lightly_train_tpu.methods.base import TrainState
+    from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu._commands.train_loop import make_train_step
+    from lightly_train_tpu._optim import build_optimizer, cosine_warmup
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    batch = 32 if on_tpu else 4
+    canonical = 256 if on_tpu else 64
+    model_name = "dinov2/vitb14" if on_tpu else "dinov2/vittest14"
+    args = (
+        DINOv2Args()
+        if on_tpu
+        else DINOv2Args(
+            output_dim=64, hidden_dim=32, bottleneck_dim=16,
+            local_view_count=2, global_image_size=28, local_image_size=14,
+        )
+    )
+
+    wrapped = get_wrapped_model(model_name, dtype=jnp.bfloat16)
+    method = DINOv2(wrapped, args)
+    total_steps = 125_000
+
+    rng = jax.random.key(0)
+    sample = jnp.zeros((2, canonical, canonical, 3), dtype=jnp.uint8)
+    params, model_state, method_state = method.init(rng, sample)
+    optimizer = build_optimizer(
+        method.default_optimizer_args(),
+        cosine_warmup(1e-3, total_steps, 10_000),
+        params,
+        grad_clip_norm=method.grad_clip_norm(),
+        lr_scales=method.lr_scales(params),
+        weight_decay_schedule=method.weight_decay_schedule(total_steps),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        method_state=method_state,
+    )
+    train_step = make_train_step(
+        method, optimizer, total_steps, aug_dtype=jnp.bfloat16
+    )
+
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(
+            0, 256, size=(batch, canonical, canonical, 3), dtype=np.uint8
+        )
+    )
+    key = jax.random.key(1)
+
+    # Compile + warmup.
+    state, metrics = train_step(state, imgs, key)
+    jax.block_until_ready(metrics["train_loss"])
+
+    # FLOPs of the compiled step for MFU.
+    flops = 0.0
+    try:
+        lowered = jax.jit(train_step, donate_argnums=()).lower(state, imgs, key)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+
+    n_iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, metrics = train_step(state, imgs, key)
+    jax.block_until_ready(metrics["train_loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * n_iters / dt
+    n_chips = jax.device_count()
+    imgs_per_sec_chip = imgs_per_sec / n_chips
+    mfu = (flops * n_iters / dt) / (peak_flops(jax.devices()[0]) * n_chips)
+
+    print(
+        json.dumps(
+            {
+                "metric": "dinov2_vitb14_pretrain_images_per_sec_per_chip",
+                "value": round(imgs_per_sec_chip, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(mfu / 0.45, 4),
+                "detail": {
+                    "model": model_name,
+                    "batch": batch,
+                    "mfu": round(mfu, 4),
+                    "step_time_s": round(dt / n_iters, 4),
+                    "device": str(getattr(jax.devices()[0], "device_kind", "?")),
+                    "n_chips": n_chips,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

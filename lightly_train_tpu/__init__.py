@@ -1,0 +1,28 @@
+"""lightly_train_tpu: TPU-native vision pretraining & fine-tuning framework.
+
+Public API parity with the reference (``src/lightly_train/__init__.py:31-85``):
+``pretrain``/``train``, ``embed``, ``export``, ``list_models``,
+``list_methods``, ``load_model`` (+ ``train_*`` task entry points as they
+land). Compute is JAX/XLA/Pallas over a GSPMD device mesh.
+"""
+
+from lightly_train_tpu._commands.embed import embed
+from lightly_train_tpu._commands.export import export
+from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
+from lightly_train_tpu.methods.method_helpers import list_methods
+from lightly_train_tpu.models.package_registry import list_models
+
+# Deprecated alias kept for reference parity (`train` wraps `pretrain`).
+train = pretrain
+
+__all__ = [
+    "embed",
+    "export",
+    "list_methods",
+    "list_models",
+    "pretrain",
+    "pretrain_from_config",
+    "train",
+]
+
+__version__ = "0.1.0"

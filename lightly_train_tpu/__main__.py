@@ -1,0 +1,4 @@
+from lightly_train_tpu._cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

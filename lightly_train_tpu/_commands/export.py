@@ -1,0 +1,81 @@
+"""``export`` command: export a trained backbone from a pretrain run.
+
+Rebuild of ``src/lightly_train/_commands/export.py`` (171 LoC): reads the
+pretrain output (checkpoint or already-exported artifact) and re-exports in
+the requested format:
+
+- ``package_default`` — the Orbax params + metadata artifact (native format);
+- ``numpy_state_dict`` — flat ``{path: np.ndarray}`` .npz;
+- ``torch_state_dict`` — flat torch ``.pt`` state dict (keys use '/'
+  separators) for handing weights back to torch consumers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Literal
+
+import numpy as np
+
+from lightly_train_tpu._checkpoint.checkpoint import (
+    export_model,
+    load_exported_model,
+)
+from lightly_train_tpu._configs.config import PydanticConfig
+from lightly_train_tpu._configs.validate import pydantic_model_validate
+from lightly_train_tpu._logging import get_logger, set_up_console_logging
+
+logger = get_logger("export")
+
+
+def flatten_params(params: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            flat.update(flatten_params(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(params)
+    return flat
+
+
+class ExportConfig(PydanticConfig):
+    out: str
+    checkpoint: str
+    part: Literal["model", "embedding_model"] = "model"
+    format: Literal[
+        "package_default", "numpy_state_dict", "torch_state_dict"
+    ] = "package_default"
+
+
+def export(out: str, checkpoint: str, **kwargs: Any) -> Path:
+    config = pydantic_model_validate(
+        ExportConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
+    )
+    return export_from_config(config)
+
+
+def export_from_config(config: ExportConfig) -> Path:
+    set_up_console_logging()
+    artifact = load_exported_model(Path(config.checkpoint))
+    out_path = Path(config.out)
+    if config.format == "package_default":
+        export_model(
+            out_path,
+            artifact["model_name"],
+            artifact["params"],
+            extra_meta={k: v for k, v in artifact.items()
+                        if k not in ("params", "model_name")},
+        )
+        return out_path
+    flat = flatten_params(artifact["params"])
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    if config.format == "numpy_state_dict":
+        np.savez(out_path, **flat)
+    else:
+        import torch
+
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in flat.items()},
+                   out_path)
+    logger.info("Exported %s (%d tensors) to %s", config.format, len(flat),
+                out_path)
+    return out_path

@@ -1,0 +1,296 @@
+"""``pretrain`` command: end-to-end SSL pretraining.
+
+Rebuild of ``src/lightly_train/_commands/train.py:53-292`` with the call
+stack of SURVEY.md §3.1, TPU-native: out-dir handling, logging, mmap file
+list, dataset + loader, model/method/optimizer resolution with "auto"
+cascade, mesh setup, jitted train loop, Orbax checkpointing, and model
+export.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Literal, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lightly_train_tpu._checkpoint.checkpoint import (
+    CheckpointManager,
+    export_model,
+)
+from lightly_train_tpu._configs.config import AUTO, Auto, PydanticConfig
+from lightly_train_tpu._configs.validate import pydantic_model_validate
+from lightly_train_tpu._data import (
+    ImageDataset,
+    MemoryMappedSequence,
+    PretrainLoader,
+    SyntheticLoader,
+    list_image_files,
+    write_items_to_file,
+)
+from lightly_train_tpu._loggers.jsonl import JSONLLogger
+from lightly_train_tpu._logging import (
+    get_logger,
+    set_up_console_logging,
+    set_up_file_logging,
+)
+from lightly_train_tpu._optim import (
+    OPTIMIZER_ARGS_TYPES,
+    build_optimizer,
+    cosine_warmup,
+)
+from lightly_train_tpu._scaling import ScalingInfo
+from lightly_train_tpu._commands.train_loop import fit, make_train_step
+from lightly_train_tpu.errors import ConfigError
+from lightly_train_tpu.methods.base import TrainState
+from lightly_train_tpu.methods.method_helpers import get_method_cls
+from lightly_train_tpu.models.package_registry import get_wrapped_model
+from lightly_train_tpu.parallel import (
+    get_default_mesh,
+    initialize_distributed,
+    is_main_process,
+)
+
+logger = get_logger("pretrain")
+
+
+class TrainConfig(PydanticConfig):
+    out: str
+    data: Optional[str] = None
+    model: str = "dinov2/vitb14"
+    method: str = "distillation"
+    method_args: Dict[str, Any] = {}
+    optim: str = "auto"
+    optim_args: Dict[str, Any] = {}
+    batch_size: Union[int, Auto] = AUTO
+    steps: Union[int, Auto] = AUTO
+    epochs: Optional[int] = None
+    learning_rate: Union[float, Auto] = AUTO
+    warmup_fraction: float = 0.1
+    precision: Literal["bf16", "fp32"] = "bf16"
+    canonical_size: int = 256
+    num_workers: int = 8
+    seed: int = 0
+    log_every: int = 50
+    checkpoint_every: Union[int, Auto] = AUTO
+    resume_interrupted: bool = False
+    overwrite: bool = False
+
+
+def pretrain(
+    out: str,
+    data: Optional[str] = None,
+    model: str = "dinov2/vitb14",
+    method: str = "distillation",
+    **kwargs: Any,
+) -> TrainState:
+    """Pretrain ``model`` with ``method`` on images under ``data``.
+
+    Public API parity with ``lightly_train.pretrain``
+    (``src/lightly_train/__init__.py:31-85``).
+    """
+    config = pydantic_model_validate(
+        TrainConfig,
+        {"out": out, "data": data, "model": model, "method": method, **kwargs},
+    )
+    return pretrain_from_config(config)
+
+
+def pretrain_from_config(config: TrainConfig) -> TrainState:
+    initialize_distributed()
+    out_dir = Path(config.out)
+    if out_dir.exists() and any(out_dir.iterdir()):
+        if not (config.overwrite or config.resume_interrupted):
+            raise ConfigError(
+                f"Output directory {out_dir} is not empty. Pass overwrite=True "
+                "or resume_interrupted=True."
+            )
+    if is_main_process():
+        out_dir.mkdir(parents=True, exist_ok=True)
+    set_up_console_logging()
+    set_up_file_logging(out_dir / "train.log")
+    logger.info("Devices: %d x %s", jax.device_count(), jax.devices()[0].platform)
+
+    # ---- data -------------------------------------------------------------
+    canonical_hw = (config.canonical_size, config.canonical_size)
+    if config.data is not None:
+        mmap_path = out_dir / ".file_list.arrow"
+        if is_main_process() and not mmap_path.exists():
+            files = list_image_files(Path(config.data))
+            write_items_to_file(files, mmap_path)
+        filenames = MemoryMappedSequence(mmap_path)
+        dataset = ImageDataset(filenames, canonical_hw)
+        dataset_size = len(dataset)
+    else:
+        dataset = None
+        dataset_size = 0
+
+    # ---- model + method ---------------------------------------------------
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    wrapped = get_wrapped_model(config.model, dtype=dtype)
+    method_cls, method_args_cls = get_method_cls(config.method)
+    method_args = pydantic_model_validate(method_args_cls, config.method_args)
+
+    batch_size = (
+        config.batch_size
+        if config.batch_size != AUTO
+        else min(method_cls.default_batch_size, max(dataset_size, 8))
+    )
+    steps_per_epoch = max(dataset_size // batch_size, 1) if dataset else 1
+    if config.steps != AUTO:
+        total_steps = int(config.steps)
+    elif config.epochs is not None:
+        total_steps = config.epochs * steps_per_epoch
+    else:
+        total_steps = method_cls.default_steps
+    epochs = total_steps // steps_per_epoch if steps_per_epoch else 0
+    scaling_info = ScalingInfo(
+        dataset_size=dataset_size or 1, epochs=max(epochs, 1)
+    )
+    method_args.resolve_auto(scaling_info)
+    method = method_cls(wrapped, method_args)
+
+    # ---- mesh + loader ----------------------------------------------------
+    mesh = get_default_mesh()
+    if dataset is not None:
+        loader = PretrainLoader(
+            dataset,
+            global_batch_size=batch_size,
+            mesh=mesh,
+            seed=config.seed,
+            num_workers=config.num_workers,
+        )
+    else:
+        loader = SyntheticLoader(batch_size, mesh, canonical_hw, config.seed)
+
+    # ---- optimizer --------------------------------------------------------
+    if config.optim == "auto" and not config.optim_args:
+        optim_args = method.default_optimizer_args()
+    else:
+        optim_type = (
+            config.optim
+            if config.optim != "auto"
+            else method.default_optimizer_args().type
+        )
+        if optim_type not in OPTIMIZER_ARGS_TYPES:
+            raise ConfigError(
+                f"Unknown optimizer '{optim_type}'. "
+                f"Options: {sorted(OPTIMIZER_ARGS_TYPES)}"
+            )
+        defaults = method.default_optimizer_args()
+        merged = {**({"lr": defaults.lr} if defaults.type == optim_type else {}),
+                  **config.optim_args}
+        optim_args = pydantic_model_validate(
+            OPTIMIZER_ARGS_TYPES[optim_type], merged
+        )
+
+    base_lr = (
+        config.learning_rate
+        if config.learning_rate != AUTO
+        else (optim_args.lr if optim_args.lr != AUTO else 1e-3)
+    )
+    lr = method.learning_rate_for(batch_size, float(base_lr))
+    warmup_steps = int(config.warmup_fraction * total_steps)
+    lr_schedule = cosine_warmup(lr, total_steps, warmup_steps)
+
+    # ---- init state -------------------------------------------------------
+    rng = jax.random.key(config.seed)
+    sample = jnp.zeros(
+        (2, config.canonical_size, config.canonical_size, 3), dtype=jnp.uint8
+    )
+    params, model_state, method_state = method.init(rng, sample)
+    optimizer = build_optimizer(
+        optim_args,
+        lr_schedule,
+        params,
+        grad_clip_norm=method.grad_clip_norm(),
+        lr_scales=method.lr_scales(params),
+        weight_decay_schedule=method.weight_decay_schedule(total_steps),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        method_state=method_state,
+    )
+    # Replicate over the mesh; batches arrive batch-axis-sharded.
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    # ---- checkpointing + logging ------------------------------------------
+    ckpt_mgr = CheckpointManager(out_dir / "checkpoints")
+    if config.resume_interrupted and ckpt_mgr.latest_step() is not None:
+        state = ckpt_mgr.restore(state)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        logger.info("Resumed from step %d", int(state.step))
+
+    jsonl = JSONLLogger(out_dir)
+    jsonl.log_hyperparams(
+        {
+            **config.dump(),
+            "resolved_batch_size": batch_size,
+            "resolved_steps": total_steps,
+            "resolved_lr": lr,
+            "method_args": method_args.dump(),
+            "optim_args": optim_args.dump(),
+            "devices": jax.device_count(),
+        }
+    )
+
+    checkpoint_every = (
+        config.checkpoint_every
+        if config.checkpoint_every != AUTO
+        else max(total_steps // 10, 1)
+    )
+
+    def on_log(step: int, metrics: Dict[str, float]) -> None:
+        jsonl.log_metrics(metrics, step)
+        logger.info(
+            "step %d/%d loss=%.4f img/s=%.1f",
+            step,
+            total_steps,
+            metrics.get("train_loss", float("nan")),
+            metrics.get("profiling/images_per_sec", 0.0),
+        )
+
+    def on_checkpoint(step: int, s: TrainState) -> None:
+        ckpt_mgr.save(step, jax.device_get(s))
+
+    # ---- train ------------------------------------------------------------
+    train_step = make_train_step(
+        method, optimizer, total_steps, aug_dtype=dtype
+    )
+    logger.info(
+        "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",
+        config.model, config.method, total_steps, batch_size, lr,
+    )
+    state = fit(
+        train_step,
+        state,
+        loader,
+        total_steps=total_steps,
+        seed=config.seed,
+        log_every=config.log_every,
+        on_log=on_log,
+        on_checkpoint=on_checkpoint,
+        checkpoint_every=checkpoint_every,
+    )
+    ckpt_mgr.wait()
+    ckpt_mgr.close()
+
+    # ---- export -----------------------------------------------------------
+    if is_main_process():
+        export_model(
+            out_dir / "exported_models" / "exported_last",
+            config.model,
+            jax.device_get(state.params)["student"],
+            model_state=jax.device_get(state.model_state) or None,
+            extra_meta={"method": config.method, "steps": int(state.step)},
+        )
+    jsonl.close()
+    return state

@@ -1,0 +1,144 @@
+"""Pretraining runtime: jitted train step + host step loop.
+
+TPU-native replacement for the reference's Lightning ``Trainer.fit`` runtime
+(``src/lightly_train/_commands/train.py:433-521``): one pure, donated,
+jit-compiled step function closes over the method and optimizer and performs
+augmentation -> teacher/student forward -> loss -> grads -> optimizer ->
+EMA/queue updates as a single XLA program over the globally-sharded batch.
+The host loop only feeds uint8 batches and reads back metrics.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from lightly_train_tpu._logging import get_logger
+from lightly_train_tpu.methods.base import Method, TrainState
+from lightly_train_tpu.ops.augment import augment_view
+
+logger = get_logger("train_loop")
+
+
+def make_train_step(
+    method: Method,
+    optimizer: optax.GradientTransformation,
+    total_steps: int,
+    aug_dtype: Any = jnp.float32,
+) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
+    """Build the fused step: augment + loss + update in one program."""
+    view_specs = method.view_specs()
+    n_views = sum(s.count for s in view_specs)
+
+    def train_step(
+        state: TrainState, images_u8: jax.Array, base_key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        step_key = jax.random.fold_in(base_key, state.step)
+        k_aug, k_loss = jax.random.split(step_key)
+
+        aug_keys = jax.random.split(k_aug, n_views)
+        views = []
+        i = 0
+        for spec in view_specs:
+            for _ in range(spec.count):
+                views.append(
+                    augment_view(aug_keys[i], images_u8, spec.config, aug_dtype)
+                )
+                i += 1
+
+        def loss_wrapper(params):
+            return method.loss_fn(
+                params,
+                state.model_state,
+                state.method_state,
+                views,
+                k_loss,
+                state.step,
+                total_steps,
+            )
+
+        (loss, (model_state, method_state, metrics)), grads = (
+            jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        updates = method.mask_updates(updates, state.step)
+        params = optax.apply_updates(state.params, updates)
+        method_state = method.post_update(
+            params, method_state, state.step, total_steps
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            method_state=method_state,
+        )
+        out_metrics = {"train_loss": loss, "grad_norm": grad_norm, **metrics}
+        return new_state, out_metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def fit(
+    train_step: Callable,
+    state: TrainState,
+    batches: Iterable[jax.Array],
+    total_steps: int,
+    seed: int = 0,
+    log_every: int = 50,
+    on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    on_checkpoint: Optional[Callable[[int, TrainState], None]] = None,
+    checkpoint_every: Optional[int] = None,
+) -> TrainState:
+    """Host step loop: feed batches, log throughput, checkpoint.
+
+    The host-side step counter mirrors the device counter (both advance by 1
+    per call), so no device sync is needed except when metrics are actually
+    logged — the loop stays ahead of the device (async dispatch) and the TPU
+    never waits on Python. Burn-in log steps follow the reference
+    (``train_task.py:1696-1704``).
+    """
+    base_key = jax.random.key(seed)
+    burn_in = {1, 2, 5, 10, 50, 100}
+    current = int(state.step)
+    pending: Optional[Dict[str, jax.Array]] = None
+    t_window = time.perf_counter()
+    window_steps = 0
+    batch_size: Optional[int] = None
+
+    batch_iter = iter(batches)
+    while current < total_steps:
+        batch = next(batch_iter)
+        if batch_size is None:
+            batch_size = batch.shape[0]
+        state, pending = train_step(state, batch, base_key)
+        current += 1
+        window_steps += 1
+        if current in burn_in or current % log_every == 0 or current == total_steps:
+            metrics = {k: float(v) for k, v in pending.items()}  # device sync
+            dt = time.perf_counter() - t_window
+            metrics["profiling/images_per_sec"] = (
+                batch_size * window_steps / max(dt, 1e-9)
+            )
+            metrics["profiling/step_time"] = dt / max(window_steps, 1)
+            if on_log is not None:
+                on_log(current, metrics)
+            t_window = time.perf_counter()
+            window_steps = 0
+        if (
+            checkpoint_every is not None
+            and on_checkpoint is not None
+            and current % checkpoint_every == 0
+            and current < total_steps
+        ):
+            on_checkpoint(current, state)
+    if on_checkpoint is not None:
+        on_checkpoint(current, state)
+    return state

@@ -1,0 +1,85 @@
+"""SSL image dataset: file listing + decode to canonical host batches.
+
+Rebuild of ``src/lightly_train/_data/image_dataset.py:24-93`` +
+``file_helpers.py``, restructured for the TPU pipeline: the dataset only
+lists + decodes images to a fixed canonical (H0, W0) uint8 array — ALL
+augmentation happens on device (``ops/augment.py``), unlike the reference
+where albumentations runs per-view on CPU workers.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lightly_train_tpu.errors import DatasetError
+
+logger = logging.getLogger("lightly_train_tpu.data")
+
+# Reference supports ~30 extensions (``tests/helpers.py:66``); PIL covers these.
+IMAGE_EXTENSIONS = {
+    ".bmp", ".gif", ".jpg", ".jpeg", ".png", ".ppm", ".tif", ".tiff", ".webp",
+}
+
+
+def list_image_files(data_dir: Path) -> List[str]:
+    """Recursively list image files (sorted, deterministic across hosts)."""
+    data_dir = Path(data_dir)
+    if not data_dir.exists():
+        raise DatasetError(f"Data directory does not exist: {data_dir}")
+    files = sorted(
+        str(p)
+        for p in data_dir.rglob("*")
+        if p.suffix.lower() in IMAGE_EXTENSIONS and p.is_file()
+    )
+    if not files:
+        raise DatasetError(
+            f"No images found under {data_dir} (extensions: "
+            f"{sorted(IMAGE_EXTENSIONS)})"
+        )
+    return files
+
+
+def decode_image(
+    path: str, canonical_hw: Tuple[int, int], mode: str = "RGB"
+) -> np.ndarray:
+    """Decode one image to uint8 (H0, W0, 3).
+
+    The resize to the canonical size uses PIL bilinear; random-resized-crop
+    geometry is applied later on device. For crops much smaller than the
+    canonical size this matches the reference pipeline's fidelity.
+    """
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert(mode)
+        im = im.resize((canonical_hw[1], canonical_hw[0]), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr
+
+
+class ImageDataset:
+    """Filename-backed dataset producing canonical uint8 images."""
+
+    def __init__(
+        self,
+        filenames: Sequence[str],
+        canonical_hw: Tuple[int, int] = (256, 256),
+        mode: str = "RGB",
+    ):
+        if len(filenames) == 0:
+            raise DatasetError("Empty dataset.")
+        self.filenames = filenames
+        self.canonical_hw = canonical_hw
+        self.mode = mode
+
+    def __len__(self) -> int:
+        return len(self.filenames)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        return decode_image(self.filenames[index], self.canonical_hw, self.mode)

@@ -1,0 +1,145 @@
+"""Host-side data loader feeding the device augmentation stage.
+
+TPU-native replacement for the reference's torch DataLoader + worker
+subprocesses (``_commands/train.py:470``): a thread pool decodes images to
+canonical uint8 batches, a background prefetcher keeps ``prefetch`` batches
+in flight, and each batch is placed on the mesh with the batch axis sharded
+(multi-host: each process loads only its own slice of the global batch and
+``jax.make_array_from_process_local_data`` assembles the global array).
+
+Decode (CPU-bound, PIL releases the GIL for I/O + resize) is the only host
+work — augmentation moved on device — so thread workers suffice where the
+reference needed worker *processes* for albumentations.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lightly_train_tpu._data.image_dataset import ImageDataset
+from lightly_train_tpu.parallel.mesh import BATCH_AXIS
+
+logger = logging.getLogger("lightly_train_tpu.data")
+
+
+class PretrainLoader:
+    """Infinite shuffled loader of sharded uint8 (B, H0, W0, 3) batches."""
+
+    def __init__(
+        self,
+        dataset: ImageDataset,
+        global_batch_size: int,
+        mesh: Mesh,
+        seed: int = 0,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        if global_batch_size % jax.process_count() != 0:
+            raise ValueError(
+                f"global_batch_size {global_batch_size} must divide evenly "
+                f"across {jax.process_count()} processes"
+            )
+        self.dataset = dataset
+        self.global_batch_size = global_batch_size
+        self.local_batch_size = global_batch_size // jax.process_count()
+        self.mesh = mesh
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.sharding = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def steps_per_epoch(self) -> int:
+        return max(len(self.dataset) // self.global_batch_size, 1)
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        """Yields per-process index arrays of local_batch_size, epoch-shuffled."""
+        n = len(self.dataset)
+        epoch = 0
+        proc = jax.process_index()
+        while True:
+            rng = np.random.default_rng(self.seed + epoch)
+            perm = rng.permutation(n)
+            # Pad to a multiple of the global batch by wrapping (tiny datasets
+            # still produce full static-shape batches).
+            if n < self.global_batch_size:
+                reps = -(-self.global_batch_size // n)
+                perm = np.tile(perm, reps)
+            usable = len(perm) - (len(perm) % self.global_batch_size)
+            for start in range(0, usable, self.global_batch_size):
+                g = perm[start : start + self.global_batch_size]
+                yield g[
+                    proc * self.local_batch_size : (proc + 1)
+                    * self.local_batch_size
+                ]
+            epoch += 1
+
+    def _decode_batch(self, indices: np.ndarray) -> np.ndarray:
+        from concurrent.futures import ThreadPoolExecutor
+
+        if self.num_workers == 1 or len(indices) == 1:
+            imgs = [self.dataset[int(i)] for i in indices]
+        else:
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                imgs = list(pool.map(lambda i: self.dataset[int(i)], indices))
+        return np.stack(imgs, axis=0)
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer() -> None:
+            try:
+                for indices in self._index_stream():
+                    if stop.is_set():
+                        return
+                    out_q.put(self._decode_batch(indices))
+            except Exception as e:  # pragma: no cover - surfaced on get()
+                out_q.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield jax.make_array_from_process_local_data(
+                    self.sharding, item
+                )
+        finally:
+            stop.set()
+
+
+class SyntheticLoader:
+    """Random-image loader for benchmarks and tests (no disk I/O)."""
+
+    def __init__(
+        self,
+        global_batch_size: int,
+        mesh: Mesh,
+        canonical_hw: Tuple[int, int] = (256, 256),
+        seed: int = 0,
+    ):
+        self.global_batch_size = global_batch_size
+        self.local_batch_size = global_batch_size // jax.process_count()
+        self.canonical_hw = canonical_hw
+        self.sharding = NamedSharding(mesh, P(BATCH_AXIS))
+        self.seed = seed
+
+    def __iter__(self) -> Iterator[jax.Array]:
+        rng = np.random.default_rng(self.seed)
+        h, w = self.canonical_hw
+        batch = rng.integers(
+            0, 256, size=(self.local_batch_size, h, w, 3), dtype=np.uint8
+        )
+        while True:
+            yield jax.make_array_from_process_local_data(self.sharding, batch)

@@ -1,0 +1,64 @@
+"""EmbeddingModel: backbone + optional linear embedding head.
+
+Rebuild of ``src/lightly_train/_models/embedding_model.py:22-80``: wraps any
+WrappedModel and optionally projects pooled features to ``embed_dim`` with a
+linear layer (the reference uses a 1x1 Conv on the feature map; on pooled
+features that is a Dense).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lightly_train_tpu.models.wrapper import WrappedModel
+
+
+class _EmbedHead(nn.Module):
+    embed_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Dense(self.embed_dim, dtype=self.dtype, name="embed")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingModel:
+    wrapped: WrappedModel
+    embed_dim: Optional[int] = None  # None -> raw backbone features
+
+    @property
+    def out_dim(self) -> int:
+        return self.embed_dim if self.embed_dim is not None else self.wrapped.feature_dim
+
+    def init(self, rng: jax.Array, sample: jax.Array) -> Dict[str, Any]:
+        k_backbone, k_head = jax.random.split(rng)
+        variables = {"backbone": self.wrapped.init(k_backbone, sample)}
+        if self.embed_dim is not None:
+            head = _EmbedHead(self.embed_dim)
+            pooled_dim = self.wrapped.feature_dim
+            variables["head"] = head.init(
+                k_head, jnp.zeros((1, pooled_dim), dtype=jnp.float32)
+            )
+        return variables
+
+    def embed(
+        self,
+        variables: Dict[str, Any],
+        images: jax.Array,
+        train: bool = False,
+        rngs: Optional[Dict[str, jax.Array]] = None,
+    ) -> jax.Array:
+        """(B, H, W, 3) images -> (B, out_dim) embeddings."""
+        out = self.wrapped.forward_features(
+            variables["backbone"], images, train=train, rngs=rngs
+        )
+        pooled = self.wrapped.forward_pool(out)
+        if self.embed_dim is not None:
+            pooled = _EmbedHead(self.embed_dim).apply(variables["head"], pooled)
+        return pooled

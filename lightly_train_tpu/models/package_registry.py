@@ -1,0 +1,163 @@
+"""Model name registry: ``pkg/model`` -> WrappedModel builder.
+
+Rebuild of the reference package framework
+(``src/lightly_train/_models/package_helpers.py:34-157``): model names parse as
+``package/model_name``, each package owns construction + wrapping, test-size
+models are registered but hidden from ``list_models``. Weight download /
+torch-checkpoint conversion hooks live with each package entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax.numpy as jnp
+
+from lightly_train_tpu.errors import UnknownModelError
+from lightly_train_tpu.models.convnext import (
+    ConvNeXt,
+    _CONVNEXT_SIZES,
+    convnext_config,
+)
+from lightly_train_tpu.models.resnet import (
+    ResNet,
+    _RESNET_SIZES,
+    resnet_config,
+    resnet_feature_dim,
+)
+from lightly_train_tpu.models.vit import VisionTransformer, _SIZES, vit_config
+from lightly_train_tpu.models.wrapper import WrappedModel
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    name: str
+    build: Callable[..., WrappedModel]
+    hidden: bool = False  # test models excluded from list_models
+
+
+_REGISTRY: Dict[str, ModelEntry] = {}
+
+
+def register_model(
+    name: str, build: Callable[..., WrappedModel], hidden: bool = False
+) -> None:
+    _REGISTRY[name] = ModelEntry(name=name, build=build, hidden=hidden)
+
+
+def list_models() -> List[str]:
+    """Public model names (test models hidden, like the reference)."""
+    return sorted(n for n, e in _REGISTRY.items() if not e.hidden)
+
+
+def get_wrapped_model(name: str, dtype: Any = jnp.float32, **kwargs: Any) -> WrappedModel:
+    """Build a backbone by its ``pkg/model`` name."""
+    entry = _REGISTRY.get(name)
+    if entry is None:
+        import difflib
+
+        match = difflib.get_close_matches(name, list(_REGISTRY), n=3)
+        hint = f" Did you mean: {match}?" if match else ""
+        raise UnknownModelError(
+            f"Unknown model '{name}'.{hint} See list_models() for options."
+        )
+    return entry.build(dtype=dtype, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# dinov2 / dinov3 ViT families (reference: dinov2_vit_package.py:46-131,
+# dinov3_package.py:240-428)
+# ---------------------------------------------------------------------------
+
+
+def _build_vit(
+    size: str, patch: int, flavor: str, dtype: Any, **kwargs: Any
+) -> WrappedModel:
+    cfg = vit_config(size, patch, flavor=flavor, dtype=dtype, **kwargs)
+    return WrappedModel(
+        name=f"{flavor}/{size}{patch}",
+        module=VisionTransformer(cfg),
+        feature_dim=cfg.embed_dim,
+        patch_size=patch,
+        architecture="transformer",
+        supports_mask=True,
+    )
+
+
+for _size in _SIZES:
+    _hidden = _size == "vittest"
+    register_model(
+        f"dinov2/{_size}14",
+        (lambda size: lambda dtype=jnp.float32, **kw: _build_vit(
+            size, 14, "dinov2", dtype, **kw
+        ))(_size),
+        hidden=_hidden,
+    )
+    register_model(
+        f"dinov3/{_size}16",
+        (lambda size: lambda dtype=jnp.float32, **kw: _build_vit(
+            size, 16, "dinov3", dtype, **kw
+        ))(_size),
+        hidden=_hidden,
+    )
+
+# dinov3 vitt32 used by the fastest EoMT config (BASELINE.md)
+register_model(
+    "dinov3/vitt32",
+    lambda dtype=jnp.float32, **kw: _build_vit("vitt", 32, "dinov3", dtype, **kw),
+)
+
+
+# ---------------------------------------------------------------------------
+# dinov3 ConvNeXt family
+# ---------------------------------------------------------------------------
+
+
+def _build_convnext(size: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    cfg = convnext_config(size, dtype=dtype)
+    return WrappedModel(
+        name=f"dinov3/convnext-{size}",
+        module=ConvNeXt(cfg),
+        feature_dim=cfg.dims[-1],
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _size in _CONVNEXT_SIZES:
+    register_model(
+        f"dinov3/convnext-{_size}",
+        (lambda size: lambda dtype=jnp.float32, **kw: _build_convnext(
+            size, dtype, **kw
+        ))(_size),
+        hidden=_size == "test",
+    )
+
+
+# ---------------------------------------------------------------------------
+# torchvision-parity ResNets (native Flax, reference: _models/torchvision/)
+# ---------------------------------------------------------------------------
+
+
+def _build_resnet(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    cfg = resnet_config(name, dtype=dtype)
+    return WrappedModel(
+        name=f"torchvision/{name}",
+        module=ResNet(cfg),
+        feature_dim=resnet_feature_dim(name),
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _name in _RESNET_SIZES:
+    register_model(
+        f"torchvision/{_name}",
+        (lambda n: lambda dtype=jnp.float32, **kw: _build_resnet(n, dtype, **kw))(
+            _name
+        ),
+        hidden=_name == "resnettest",
+    )

@@ -1,0 +1,366 @@
+"""DINOv2/DINOv3-style Vision Transformer in Flax.
+
+TPU-native rebuild of the vendored Meta backbones
+(``src/lightly_train/_models/dinov2_vit/dinov2_vit_src/models/vision_transformer.py:83-585``
+and ``_models/dinov3/dinov3_src/models/vision_transformer.py``): CLS + register
+tokens, learnable mask token for iBOT masking, interpolatable position
+embeddings, LayerScale, per-sample stochastic depth, optional 2-D axial RoPE
+(DINOv3) and SwiGLU FFN, and ``get_intermediate_layers`` for multi-scale
+feature taps.
+
+Design differences from the torch source (TPU-first, not a translation):
+- channels-last (B, H, W, C) inputs; patchify is a strided conv XLA maps to
+  the MXU.
+- masking takes a fixed-shape (B, N) bool mask (no ragged index_select).
+- attention uses ``jax.nn.dot_product_attention`` so XLA picks the fused
+  flash-attention lowering on TPU.
+- no FSDP block chunking: parameter sharding is a GSPMD decision outside the
+  module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Architecture hyperparameters. Factory presets in ``vit_presets``."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 0
+    layerscale_init: Optional[float] = 1e-5
+    drop_path_rate: float = 0.0
+    use_rope: bool = False
+    rope_base: float = 100.0
+    use_swiglu: bool = False
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    # Base grid the learned pos-embed is stored at (DINOv2: 518/14=37;
+    # we store at 224/patch and interpolate).
+    pos_embed_size: int = 16
+    dtype: Any = jnp.float32  # compute dtype (bf16 for training)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, grid_hw: Tuple[int, int]
+) -> jax.Array:
+    """Bilinearly resample a (1, gh0*gw0, D) pos-embed grid to ``grid_hw``.
+
+    Rebuild of ``interpolate_pos_encoding`` (``vision_transformer.py:265``)
+    with static target shapes (one compiled program per input resolution).
+    """
+    n = pos_embed.shape[1]
+    g0 = int(round(n**0.5))
+    gh, gw = grid_hw
+    if (g0, g0) == (gh, gw):
+        return pos_embed
+    p = pos_embed.reshape(1, g0, g0, -1)
+    p = jax.image.resize(p, (1, gh, gw, p.shape[-1]), method="bicubic")
+    return p.reshape(1, gh * gw, -1)
+
+
+def _rope_angles(
+    grid_hw: Tuple[int, int], head_dim: int, base: float
+) -> Tuple[jax.Array, jax.Array]:
+    """2-D axial RoPE cos/sin tables for a (gh, gw) patch grid.
+
+    Rebuild of DINOv3 RoPE (``dinov3_src/.../rope_position_encoding.py:19``):
+    half the head dim rotates with the y coordinate, half with x. Coordinates
+    are normalized to [-1, 1].
+    """
+    gh, gw = grid_hw
+    dim_quarter = head_dim // 4
+    freqs = base ** (-jnp.arange(dim_quarter, dtype=jnp.float32) / dim_quarter)
+    ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh * 2.0 - 1.0
+    xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw * 2.0 - 1.0
+    ang_y = ys[:, None] * freqs[None, :]  # (gh, dq)
+    ang_x = xs[:, None] * freqs[None, :]  # (gw, dq)
+    ang = jnp.concatenate(
+        [
+            jnp.broadcast_to(ang_y[:, None, :], (gh, gw, dim_quarter)),
+            jnp.broadcast_to(ang_x[None, :, :], (gh, gw, dim_quarter)),
+        ],
+        axis=-1,
+    ).reshape(gh * gw, head_dim // 2)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate pairs: x (..., N, H, D) with tables (N, D/2)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    cos_b = cos[None, :, None, :]
+    sin_b = sin[None, :, None, :]
+    return jnp.concatenate(
+        [x1 * cos_b - x2 * sin_b, x1 * sin_b + x2 * cos_b], axis=-1
+    )
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool) -> jax.Array:
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class LayerScale(nn.Module):
+    init_value: float
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        gamma = self.param(
+            "gamma", nn.initializers.constant(self.init_value), (self.dim,)
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+    num_prefix_tokens: int  # cls + registers — excluded from RoPE
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: Optional[Tuple[jax.Array, jax.Array]],
+    ) -> jax.Array:
+        cfg = self.cfg
+        B, N, D = x.shape
+        H = cfg.num_heads
+        head_dim = D // H
+        qkv = nn.Dense(3 * D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3, H, head_dim), 3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # (B, N, H, hd)
+        if rope is not None:
+            cos, sin = rope
+            p = self.num_prefix_tokens
+            q = jnp.concatenate(
+                [q[:, :p], _apply_rope(q[:, p:], cos, sin)], axis=1
+            )
+            k = jnp.concatenate(
+                [k[:, :p], _apply_rope(k[:, p:], cos, sin)], axis=1
+            )
+        out = jax.nn.dot_product_attention(q, k, v)  # fused on TPU
+        out = out.reshape(B, N, D)
+        return nn.Dense(D, use_bias=cfg.proj_bias, dtype=cfg.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        D = x.shape[-1]
+        hidden = int(D * cfg.mlp_ratio)
+        if cfg.use_swiglu:
+            # DINOv3 SwiGLU FFN: hidden sized to keep params comparable.
+            hidden = int(2 * hidden / 3)
+            hidden = (hidden + 127) // 128 * 128  # MXU-aligned
+            x12 = nn.Dense(
+                2 * hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w12"
+            )(x)
+            x1, x2 = jnp.split(x12, 2, axis=-1)
+            x = nn.silu(x1) * x2
+            return nn.Dense(D, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w3")(x)
+        x = nn.Dense(hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(D, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+    drop_path: float
+    num_prefix_tokens: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        rope: Optional[Tuple[jax.Array, jax.Array]],
+        deterministic: bool,
+    ) -> jax.Array:
+        cfg = self.cfg
+        D = x.shape[-1]
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(x)
+        h = Attention(cfg, self.num_prefix_tokens, name="attn")(h, rope)
+        if cfg.layerscale_init is not None:
+            h = LayerScale(cfg.layerscale_init, D, name="ls1")(h)
+        x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
+        h = nn.LayerNorm(dtype=cfg.dtype, name="norm2")(x)
+        h = Mlp(cfg, name="mlp")(h)
+        if cfg.layerscale_init is not None:
+            h = LayerScale(cfg.layerscale_init, D, name="ls2")(h)
+        x = x + DropPath(self.drop_path, name="dp2")(h, deterministic)
+        return x
+
+
+class VisionTransformer(nn.Module):
+    """ViT trunk returning cls token, patch tokens, and the feature map.
+
+    ``__call__(images, mask=None, train=False)`` where images is
+    (B, H, W, 3) and mask an optional (B, N) bool of patches to replace with
+    the learned mask token (iBOT student path, ``vision_transformer.py:201``).
+    """
+
+    cfg: ViTConfig
+
+    @property
+    def num_prefix_tokens(self) -> int:
+        return 1 + self.cfg.num_register_tokens
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> dict[str, jax.Array]:
+        cfg = self.cfg
+        B, H, W, _ = images.shape
+        gh, gw = H // cfg.patch_size, W // cfg.patch_size
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(images.astype(cfg.dtype))
+        x = x.reshape(B, gh * gw, cfg.embed_dim)  # (B, N, D)
+
+        mask_token = self.param(
+            "mask_token", nn.initializers.zeros, (cfg.embed_dim,)
+        )
+        if mask is not None:
+            x = jnp.where(
+                mask[:, :, None], mask_token.astype(x.dtype)[None, None, :], x
+            )
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.pos_embed_size * cfg.pos_embed_size, cfg.embed_dim),
+        )
+        x = x + interpolate_pos_embed(pos_embed, (gh, gw)).astype(x.dtype)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, cfg.embed_dim)
+        )
+        tokens = [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(x.dtype)]
+        if cfg.num_register_tokens > 0:
+            registers = self.param(
+                "register_tokens",
+                nn.initializers.normal(stddev=0.02),
+                (1, cfg.num_register_tokens, cfg.embed_dim),
+            )
+            tokens.append(
+                jnp.broadcast_to(
+                    registers, (B, cfg.num_register_tokens, cfg.embed_dim)
+                ).astype(x.dtype)
+            )
+        x = jnp.concatenate(tokens + [x], axis=1)
+
+        rope = None
+        if cfg.use_rope:
+            head_dim = cfg.embed_dim // cfg.num_heads
+            cos, sin = _rope_angles((gh, gw), head_dim, cfg.rope_base)
+            rope = (cos.astype(cfg.dtype), sin.astype(cfg.dtype))
+
+        dp_rates = [
+            cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
+            for i in range(cfg.depth)
+        ]
+        intermediates = []
+        for i in range(cfg.depth):
+            x = Block(
+                cfg,
+                drop_path=dp_rates[i],
+                num_prefix_tokens=self.num_prefix_tokens,
+                name=f"block{i}",
+            )(x, rope, deterministic=not train)
+            intermediates.append(x)
+        self.sow("intermediates", "blocks", intermediates)
+
+        x = nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
+        p = self.num_prefix_tokens
+        cls_out = x[:, 0]
+        patch_tokens = x[:, p:]
+        return {
+            "cls_token": cls_out,
+            "patch_tokens": patch_tokens,
+            "features": patch_tokens.reshape(B, gh, gw, cfg.embed_dim),
+            "register_tokens": x[:, 1:p],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Presets matching the reference model zoo names
+# (``dinov2_vit_package.py:46-131``, ``dinov3_package.py:240-428``).
+# ---------------------------------------------------------------------------
+
+_SIZES = {
+    # name: (embed_dim, depth, num_heads)
+    "vitt": (192, 12, 3),
+    "vits": (384, 12, 6),
+    "vitb": (768, 12, 12),
+    "vitl": (1024, 24, 16),
+    "vitg": (1536, 40, 24),
+    "vit7b": (4096, 40, 32),
+    # tiny test model (reference _vit_test, ``vision_transformer.py:574``)
+    "vittest": (32, 2, 2),
+}
+
+
+def vit_config(
+    size: str,
+    patch_size: int,
+    *,
+    flavor: str = "dinov2",
+    dtype: Any = jnp.float32,
+    drop_path_rate: float = 0.0,
+) -> ViTConfig:
+    """Build a ViTConfig for a reference-parity model name.
+
+    flavor "dinov2": learned pos-embed, no registers, MLP FFN.
+    flavor "dinov3": 4 register tokens, axial RoPE, SwiGLU for >=vitl.
+    """
+    if size not in _SIZES:
+        raise ValueError(f"Unknown ViT size '{size}'. Options: {sorted(_SIZES)}")
+    embed_dim, depth, num_heads = _SIZES[size]
+    dinov3 = flavor == "dinov3"
+    return ViTConfig(
+        patch_size=patch_size,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
+        num_register_tokens=4 if dinov3 else 0,
+        use_rope=dinov3,
+        use_swiglu=dinov3 and size in ("vitl", "vitg", "vit7b"),
+        pos_embed_size=224 // patch_size,
+        drop_path_rate=drop_path_rate,
+        dtype=dtype,
+    )

@@ -1,0 +1,132 @@
+"""End-to-end pretrain tests on tiny synthetic datasets.
+
+Mirrors the reference integration-test strategy (SURVEY.md §4): real
+``pretrain(...)`` calls for a few steps on tiny datasets in tmp dirs, using
+test-size models, on the virtual 8-device mesh.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import lightly_train_tpu as lt
+
+
+@pytest.fixture
+def image_dir(tmp_path):
+    from PIL import Image
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(16):
+        arr = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(data / f"img_{i}.png")
+    return data
+
+
+def _common_kwargs():
+    return dict(
+        batch_size=8,
+        steps=2,
+        precision="fp32",
+        canonical_size=64,
+        num_workers=2,
+        log_every=1,
+    )
+
+
+def test_pretrain_distillation_end_to_end(tmp_path, image_dir):
+    out = tmp_path / "out"
+    state = lt.pretrain(
+        out=str(out),
+        data=str(image_dir),
+        model="torchvision/resnettest",
+        method="distillation",
+        method_args={
+            "teacher": "dinov3/vittest16",
+            "image_size": 32,
+            "queue_size": 16,
+        },
+        **_common_kwargs(),
+    )
+    assert int(state.step) == 2
+    # Artifacts: metrics.jsonl, checkpoints, exported model.
+    metrics = [
+        json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    steps_logged = [m["step"] for m in metrics if "train_loss" in m]
+    assert 1 in steps_logged and 2 in steps_logged
+    losses = [m["train_loss"] for m in metrics if "train_loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+    assert (out / "exported_models" / "exported_last" / "metadata.json").exists()
+    meta = json.loads(
+        (out / "exported_models" / "exported_last" / "metadata.json").read_text()
+    )
+    assert meta["model_name"] == "torchvision/resnettest"
+
+
+def test_pretrain_dinov2_tiny(tmp_path, image_dir):
+    out = tmp_path / "out"
+    state = lt.pretrain(
+        out=str(out),
+        data=str(image_dir),
+        model="dinov3/vittest16",
+        method="dinov2",
+        method_args={
+            "output_dim": 64,
+            "hidden_dim": 32,
+            "bottleneck_dim": 16,
+            "local_view_count": 2,
+            "global_image_size": 32,
+            "local_image_size": 16,
+        },
+        **_common_kwargs(),
+    )
+    assert int(state.step) == 2
+    metrics = [
+        json.loads(l) for l in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    m = [x for x in metrics if "train_loss" in x][-1]
+    assert np.isfinite(m["train_loss"])
+    assert "dino_loss" in m and "ibot_loss" in m and "koleo_loss" in m
+
+
+def test_pretrain_out_dir_not_empty_raises(tmp_path, image_dir):
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "junk.txt").write_text("x")
+    from lightly_train_tpu.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="not empty"):
+        lt.pretrain(
+            out=str(out), data=str(image_dir),
+            model="torchvision/resnettest", method="simclr",
+            method_args={"image_size": 32}, **_common_kwargs(),
+        )
+
+
+def test_pretrain_resume(tmp_path, image_dir):
+    out = tmp_path / "out"
+    kwargs = _common_kwargs()
+    kwargs["steps"] = 2
+    lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, **kwargs,
+    )
+    kwargs["steps"] = 3
+    state = lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, resume_interrupted=True, **kwargs,
+    )
+    assert int(state.step) == 3
+
+
+def test_list_models_and_methods_api():
+    assert "dinov2/vitb14" in lt.list_models()
+    assert "distillation" in lt.list_methods()
+    assert "dinov2" in lt.list_methods()

@@ -8,13 +8,25 @@ psum semantics are exercised in every CI run without TPU hardware.
 
 import os
 
-# Must happen before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax import. Force CPU even if the environment points at
+# a real TPU — tests exercise the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compilation cache: CPU compiles of the model zoo dominate test
+# time; cache them across pytest runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# A TPU PJRT plugin (axon sitecustomize) may have force-registered itself at
+# interpreter start; override the platform before the backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import tempfile
 from pathlib import Path
