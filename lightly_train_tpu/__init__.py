@@ -9,6 +9,10 @@ land). Compute is JAX/XLA/Pallas over a GSPMD device mesh.
 from lightly_train_tpu._commands.embed import embed
 from lightly_train_tpu._commands.export import export
 from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
+from lightly_train_tpu._commands.train_task import (
+    train_image_classification,
+    train_semantic_segmentation,
+)
 from lightly_train_tpu.methods.method_helpers import list_methods
 from lightly_train_tpu.models.package_registry import list_models
 
@@ -23,6 +27,8 @@ __all__ = [
     "pretrain",
     "pretrain_from_config",
     "train",
+    "train_image_classification",
+    "train_semantic_segmentation",
 ]
 
 __version__ = "0.1.0"

@@ -141,6 +141,14 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         if config.batch_size != AUTO
         else min(method_cls.default_batch_size, max(dataset_size, 8))
     )
+    n_dev = jax.device_count()
+    if batch_size % n_dev != 0:
+        rounded = -(-batch_size // n_dev) * n_dev
+        logger.warning(
+            "batch_size %d not divisible by %d devices; rounding up to %d",
+            batch_size, n_dev, rounded,
+        )
+        batch_size = rounded
     steps_per_epoch = max(dataset_size // batch_size, 1) if dataset else 1
     if config.steps != AUTO:
         total_steps = int(config.steps)

@@ -1,0 +1,462 @@
+"""Fine-tuning runtime + per-task entry points.
+
+Rebuild of the reference Fabric loop
+(``src/lightly_train/_commands/train_task.py:1269-2004``): explicit step loop
+with a jitted train step (device-side flip+normalize, loss, optimizer, EMA),
+timed validation every N steps with device-summed statistics, last/best
+checkpointing by ``watch_metric``, JSONL logging. Entry points mirror the
+reference API: ``train_image_classification``, ``train_semantic_segmentation``
+(``train_task.py:80-1230``).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Literal, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lightly_train_tpu._checkpoint.checkpoint import (
+    CheckpointManager,
+    export_model,
+    load_exported_model,
+)
+from lightly_train_tpu._configs.config import AUTO, Auto, PydanticConfig
+from lightly_train_tpu._configs.validate import pydantic_model_validate
+from lightly_train_tpu._data.task_loader import TaskTrainLoader, TaskValLoader
+from lightly_train_tpu._loggers.jsonl import JSONLLogger
+from lightly_train_tpu._logging import (
+    get_logger,
+    set_up_console_logging,
+    set_up_file_logging,
+)
+from lightly_train_tpu._optim import OPTIMIZER_ARGS_TYPES, build_optimizer
+from lightly_train_tpu.errors import ConfigError
+from lightly_train_tpu.models.package_registry import get_wrapped_model
+from lightly_train_tpu.ops.augment import IMAGENET_MEAN, IMAGENET_STD
+from lightly_train_tpu.ops.ema import ema_update, ema_warmup_momentum
+from lightly_train_tpu.parallel import (
+    get_default_mesh,
+    initialize_distributed,
+    is_main_process,
+)
+from lightly_train_tpu.tasks.base import TaskTrainModel, TaskTrainState
+
+logger = get_logger("train_task")
+
+
+class TrainTaskConfig(PydanticConfig):
+    out: str
+    model: str
+    task_args: Dict[str, Any] = {}
+    checkpoint: Optional[str] = None  # pretrained backbone artifact
+    steps: Union[int, Auto] = AUTO
+    batch_size: Union[int, Auto] = AUTO
+    optim: str = "auto"
+    optim_args: Dict[str, Any] = {}
+    learning_rate: Union[float, Auto] = AUTO
+    precision: Literal["bf16", "fp32"] = "bf16"
+    image_size: int = 224
+    num_workers: int = 8
+    seed: int = 0
+    log_every: int = 50
+    val_every: Union[int, Auto] = AUTO
+    save_every: Union[int, Auto] = AUTO
+    hflip_prob: float = 0.5
+    resume_interrupted: bool = False
+    overwrite: bool = False
+
+
+def _device_train_transform(
+    batch: Dict[str, jax.Array], key: jax.Array, hflip_prob: float, dtype: Any
+) -> Dict[str, jax.Array]:
+    """Shared device-side train transform: hflip (+ mask) and normalize."""
+    images = batch["images"].astype(jnp.float32) / 255.0
+    out = dict(batch)
+    if hflip_prob > 0:
+        do = (
+            jax.random.uniform(key, (images.shape[0], 1, 1, 1)) < hflip_prob
+        )
+        images = jnp.where(do, images[:, :, ::-1, :], images)
+        if "masks" in batch:
+            masks = batch["masks"]
+            out["masks"] = jnp.where(do[..., 0], masks[:, :, ::-1], masks)
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    out["images"] = ((images - mean) / std).astype(dtype)
+    return out
+
+
+def _device_val_transform(
+    batch: Dict[str, jax.Array], dtype: Any
+) -> Dict[str, jax.Array]:
+    images = batch["images"].astype(jnp.float32) / 255.0
+    mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD, jnp.float32)
+    out = dict(batch)
+    out["images"] = ((images - mean) / std).astype(dtype)
+    return out
+
+
+def run_task_training(
+    config: TrainTaskConfig,
+    train_model: TaskTrainModel,
+    train_dataset: Any,
+    val_dataset: Optional[Any],
+    model_meta: Dict[str, Any],
+    pretrained_variables: Optional[Dict[str, Any]] = None,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """The generic fine-tuning loop shared by every task entry point."""
+    initialize_distributed()
+    out_dir = Path(config.out)
+    if out_dir.exists() and any(out_dir.iterdir()):
+        if not (config.overwrite or config.resume_interrupted):
+            raise ConfigError(
+                f"Output directory {out_dir} is not empty. Pass overwrite=True "
+                "or resume_interrupted=True."
+            )
+    if is_main_process():
+        out_dir.mkdir(parents=True, exist_ok=True)
+    set_up_console_logging()
+    set_up_file_logging(out_dir / "train.log")
+
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    args = train_model.args
+    batch_size = (
+        config.batch_size if config.batch_size != AUTO else args.default_batch_size
+    )
+    total_steps = config.steps if config.steps != AUTO else args.default_steps
+    mesh = get_default_mesh()
+    n_dev = jax.device_count()
+    if batch_size % n_dev != 0:
+        rounded = -(-batch_size // n_dev) * n_dev
+        logger.warning(
+            "batch_size %d not divisible by %d devices; rounding up to %d",
+            batch_size, n_dev, rounded,
+        )
+        batch_size = rounded
+
+    train_loader = TaskTrainLoader(
+        train_dataset, batch_size, mesh, config.seed, config.num_workers
+    )
+    val_loader = (
+        TaskValLoader(val_dataset, batch_size, mesh, config.num_workers)
+        if val_dataset is not None
+        else None
+    )
+
+    # ---- optimizer --------------------------------------------------------
+    if config.optim == "auto" and not config.optim_args:
+        optim_args = train_model.default_optimizer_args()
+    else:
+        optim_type = (
+            config.optim
+            if config.optim != "auto"
+            else train_model.default_optimizer_args().type
+        )
+        optim_args = pydantic_model_validate(
+            OPTIMIZER_ARGS_TYPES[optim_type], config.optim_args
+        )
+    base_lr = (
+        float(config.learning_rate)
+        if config.learning_rate != AUTO
+        else float(optim_args.lr)
+        if optim_args.lr != AUTO
+        else 1e-4
+    )
+    lr_schedule = train_model.lr_schedule(base_lr, total_steps)
+
+    # ---- init -------------------------------------------------------------
+    rng = jax.random.key(config.seed)
+    sample_item = train_dataset[0]
+    sample_batch = {
+        k: jnp.zeros((2,) + np.asarray(v).shape, dtype=np.asarray(v).dtype)
+        for k, v in sample_item.items()
+    }
+    sample_batch["images"] = sample_batch["images"].astype(dtype)
+    params, model_state = train_model.init(rng, sample_batch)
+    if pretrained_variables is not None:
+        params = {**params, "backbone": pretrained_variables["params"]}
+        for k, v in pretrained_variables.items():
+            if k != "params":
+                model_state[k] = v
+        logger.info("Initialized backbone from pretrained checkpoint")
+    optimizer = build_optimizer(
+        optim_args,
+        lr_schedule,
+        params,
+        grad_clip_norm=train_model.grad_clip_norm(),
+        lr_scales=train_model.lr_scales(params),
+    )
+    state = TaskTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=optimizer.init(params),
+        ema_params=(
+            jax.tree_util.tree_map(jnp.copy, params)
+            if train_model.use_ema()
+            else None
+        ),
+    )
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+
+    # ---- jitted steps -----------------------------------------------------
+    hflip = config.hflip_prob
+
+    @jax.jit
+    def train_step(s: TaskTrainState, batch, base_key):
+        k = jax.random.fold_in(base_key, s.step)
+        k_aug, k_loss = jax.random.split(k)
+        batch = _device_train_transform(batch, k_aug, hflip, dtype)
+
+        def lw(p):
+            return train_model.loss_fn(p, s.model_state, batch, k_loss, s.step)
+
+        (loss, (model_state, metrics)), grads = jax.value_and_grad(
+            lw, has_aux=True
+        )(s.params)
+        updates, opt_state = optimizer.update(grads, s.opt_state, s.params)
+        params = optax.apply_updates(s.params, updates)
+        ema_params = s.ema_params
+        if ema_params is not None:
+            m = ema_warmup_momentum(s.step, 0.9998)
+            ema_params = ema_update(ema_params, params, m)
+        new_state = TaskTrainState(
+            step=s.step + 1,
+            params=params,
+            model_state=model_state,
+            opt_state=opt_state,
+            ema_params=ema_params,
+        )
+        metrics = {
+            "train_loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            **metrics,
+        }
+        return new_state, metrics
+
+    @jax.jit
+    def val_step(params, model_state, batch):
+        batch = _device_val_transform(batch, dtype)
+        return train_model.val_step(params, model_state, batch)
+
+    def run_validation(s: TaskTrainState) -> Dict[str, float]:
+        if val_loader is None:
+            return {}
+        eval_params = s.ema_params if s.ema_params is not None else s.params
+        total: Optional[Dict[str, jax.Array]] = None
+        for batch in val_loader:
+            stats = val_step(eval_params, s.model_state, batch)
+            total = (
+                stats
+                if total is None
+                else jax.tree_util.tree_map(lambda a, b: a + b, total, stats)
+            )
+        return train_model.val_finalize(total) if total is not None else {}
+
+    # ---- checkpointing ----------------------------------------------------
+    ckpt_mgr = CheckpointManager(out_dir / "checkpoints")
+    if config.resume_interrupted and ckpt_mgr.latest_step() is not None:
+        state = ckpt_mgr.restore(jax.device_get(state))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        logger.info("Resumed from step %d", int(state.step))
+
+    jsonl = JSONLLogger(out_dir)
+    jsonl.log_hyperparams(
+        {
+            **config.dump(),
+            "task": train_model.task,
+            "resolved_steps": total_steps,
+            "resolved_batch_size": batch_size,
+            **model_meta,
+        }
+    )
+
+    val_every = (
+        config.val_every
+        if config.val_every != AUTO
+        else max(total_steps // 10, 1)
+    )
+    save_every = (
+        config.save_every if config.save_every != AUTO else val_every
+    )
+    watch_name, watch_mode = train_model.watch_metric
+    best_value: Optional[float] = None
+    last_val: Dict[str, float] = {}
+    base_key = jax.random.key(config.seed)
+    burn_in = {1, 2, 5, 10, 50, 100}
+
+    def export_artifact(name: str, s: TaskTrainState) -> None:
+        if not is_main_process():
+            return
+        eval_params = s.ema_params if s.ema_params is not None else s.params
+        export_model(
+            out_dir / "exported_models" / name,
+            model_meta.get("model_name", config.model),
+            jax.device_get(eval_params),
+            model_state=jax.device_get(s.model_state) or None,
+            extra_meta={
+                "task": train_model.task,
+                "task_args": train_model.args.dump(),
+                "steps": int(s.step),
+            },
+        )
+
+    # ---- loop -------------------------------------------------------------
+    current = int(state.step)
+    t_window = time.perf_counter()
+    window = 0
+    pending = None
+    train_iter = iter(train_loader)
+    logger.info(
+        "Fine-tuning %s: model=%s steps=%d batch=%d",
+        train_model.task, config.model, total_steps, batch_size,
+    )
+    while current < total_steps:
+        batch = next(train_iter)
+        state, pending = train_step(state, batch, base_key)
+        current += 1
+        window += 1
+        if current in burn_in or current % config.log_every == 0 or (
+            current == total_steps
+        ):
+            metrics = {k: float(v) for k, v in pending.items()}
+            dt = time.perf_counter() - t_window
+            metrics["profiling/images_per_sec"] = batch_size * window / max(
+                dt, 1e-9
+            )
+            jsonl.log_metrics(metrics, current)
+            logger.info(
+                "step %d/%d loss=%.4f img/s=%.1f",
+                current, total_steps, metrics.get("train_loss", float("nan")),
+                metrics["profiling/images_per_sec"],
+            )
+            t_window = time.perf_counter()
+            window = 0
+        if current % val_every == 0 or current == total_steps:
+            val_metrics = run_validation(state)
+            if val_metrics:
+                last_val = val_metrics
+                jsonl.log_metrics(val_metrics, current)
+                logger.info(
+                    "val @ %d: %s", current,
+                    {k: round(v, 4) for k, v in val_metrics.items()},
+                )
+                value = val_metrics.get(watch_name)
+                improved = value is not None and (
+                    best_value is None
+                    or (watch_mode == "max" and value > best_value)
+                    or (watch_mode == "min" and value < best_value)
+                )
+                if improved:
+                    best_value = value
+                    export_artifact("exported_best", state)
+        if current % save_every == 0 and current < total_steps:
+            ckpt_mgr.save(current, jax.device_get(state))
+    ckpt_mgr.save(current, jax.device_get(state), force=True)
+    ckpt_mgr.wait()
+    ckpt_mgr.close()
+    export_artifact("exported_last", state)
+    jsonl.close()
+    if best_value is not None:
+        logger.info("Best %s: %.4f", watch_name, best_value)
+    return state, last_val
+
+
+# ---------------------------------------------------------------------------
+# Entry points (reference: train_task.py:80-1230)
+# ---------------------------------------------------------------------------
+
+
+def _load_backbone(config: TrainTaskConfig):
+    """Build the backbone, optionally initialized from a pretrain artifact."""
+    dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    pretrained = None
+    model_name = config.model
+    if config.checkpoint is not None:
+        artifact = load_exported_model(Path(config.checkpoint))
+        model_name = artifact["model_name"]
+        pretrained = artifact["variables"]
+    wrapped = get_wrapped_model(model_name, dtype=dtype)
+    return wrapped, pretrained, {"model_name": model_name}
+
+
+def train_image_classification(
+    out: str,
+    data: Dict[str, str],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """data: {"train": <dir>, "val": <dir>} ImageFolder roots."""
+    from lightly_train_tpu.tasks.image_classification import (
+        ImageClassificationArgs,
+        ImageClassificationDataset,
+        ImageClassificationTrainModel,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    hw = (config.image_size, config.image_size)
+    train_ds = ImageClassificationDataset(Path(data["train"]), hw)
+    val_ds = (
+        ImageClassificationDataset(Path(data["val"]), hw)
+        if "val" in data
+        else None
+    )
+    task_args = pydantic_model_validate(
+        ImageClassificationArgs,
+        {"num_classes": len(train_ds.classes), **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = ImageClassificationTrainModel(wrapped, task_args)
+    meta["classes"] = train_ds.classes
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
+def train_semantic_segmentation(
+    out: str,
+    data: Dict[str, Any],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """data: {"train": {"images": dir, "masks": dir},
+              "val": {"images": dir, "masks": dir}, "num_classes": int}."""
+    from lightly_train_tpu.tasks.semantic_segmentation_linear import (
+        LinearSemanticSegmentationArgs,
+        LinearSemanticSegmentationTrainModel,
+        MaskSemanticSegmentationDataset,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    hw = (config.image_size, config.image_size)
+    train_ds = MaskSemanticSegmentationDataset(
+        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
+    )
+    val_ds = (
+        MaskSemanticSegmentationDataset(
+            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw
+        )
+        if "val" in data
+        else None
+    )
+    task_args = pydantic_model_validate(
+        LinearSemanticSegmentationArgs,
+        {"num_classes": int(data["num_classes"]), **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = LinearSemanticSegmentationTrainModel(wrapped, task_args)
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
