@@ -104,6 +104,30 @@ def _device_val_transform(
     return out
 
 
+def _merge_pretrained(init_params: Any, pretrained: Any) -> Any:
+    """Key-wise overlay of pretrained trunk params onto an initialized tree.
+
+    Task heads (queries, prediction heads) keep their fresh init; trunk keys
+    present in the pretrained artifact are taken from it. Shape mismatches
+    keep the fresh init with a warning (e.g. patch-size change).
+    """
+    if not isinstance(init_params, dict) or not isinstance(pretrained, dict):
+        init_shape = getattr(init_params, "shape", None)
+        pre_shape = getattr(pretrained, "shape", None)
+        if init_shape is not None and init_shape != pre_shape:
+            logger.warning(
+                "Pretrained param shape %s != model shape %s; keeping fresh "
+                "init for this leaf", pre_shape, init_shape,
+            )
+            return init_params
+        return pretrained
+    out = dict(init_params)
+    for k, v in pretrained.items():
+        if k in out:
+            out[k] = _merge_pretrained(out[k], v)
+    return out
+
+
 def run_task_training(
     config: TrainTaskConfig,
     train_model: TaskTrainModel,
@@ -182,7 +206,12 @@ def run_task_training(
     sample_batch["images"] = sample_batch["images"].astype(dtype)
     params, model_state = train_model.init(rng, sample_batch)
     if pretrained_variables is not None:
-        params = {**params, "backbone": pretrained_variables["params"]}
+        params = {
+            **params,
+            "backbone": _merge_pretrained(
+                params["backbone"], pretrained_variables["params"]
+            ),
+        }
         for k, v in pretrained_variables.items():
             if k != "params":
                 model_state[k] = v
@@ -430,7 +459,12 @@ def train_semantic_segmentation(
     **kwargs: Any,
 ) -> Tuple[TaskTrainState, Dict[str, float]]:
     """data: {"train": {"images": dir, "masks": dir},
-              "val": {"images": dir, "masks": dir}, "num_classes": int}."""
+              "val": {"images": dir, "masks": dir}, "num_classes": int}.
+
+    ``model`` names ending in ``-eomt`` (reference model-zoo convention, e.g.
+    ``dinov3/vits16-eomt``) train the EoMT mask transformer; ``-linear`` (or
+    no suffix) trains the frozen-backbone linear probe.
+    """
     from lightly_train_tpu.tasks.semantic_segmentation_linear import (
         LinearSemanticSegmentationArgs,
         LinearSemanticSegmentationTrainModel,
@@ -440,6 +474,9 @@ def train_semantic_segmentation(
     config = pydantic_model_validate(
         TrainTaskConfig, {"out": out, "model": model, **kwargs}
     )
+    use_eomt = config.model.endswith("-eomt")
+    backbone_name = config.model.removesuffix("-eomt").removesuffix("-linear")
+    config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)
     train_ds = MaskSemanticSegmentationDataset(
         Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
@@ -451,12 +488,26 @@ def train_semantic_segmentation(
         if "val" in data
         else None
     )
-    task_args = pydantic_model_validate(
-        LinearSemanticSegmentationArgs,
-        {"num_classes": int(data["num_classes"]), **config.task_args},
-    )
     wrapped, pretrained, meta = _load_backbone(config)
-    train_model = LinearSemanticSegmentationTrainModel(wrapped, task_args)
+    if use_eomt:
+        from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+            EoMTSemanticSegmentationArgs,
+            EoMTSemanticSegmentationTrainModel,
+        )
+
+        task_args = pydantic_model_validate(
+            EoMTSemanticSegmentationArgs,
+            {"num_classes": int(data["num_classes"]), **config.task_args},
+        )
+        train_model: Any = EoMTSemanticSegmentationTrainModel(wrapped, task_args)
+        meta["architecture"] = "eomt"
+    else:
+        task_args = pydantic_model_validate(
+            LinearSemanticSegmentationArgs,
+            {"num_classes": int(data["num_classes"]), **config.task_args},
+        )
+        train_model = LinearSemanticSegmentationTrainModel(wrapped, task_args)
+        meta["architecture"] = "linear"
     return run_task_training(
         config, train_model, train_ds, val_ds, meta, pretrained
     )

@@ -1,0 +1,156 @@
+"""DetConB: mask-pooled contrastive learning (hidden method).
+
+Rebuild of ``src/lightly_train/_methods/detcon/detcon.py:45-445``: features
+are pooled within region masks, and mask-level embeddings are contrasted
+across views with an EMA target network (BYOL-style predictor for DetConB).
+The reference consumes dataset-provided masks; this rebuild defaults to an
+on-device spatial-grid mask generator (the reference's fallback) — dataset
+mask plumbing lands with the DetCon transform in a later round.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+
+from lightly_train_tpu._optim import LARSArgs
+from lightly_train_tpu.methods.base import Method, MethodArgs, ViewSpec
+from lightly_train_tpu.models.heads import SimCLRProjectionHead
+from lightly_train_tpu.models.wrapper import WrappedModel
+from lightly_train_tpu.ops.augment import ViewAugmentConfig
+from lightly_train_tpu.ops.ema import cosine_schedule, ema_update
+
+
+class DetConBArgs(MethodArgs):
+    image_size: int = 224
+    num_masks: int = 16  # grid regions per image
+    num_samples: int = 5  # masks sampled per view for the loss
+    temperature: float = 0.1
+    momentum_start: float = 0.996
+    momentum_end: float = 1.0
+    hidden_dim: int = 2048
+    output_dim: int = 128
+    reference_batch_size: int = 1024
+    lr_scale_method: str = "sqrt"
+
+
+def _grid_masks(hw: tuple, num_masks: int) -> jax.Array:
+    """(h*w, num_masks) one-hot spatial grid assignment."""
+    h, w = hw
+    side = int(num_masks**0.5)
+    rows = jnp.minimum(
+        (jnp.arange(h) * side) // h, side - 1
+    )
+    cols = jnp.minimum((jnp.arange(w) * side) // w, side - 1)
+    region = rows[:, None] * side + cols[None, :]
+    return jax.nn.one_hot(region.reshape(-1), side * side)
+
+
+class DetConB(Method):
+    name = "detconb"
+    default_steps = 100_000
+    default_batch_size = 1024
+
+    def __init__(self, wrapped: WrappedModel, args: DetConBArgs):
+        super().__init__(wrapped, args)
+        self.args: DetConBArgs = args
+        self.projector = SimCLRProjectionHead(
+            hidden_dim=args.hidden_dim, out_dim=args.output_dim
+        )
+        self.predictor = SimCLRProjectionHead(
+            hidden_dim=args.hidden_dim // 4, out_dim=args.output_dim
+        )
+
+    def view_specs(self) -> List[ViewSpec]:
+        s = self.args.image_size
+        return [ViewSpec(ViewAugmentConfig(out_size=(s, s)), count=2)]
+
+    def init(self, rng, sample_images):
+        ks, kp, kq = jax.random.split(rng, 3)
+        student_vars = self.wrapped.init(ks, sample_images)
+        student_params = student_vars.pop("params")
+        model_state = dict(student_vars)
+        d = self.wrapped.feature_dim
+        params = {
+            "student": student_params,
+            "projector": self.projector.init(kp, jnp.zeros((1, d)))["params"],
+            "predictor": self.predictor.init(
+                kq, jnp.zeros((1, self.args.output_dim))
+            )["params"],
+        }
+        teacher = {
+            "student": jax.tree_util.tree_map(jnp.copy, student_params),
+            "projector": jax.tree_util.tree_map(jnp.copy, params["projector"]),
+        }
+        return params, model_state, {"teacher": teacher}
+
+    def _mask_pooled(self, params, model_state, images, train, rng,
+                     use_predictor):
+        variables = {"params": params["student"], **model_state}
+        mutable = [k for k in model_state] if (model_state and train) else False
+        rngs = {"droppath": rng} if train else None
+        out = self.wrapped.forward_features(
+            variables, images, train=train, rngs=rngs, mutable=mutable
+        )
+        if mutable:
+            out, new_state = out
+        else:
+            new_state = model_state
+        feats = out["features"]  # (B, h, w, D)
+        B, h, w, D = feats.shape
+        masks = _grid_masks((h, w), self.args.num_masks)  # (n, M)
+        pooled = jnp.einsum(
+            "bnd,nm->bmd", feats.reshape(B, h * w, D), masks
+        ) / jnp.maximum(jnp.sum(masks, axis=0)[None, :, None], 1.0)
+        z = self.projector.apply({"params": params["projector"]}, pooled)
+        if use_predictor:
+            z = self.predictor.apply({"params": params["predictor"]}, z)
+        return z, new_state  # (B, M, out_dim)
+
+    def loss_fn(self, params, model_state, method_state, views, rng, step,
+                total_steps):
+        del step, total_steps
+        a = self.args
+        v0, v1 = views
+        z_s, new_model_state = self._mask_pooled(
+            params, model_state, v0, True, rng, use_predictor=True
+        )
+        teacher = {
+            "student": method_state["teacher"]["student"],
+            "projector": method_state["teacher"]["projector"],
+        }
+        z_t, _ = self._mask_pooled(
+            jax.lax.stop_gradient(teacher), model_state, v1, False, rng,
+            use_predictor=False,
+        )
+        z_t = jax.lax.stop_gradient(z_t)
+        # Contrast mask m of view0 vs same mask of view1; negatives = other
+        # masks across the batch (reference DetCon loss structure).
+        B, M, D = z_s.shape
+        zs = z_s / jnp.maximum(jnp.linalg.norm(z_s, axis=-1, keepdims=True), 1e-8)
+        zt = z_t / jnp.maximum(jnp.linalg.norm(z_t, axis=-1, keepdims=True), 1e-8)
+        logits = jnp.einsum("bmd,cnd->bmcn", zs, zt) / a.temperature
+        logits = logits.reshape(B, M, B * M)
+        labels = (
+            jnp.arange(B)[:, None] * M + jnp.arange(M)[None, :]
+        )  # (B, M): own index in flattened teacher masks
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(
+            jnp.take_along_axis(logp, labels[..., None], axis=-1)
+        )
+        return loss, (new_model_state, method_state, {"detcon_loss": loss})
+
+    def post_update(self, params, method_state, step, total_steps):
+        a = self.args
+        m = cosine_schedule(step, total_steps, a.momentum_start, a.momentum_end)
+        teacher = method_state["teacher"]
+        new_teacher = {
+            "student": ema_update(teacher["student"], params["student"], m),
+            "projector": ema_update(teacher["projector"], params["projector"], m),
+        }
+        return {**method_state, "teacher": new_teacher}
+
+    def default_optimizer_args(self):
+        return LARSArgs(lr=0.3, momentum=0.9, weight_decay=1e-6)

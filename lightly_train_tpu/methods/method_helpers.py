@@ -10,8 +10,16 @@ from typing import Dict, List, Tuple, Type
 
 from lightly_train_tpu.errors import UnknownMethodError
 from lightly_train_tpu.methods.base import Method, MethodArgs
+from lightly_train_tpu.methods.densecl import DenseCL, DenseCLArgs
+from lightly_train_tpu.methods.detcon import DetConB, DetConBArgs
 from lightly_train_tpu.methods.dino import DINO, DINOArgs
 from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+from lightly_train_tpu.methods.distillation_v1v2 import (
+    DistillationV1,
+    DistillationV1Args,
+    DistillationV2,
+    DistillationV2Args,
+)
 from lightly_train_tpu.methods.distillationv3 import (
     DistillationV3,
     DistillationV3Args,
@@ -20,16 +28,21 @@ from lightly_train_tpu.methods.simclr import SimCLR, SimCLRArgs
 
 _METHODS: Dict[str, Tuple[Type[Method], Type[MethodArgs]]] = {
     "distillationv3": (DistillationV3, DistillationV3Args),
+    "distillationv2": (DistillationV2, DistillationV2Args),
+    "distillationv1": (DistillationV1, DistillationV1Args),
     "dinov2": (DINOv2, DINOv2Args),
     "dino": (DINO, DINOArgs),
     "simclr": (SimCLR, SimCLRArgs),
+    "densecl": (DenseCL, DenseCLArgs),
+    "detconb": (DetConB, DetConBArgs),
 }
 
 _ALIASES: Dict[str, str] = {
     "distillation": "distillationv3",  # reference default alias
 }
 
-_HIDDEN: set = set()
+# Hidden methods (reference hides densecl/detcon from list_methods).
+_HIDDEN: set = {"densecl", "detconb"}
 
 
 def get_method_cls(name: str) -> Tuple[Type[Method], Type[MethodArgs]]:

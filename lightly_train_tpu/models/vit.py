@@ -146,6 +146,7 @@ class Attention(nn.Module):
         self,
         x: jax.Array,
         rope: Optional[Tuple[jax.Array, jax.Array]],
+        attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.cfg
         B, N, D = x.shape
@@ -163,7 +164,8 @@ class Attention(nn.Module):
             k = jnp.concatenate(
                 [k[:, :p], _apply_rope(k[:, p:], cos, sin)], axis=1
             )
-        out = jax.nn.dot_product_attention(q, k, v)  # fused on TPU
+        # attn_mask: bool, broadcastable to (B, num_heads, Tq, Tk).
+        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         out = out.reshape(B, N, D)
         return nn.Dense(D, use_bias=cfg.proj_bias, dtype=cfg.dtype, name="proj")(out)
 
@@ -202,11 +204,12 @@ class Block(nn.Module):
         x: jax.Array,
         rope: Optional[Tuple[jax.Array, jax.Array]],
         deterministic: bool,
+        attn_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         cfg = self.cfg
         D = x.shape[-1]
         h = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(x)
-        h = Attention(cfg, self.num_prefix_tokens, name="attn")(h, rope)
+        h = Attention(cfg, self.num_prefix_tokens, name="attn")(h, rope, attn_mask)
         if cfg.layerscale_init is not None:
             h = LayerScale(cfg.layerscale_init, D, name="ls1")(h)
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
