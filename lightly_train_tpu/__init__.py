@@ -11,6 +11,7 @@ from lightly_train_tpu._commands.export import export
 from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
 from lightly_train_tpu._commands.train_task import (
     train_image_classification,
+    train_object_detection,
     train_semantic_segmentation,
 )
 from lightly_train_tpu.methods.method_helpers import list_methods
@@ -28,6 +29,7 @@ __all__ = [
     "pretrain_from_config",
     "train",
     "train_image_classification",
+    "train_object_detection",
     "train_semantic_segmentation",
 ]
 

@@ -206,6 +206,7 @@ def run_task_training(
     sample_batch["images"] = sample_batch["images"].astype(dtype)
     params, model_state = train_model.init(rng, sample_batch)
     if pretrained_variables is not None:
+        pretrained_variables = train_model.wrap_pretrained(pretrained_variables)
         params = {
             **params,
             "backbone": _merge_pretrained(
@@ -214,7 +215,11 @@ def run_task_training(
         }
         for k, v in pretrained_variables.items():
             if k != "params":
-                model_state[k] = v
+                model_state[k] = (
+                    _merge_pretrained(model_state[k], v)
+                    if k in model_state
+                    else v
+                )
         logger.info("Initialized backbone from pretrained checkpoint")
     optimizer = build_optimizer(
         optim_args,
@@ -280,6 +285,13 @@ def run_task_training(
         if val_loader is None:
             return {}
         eval_params = s.ema_params if s.ema_params is not None else s.params
+        if getattr(train_model, "val_mode", "sum") == "collect":
+            collected = []
+            for batch in val_loader:
+                collected.append(
+                    jax.device_get(val_step(eval_params, s.model_state, batch))
+                )
+            return train_model.val_finalize(collected) if collected else {}
         total: Optional[Dict[str, jax.Array]] = None
         for batch in val_loader:
             stats = val_step(eval_params, s.model_state, batch)
@@ -447,6 +459,63 @@ def train_image_classification(
     wrapped, pretrained, meta = _load_backbone(config)
     train_model = ImageClassificationTrainModel(wrapped, task_args)
     meta["classes"] = train_ds.classes
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
+def train_object_detection(
+    out: str,
+    data: Dict[str, Any],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """Object detection (LT-DETR) fine-tuning.
+
+    data (YOLO): {"format": "yolo", "train": {"images": dir, "labels": dir},
+                  "val": {...}, "num_classes": int}
+    data (COCO): {"format": "coco", "train": {"images": dir,
+                  "annotations": path}, "val": {...}}
+    """
+    from lightly_train_tpu.tasks.detection.data import (
+        COCOObjectDetectionDataset,
+        YOLOObjectDetectionDataset,
+    )
+    from lightly_train_tpu.tasks.detection.ltdetr import (
+        ObjectDetectionArgs,
+        ObjectDetectionTrainModel,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    backbone_name = config.model.removesuffix("-ltdetr")
+    config = config.model_copy(update={"model": backbone_name})
+    hw = (config.image_size, config.image_size)
+    fmt = data.get("format", "yolo")
+
+    def build(split: Dict[str, str]):
+        if fmt == "coco":
+            return COCOObjectDetectionDataset(
+                Path(split["images"]), Path(split["annotations"]), hw
+            )
+        return YOLOObjectDetectionDataset(
+            Path(split["images"]), Path(split["labels"]), hw
+        )
+
+    train_ds = build(data["train"])
+    val_ds = build(data["val"]) if "val" in data else None
+    num_classes = int(
+        data.get("num_classes")
+        or len(getattr(train_ds, "class_names", []) or [])
+        or 80
+    )
+    task_args = pydantic_model_validate(
+        ObjectDetectionArgs, {"num_classes": num_classes, **config.task_args}
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = ObjectDetectionTrainModel(wrapped, task_args)
+    meta["architecture"] = "ltdetr"
     return run_task_training(
         config, train_model, train_ds, val_ds, meta, pretrained
     )

@@ -51,6 +51,12 @@ class TaskTrainModel(abc.ABC):
     def init(self, rng: jax.Array, sample_batch: Dict[str, Any]):
         """Returns (params, model_state)."""
 
+    def wrap_pretrained(self, variables: Dict[str, Any]) -> Dict[str, Any]:
+        """Re-nest a pretrained backbone artifact's variables into this
+        task's parameter namespace (identity when the trunk params sit
+        directly under ``params['backbone']``)."""
+        return variables
+
     @abc.abstractmethod
     def loss_fn(
         self,

@@ -1,0 +1,136 @@
+"""DETR criterion: Hungarian matching + VFL/focal + L1 + GIoU losses.
+
+Rebuild of ``src/lightly_train/_task_models/object_detection_components/
+matcher.py:34`` + ``rtdetrv2_criterion.py``/``dfine_criterion.py``: matching
+costs (focal class cost, L1, GIoU) computed on device as batched matmuls, the
+assignment solved on host via ``pure_callback`` (scipy LSA — the same shared
+callback as the EoMT loss), then varifocal classification loss + box L1 +
+GIoU on matched pairs. Targets are fixed-shape (B, K, ...) padded boxes with
+valid flags.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lightly_train_tpu.tasks.detection.box_utils import (
+    box_iou,
+    cxcywh_to_xyxy,
+    generalized_box_iou,
+)
+from lightly_train_tpu.tasks.eomt_semantic_segmentation import hungarian_match
+
+
+def detection_matching_cost(
+    logits: jax.Array,  # (B, Q, C+1)
+    boxes: jax.Array,  # (B, Q, 4) cxcywh
+    tgt_labels: jax.Array,  # (B, K)
+    tgt_boxes: jax.Array,  # (B, K, 4) cxcywh
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+) -> jax.Array:
+    prob = jax.nn.sigmoid(logits[..., :-1])
+    p = jnp.take_along_axis(
+        prob[:, :, None, :],
+        tgt_labels[:, None, :, None].repeat(prob.shape[1], 1),
+        axis=-1,
+    )[..., 0]  # (B, Q, K)
+    # Focal-style class cost (matcher.py).
+    neg_cost = (1 - alpha) * (p**gamma) * (-jnp.log(1 - p + 1e-8))
+    pos_cost = alpha * ((1 - p) ** gamma) * (-jnp.log(p + 1e-8))
+    cost_class = pos_cost - neg_cost
+    cost_l1 = jnp.sum(
+        jnp.abs(boxes[:, :, None, :] - tgt_boxes[:, None, :, :]), axis=-1
+    )
+    cost_giou = -generalized_box_iou(
+        cxcywh_to_xyxy(boxes), cxcywh_to_xyxy(tgt_boxes)
+    )
+    return 2.0 * cost_class + 5.0 * cost_l1 + 2.0 * cost_giou
+
+
+def detection_loss_single(
+    logits: jax.Array,
+    boxes: jax.Array,
+    tgt_labels: jax.Array,
+    tgt_boxes: jax.Array,
+    tgt_valid: jax.Array,  # (B, K) bool
+    alpha: float = 0.75,
+    gamma: float = 2.0,
+) -> Dict[str, jax.Array]:
+    """One prediction level: match then VFL + L1 + GIoU."""
+    B, Q, C1 = logits.shape
+    C = C1 - 1
+    cost = detection_matching_cost(logits, boxes, tgt_labels, tgt_boxes)
+    assignment = hungarian_match(jax.lax.stop_gradient(cost), tgt_valid)
+    assigned = assignment >= 0  # (B, K)
+    safe_q = jnp.maximum(assignment, 0)
+
+    # ---- varifocal classification loss (rtdetrv2_criterion.py) ----
+    matched_boxes = jnp.take_along_axis(boxes, safe_q[..., None], axis=1)
+    iou = jax.vmap(
+        lambda a, b: box_iou(cxcywh_to_xyxy(a), cxcywh_to_xyxy(b))
+    )(matched_boxes, tgt_boxes)  # (B, K, K) -> diagonal is pair IoU
+    pair_iou = jnp.diagonal(iou, axis1=1, axis2=2)  # (B, K)
+    pair_iou = jax.lax.stop_gradient(pair_iou) * assigned
+
+    # Build per-query target score map (B, Q, C): IoU at matched (q, class).
+    target_scores = jnp.zeros((B, Q, C), jnp.float32)
+    b_idx = jnp.arange(B)[:, None].repeat(tgt_labels.shape[1], 1)
+    target_scores = target_scores.at[
+        b_idx, jnp.where(assigned, safe_q, Q), jnp.where(assigned, tgt_labels, 0)
+    ].max(jnp.where(assigned, pair_iou, 0.0), mode="drop")
+    prob = jax.nn.sigmoid(logits[..., :C])
+    weight = (
+        alpha * (prob**gamma) * (1 - (target_scores > 0)) + target_scores
+    )
+    bce = -(
+        target_scores * jnp.log(prob + 1e-8)
+        + (1 - target_scores) * jnp.log(1 - prob + 1e-8)
+    )
+    n_matched = jnp.maximum(jnp.sum(assigned), 1.0)
+    loss_vfl = jnp.sum(bce * weight) / n_matched
+
+    # ---- box losses on matched pairs ----
+    l1 = jnp.sum(jnp.abs(matched_boxes - tgt_boxes), axis=-1)
+    giou_pair = jnp.diagonal(
+        jax.vmap(
+            lambda a, b: generalized_box_iou(
+                cxcywh_to_xyxy(a), cxcywh_to_xyxy(b)
+            )
+        )(matched_boxes, tgt_boxes),
+        axis1=1, axis2=2,
+    )
+    loss_l1 = jnp.sum(l1 * assigned) / n_matched
+    loss_giou = jnp.sum((1.0 - giou_pair) * assigned) / n_matched
+    return {
+        "loss_vfl": loss_vfl,
+        "loss_l1": loss_l1,
+        "loss_giou": loss_giou,
+    }
+
+
+def detection_criterion(
+    outputs: List[Tuple[jax.Array, jax.Array]],
+    tgt_labels: jax.Array,
+    tgt_boxes: jax.Array,
+    tgt_valid: jax.Array,
+    weights: Dict[str, float] = None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Aux losses over all decoder levels + encoder level (outputs[0])."""
+    if weights is None:
+        weights = {"loss_vfl": 1.0, "loss_l1": 5.0, "loss_giou": 2.0}
+    total = 0.0
+    metrics: Dict[str, jax.Array] = {}
+    for li, (logits, boxes) in enumerate(outputs):
+        losses = detection_loss_single(
+            logits, boxes, tgt_labels, tgt_boxes, tgt_valid
+        )
+        level_total = sum(weights[k] * v for k, v in losses.items())
+        total = total + level_total
+        if li == len(outputs) - 1:
+            metrics.update({k: v for k, v in losses.items()})
+    total = total / len(outputs)
+    return total, metrics

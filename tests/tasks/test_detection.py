@@ -1,0 +1,118 @@
+"""LT-DETR detection tests: box math, criterion, mAP, end-to-end train."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightly_train_tpu.tasks.detection.box_utils import (
+    box_iou, cxcywh_to_xyxy, generalized_box_iou, xyxy_to_cxcywh,
+)
+from lightly_train_tpu.tasks.detection.metrics import compute_map
+
+
+def test_box_conversions_roundtrip():
+    boxes = jnp.asarray([[0.5, 0.5, 0.2, 0.4]])
+    xyxy = cxcywh_to_xyxy(boxes)
+    np.testing.assert_allclose(np.asarray(xyxy), [[0.4, 0.3, 0.6, 0.7]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xyxy_to_cxcywh(xyxy)), np.asarray(boxes), atol=1e-6)
+
+
+def test_iou_and_giou():
+    a = jnp.asarray([[0.0, 0.0, 1.0, 1.0]])
+    b = jnp.asarray([[0.0, 0.0, 1.0, 1.0], [2.0, 2.0, 3.0, 3.0]])
+    iou = np.asarray(box_iou(a, b))
+    np.testing.assert_allclose(iou, [[1.0, 0.0]], atol=1e-6)
+    giou = np.asarray(generalized_box_iou(a, b))
+    assert giou[0, 0] == pytest.approx(1.0, abs=1e-6)
+    assert giou[0, 1] < 0  # disjoint boxes penalized
+
+
+def test_compute_map_perfect_predictions():
+    t = [{"boxes": np.array([[0., 0., 10., 10.]]), "labels": np.array([1])}]
+    p = [{"boxes": np.array([[0., 0., 10., 10.]]), "scores": np.array([0.9]),
+          "labels": np.array([1])}]
+    out = compute_map(p, t)
+    assert out["map"] > 0.9
+    bad = [{"boxes": np.array([[50., 50., 60., 60.]]),
+            "scores": np.array([0.9]), "labels": np.array([1])}]
+    assert compute_map(bad, t)["map"] == 0.0
+
+
+def test_detection_criterion_grads():
+    from lightly_train_tpu.tasks.detection.criterion import detection_criterion
+
+    B, Q, K, C = 2, 8, 4, 5
+    key = jax.random.key(0)
+    logits = jax.random.normal(key, (B, Q, C + 1))
+    boxes = jax.nn.sigmoid(jax.random.normal(jax.random.key(1), (B, Q, 4)))
+    tgt_labels = jnp.zeros((B, K), jnp.int32)
+    tgt_boxes = jnp.broadcast_to(jnp.asarray([0.5, 0.5, 0.2, 0.2]), (B, K, 4))
+    tgt_valid = jnp.zeros((B, K), bool).at[:, 0].set(True)
+
+    def lw(lb):
+        l, b = lb
+        loss, _ = detection_criterion([(l, b)], tgt_labels, tgt_boxes, tgt_valid)
+        return loss
+
+    loss, grads = jax.value_and_grad(lw)((logits, boxes))
+    assert np.isfinite(float(loss))
+    assert float(jnp.abs(grads[0]).max()) > 0
+    assert float(jnp.abs(grads[1]).max()) > 0
+
+
+@pytest.fixture
+def yolo_dataset(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        (tmp_path / split / "images").mkdir(parents=True)
+        (tmp_path / split / "labels").mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+            ).save(tmp_path / split / "images" / f"{i}.png")
+            (tmp_path / split / "labels" / f"{i}.txt").write_text(
+                "0 0.5 0.5 0.4 0.4\n1 0.25 0.25 0.2 0.2\n"
+            )
+    return tmp_path
+
+
+def test_yolo_dataset_parsing(yolo_dataset):
+    from lightly_train_tpu.tasks.detection.data import YOLOObjectDetectionDataset
+
+    ds = YOLOObjectDetectionDataset(
+        yolo_dataset / "train" / "images", yolo_dataset / "train" / "labels",
+        image_hw=(32, 32), max_boxes=10,
+    )
+    item = ds[0]
+    assert item["images"].shape == (32, 32, 3)
+    assert item["box_valid"].sum() == 2
+    np.testing.assert_allclose(item["boxes"][0], [0.5, 0.5, 0.4, 0.4])
+
+
+def test_detection_end_to_end_training(tmp_path, yolo_dataset):
+    import lightly_train_tpu as lt
+
+    state, val = lt.train_object_detection(
+        out=str(tmp_path / "out"),
+        data={
+            "format": "yolo",
+            "train": {"images": str(yolo_dataset / "train" / "images"),
+                      "labels": str(yolo_dataset / "train" / "labels")},
+            "val": {"images": str(yolo_dataset / "val" / "images"),
+                    "labels": str(yolo_dataset / "val" / "labels")},
+            "num_classes": 2,
+        },
+        model="dinov3/vittest16",
+        task_args={"num_queries": 16, "num_decoder_layers": 1,
+                   "d_model": 32, "num_heads": 2, "dim_feedforward": 64,
+                   "max_detections": 16},
+        steps=2, batch_size=8, image_size=32, precision="fp32",
+        num_workers=2, log_every=1, val_every=2,
+    )
+    assert int(state.step) == 2
+    assert "val_map" in val and 0.0 <= val["val_map"] <= 1.0
+    assert state.ema_params is not None  # detection uses EMA
