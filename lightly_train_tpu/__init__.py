@@ -9,11 +9,13 @@ land). Compute is JAX/XLA/Pallas over a GSPMD device mesh.
 from lightly_train_tpu._commands.embed import embed
 from lightly_train_tpu._commands.export import export
 from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
+from lightly_train_tpu._commands.predict_task import predict_semantic_segmentation
 from lightly_train_tpu._commands.train_task import (
     train_image_classification,
     train_object_detection,
     train_semantic_segmentation,
 )
+from lightly_train_tpu.tasks.model_io import load_model, load_model_from_checkpoint
 from lightly_train_tpu.methods.method_helpers import list_methods
 from lightly_train_tpu.models.package_registry import list_models
 
@@ -25,6 +27,9 @@ __all__ = [
     "export",
     "list_methods",
     "list_models",
+    "load_model",
+    "load_model_from_checkpoint",
+    "predict_semantic_segmentation",
     "pretrain",
     "pretrain_from_config",
     "train",

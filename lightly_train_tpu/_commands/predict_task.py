@@ -1,0 +1,56 @@
+"""``predict_semantic_segmentation``: batch autolabeling to PNG masks.
+
+Rebuild of ``src/lightly_train/_commands/predict_task.py:93-203``: load a
+fine-tuned segmentation model, run single-pass inference over a directory,
+write one PNG class-id mask per image (the autolabel workflow behind the
+README's ADE20K gains, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional, Union
+
+import numpy as np
+
+from lightly_train_tpu._configs.config import PydanticConfig
+from lightly_train_tpu._configs.validate import pydantic_model_validate
+from lightly_train_tpu._data import list_image_files
+from lightly_train_tpu._logging import get_logger, set_up_console_logging
+from lightly_train_tpu.errors import ConfigError
+from lightly_train_tpu.tasks.model_io import load_model
+
+logger = get_logger("predict")
+
+
+class PredictSemanticSegmentationConfig(PydanticConfig):
+    out: str
+    data: str
+    checkpoint: str
+    image_size: int = 512
+
+
+def predict_semantic_segmentation(
+    out: str, data: str, checkpoint: str, **kwargs: Any
+) -> Path:
+    config = pydantic_model_validate(
+        PredictSemanticSegmentationConfig,
+        {"out": out, "data": data, "checkpoint": checkpoint, **kwargs},
+    )
+    set_up_console_logging()
+    model = load_model(config.checkpoint, image_size=config.image_size)
+    if model.task != "semantic_segmentation":
+        raise ConfigError(
+            f"Checkpoint task is '{model.task}', expected semantic_segmentation."
+        )
+    from PIL import Image
+
+    out_dir = Path(config.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    files = list_image_files(Path(config.data))
+    for f in files:
+        result = model.predict(f)
+        mask = result["mask"].astype(np.uint8)
+        Image.fromarray(mask).save(out_dir / (Path(f).stem + ".png"))
+    logger.info("Wrote %d masks to %s", len(files), out_dir)
+    return out_dir

@@ -344,6 +344,7 @@ def run_task_training(
             jax.device_get(eval_params),
             model_state=jax.device_get(s.model_state) or None,
             extra_meta={
+                **{k: v for k, v in model_meta.items() if k != "model_name"},
                 "task": train_model.task,
                 "task_args": train_model.args.dump(),
                 "steps": int(s.step),

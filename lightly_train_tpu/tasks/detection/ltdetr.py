@@ -188,7 +188,7 @@ class ObjectDetectionTrainModel(TaskTrainModel):
 
     def predict(self, variables, images):
         """Returns (boxes xyxy normalized, scores, labels)."""
-        params = {"backbone": variables["params"]}
+        params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         outputs, _ = self._apply(params, model_state, images, False)
         return self._decode(outputs)

@@ -1,0 +1,83 @@
+"""load_model / predict / predict_semantic_segmentation round trips."""
+
+import numpy as np
+import pytest
+
+import lightly_train_tpu as lt
+from lightly_train_tpu.errors import CheckpointError
+
+
+@pytest.fixture(scope="module")
+def seg_run(tmp_path_factory):
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("seg")
+    rng = np.random.default_rng(0)
+    (tmp / "train" / "images").mkdir(parents=True)
+    (tmp / "train" / "masks").mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(tmp / "train" / "images" / f"{i}.png")
+        Image.fromarray(
+            rng.integers(0, 3, (40, 40), dtype=np.uint8)
+        ).save(tmp / "train" / "masks" / f"{i}.png")
+    lt.train_semantic_segmentation(
+        out=str(tmp / "out"),
+        data={
+            "train": {"images": str(tmp / "train" / "images"),
+                      "masks": str(tmp / "train" / "masks")},
+            "num_classes": 3,
+        },
+        model="dinov3/vittest16",
+        steps=1, batch_size=8, image_size=32, precision="fp32",
+        num_workers=2,
+    )
+    return tmp
+
+
+def test_load_model_and_predict_segmentation(seg_run):
+    model = lt.load_model(
+        seg_run / "out" / "exported_models" / "exported_last", image_size=32
+    )
+    assert model.task == "semantic_segmentation"
+    img = np.random.default_rng(1).integers(0, 256, (50, 60, 3), dtype=np.uint8)
+    out = model.predict(img)
+    assert out["mask"].shape == (50, 60)
+    assert out["mask"].max() < 3
+
+
+def test_predict_semantic_segmentation_command(seg_run, tmp_path):
+    out_dir = lt.predict_semantic_segmentation(
+        out=str(tmp_path / "autolabels"),
+        data=str(seg_run / "train" / "images"),
+        checkpoint=str(seg_run / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    masks = sorted(out_dir.glob("*.png"))
+    assert len(masks) == 4
+
+
+def test_load_model_rejects_pretrain_artifact(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "data"
+    d.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(d / f"{i}.png")
+    lt.pretrain(
+        out=str(tmp_path / "out"), data=str(d),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, batch_size=8, steps=1,
+        precision="fp32", canonical_size=48, num_workers=2,
+    )
+    with pytest.raises(CheckpointError, match="pretraining artifact"):
+        lt.load_model(tmp_path / "out" / "exported_models" / "exported_last")
+
+
+def test_load_model_unknown_path():
+    with pytest.raises(CheckpointError, match="not a local artifact"):
+        lt.load_model("dinov3/vits16-eomt-coco")
