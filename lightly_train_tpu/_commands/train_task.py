@@ -522,6 +522,100 @@ def train_object_detection(
     )
 
 
+def train_instance_segmentation(
+    out: str,
+    data: Dict[str, Any],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """EoMT instance segmentation (COCO polygon JSON).
+
+    data: {"train": {"images": dir, "annotations": json}, "val": {...}}.
+    """
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        COCOInstanceSegmentationDataset,
+        EoMTInstanceSegmentationArgs,
+        EoMTInstanceSegmentationTrainModel,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    backbone_name = config.model.removesuffix("-eomt")
+    config = config.model_copy(update={"model": backbone_name})
+    hw = (config.image_size, config.image_size)
+    max_inst = int(config.task_args.get("max_instances", 50))
+    train_ds = COCOInstanceSegmentationDataset(
+        Path(data["train"]["images"]), Path(data["train"]["annotations"]),
+        hw, max_inst,
+    )
+    val_ds = (
+        COCOInstanceSegmentationDataset(
+            Path(data["val"]["images"]), Path(data["val"]["annotations"]),
+            hw, max_inst,
+        )
+        if "val" in data
+        else None
+    )
+    task_args = pydantic_model_validate(
+        EoMTInstanceSegmentationArgs,
+        {"num_classes": int(data.get("num_classes", train_ds.num_classes)),
+         **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = EoMTInstanceSegmentationTrainModel(wrapped, task_args)
+    meta["architecture"] = "eomt"
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
+def train_panoptic_segmentation(
+    out: str,
+    data: Dict[str, Any],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """EoMT panoptic segmentation (COCO panoptic format).
+
+    data: {"train": {"images": dir, "panoptic": dir, "annotations": json},
+           "val": {...}}.
+    """
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        COCOPanopticSegmentationDataset,
+        EoMTPanopticSegmentationArgs,
+        EoMTPanopticSegmentationTrainModel,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    backbone_name = config.model.removesuffix("-eomt")
+    config = config.model_copy(update={"model": backbone_name})
+    hw = (config.image_size, config.image_size)
+    max_seg = int(config.task_args.get("max_instances", 50))
+
+    def build(split):
+        return COCOPanopticSegmentationDataset(
+            Path(split["images"]), Path(split["panoptic"]),
+            Path(split["annotations"]), hw, max_seg,
+        )
+
+    train_ds = build(data["train"])
+    val_ds = build(data["val"]) if "val" in data else None
+    task_args = pydantic_model_validate(
+        EoMTPanopticSegmentationArgs,
+        {"num_classes": int(data.get("num_classes", train_ds.num_classes)),
+         **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = EoMTPanopticSegmentationTrainModel(wrapped, task_args)
+    meta["architecture"] = "eomt"
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
 def train_semantic_segmentation(
     out: str,
     data: Dict[str, Any],

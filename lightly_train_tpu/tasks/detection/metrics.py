@@ -37,6 +37,25 @@ def compute_map(
 ) -> Dict[str, float]:
     """predictions[i]: {boxes (N,4) xyxy, scores (N,), labels (N,)};
     targets[i]: {boxes (M,4) xyxy, labels (M,)}. Returns mAP + mAP50."""
+    return compute_map_generic(
+        predictions, targets, _iou_matrix, key="boxes",
+        iou_thresholds=iou_thresholds,
+    )
+
+
+def compute_map_generic(
+    predictions: List[Dict[str, np.ndarray]],
+    targets: List[Dict[str, np.ndarray]],
+    iou_fn,
+    key: str = "boxes",
+    iou_thresholds: np.ndarray | None = None,
+) -> Dict[str, float]:
+    """mAP over arbitrary region representations (boxes, binary masks, ...).
+
+    ``iou_fn(a, b)`` computes a pairwise IoU matrix for stacked regions under
+    ``predictions[i][key]`` / ``targets[i][key]`` (mask mAP for instance
+    segmentation passes flattened bool masks).
+    """
     if iou_thresholds is None:
         iou_thresholds = np.arange(0.5, 1.0, 0.05)
     classes = set()
@@ -47,15 +66,15 @@ def compute_map(
     aps = np.zeros((len(iou_thresholds), len(classes)))
     for ci, c in enumerate(sorted(classes)):
         # Gather detections and GTs of class c.
-        dets = []  # (score, image_idx, box)
+        dets = []  # (score, image_idx, region)
         n_gt = 0
         gts = []
         for i, (p, t) in enumerate(zip(predictions, targets)):
             sel = p["labels"] == c
-            for s, b in zip(p["scores"][sel], p["boxes"][sel]):
+            for s, b in zip(p["scores"][sel], p[key][sel]):
                 dets.append((float(s), i, b))
             gsel = t["labels"] == c
-            gts.append(t["boxes"][gsel])
+            gts.append(t[key][gsel])
             n_gt += int(gsel.sum())
         if n_gt == 0:
             continue
@@ -69,7 +88,7 @@ def compute_map(
                 if len(g) == 0:
                     fp[di] = 1
                     continue
-                ious = _iou_matrix(box[None], g)[0]
+                ious = iou_fn(box[None], g)[0]
                 best = int(np.argmax(ious))
                 if ious[best] >= thr and not matched[img][best]:
                     matched[img][best] = True

@@ -247,6 +247,76 @@ def _dice_loss(pred_sigmoid: jax.Array, target: jax.Array) -> jax.Array:
     return 1.0 - (num + 1.0) / (den + 1.0)
 
 
+def mask_classification_loss(
+    cls_logits: jax.Array,  # (B, Q, C+1)
+    mask_logits: jax.Array,  # (B, Q, N)
+    targets: jax.Array,  # (B, K, N) binary masks
+    valid: jax.Array,  # (B, K)
+    tgt_classes: jax.Array,  # (B, K)
+    *,
+    num_classes: int,
+    class_weight: float,
+    mask_weight: float,
+    dice_weight: float,
+    no_object_weight: float,
+) -> jax.Array:
+    """Hungarian-matched Mask2Former loss shared by EoMT semantic / instance /
+    panoptic heads (reference ``MaskClassificationLoss``, ``mask_loss.py:28``)."""
+    B, Q, N = mask_logits.shape
+    cls_prob = jax.nn.softmax(cls_logits, axis=-1)
+    cost_class = -jnp.take_along_axis(
+        cls_prob[:, :, None, :],
+        tgt_classes[:, None, :, None].repeat(Q, 1),
+        axis=-1,
+    )[..., 0]
+    pred_sig = jax.nn.sigmoid(mask_logits)
+    pos = jax.nn.softplus(-mask_logits)
+    neg = jax.nn.softplus(mask_logits)
+    cost_bce = (
+        jnp.einsum("bqn,bkn->bqk", pos, targets)
+        + jnp.einsum("bqn,bkn->bqk", neg, 1.0 - targets)
+    ) / N
+    inter = jnp.einsum("bqn,bkn->bqk", pred_sig, targets)
+    sums = pred_sig.sum(-1)[:, :, None] + targets.sum(-1)[:, None, :]
+    cost_dice = 1.0 - (2 * inter + 1.0) / (sums + 1.0)
+    cost = (
+        class_weight * cost_class
+        + mask_weight * cost_bce
+        + dice_weight * cost_dice
+    )
+    assignment = hungarian_match(jax.lax.stop_gradient(cost), valid)
+    assigned = assignment >= 0
+    safe_idx = jnp.maximum(assignment, 0)
+
+    matched_q = jnp.full((B, Q), num_classes, dtype=jnp.int32)
+    matched_q = jax.vmap(
+        lambda mq, idx, cls, ok: mq.at[jnp.where(ok, idx, Q)].set(
+            jnp.where(ok, cls, num_classes), mode="drop"
+        )
+    )(matched_q, safe_idx, tgt_classes, assigned)
+    logp = jax.nn.log_softmax(cls_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, matched_q[..., None], axis=-1)[..., 0]
+    w = jnp.where(matched_q == num_classes, no_object_weight, 1.0)
+    loss_class = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    pred_matched = jnp.take_along_axis(mask_logits, safe_idx[..., None], axis=1)
+    sig_matched = jax.nn.sigmoid(pred_matched)
+    bce = jnp.mean(
+        targets * jax.nn.softplus(-pred_matched)
+        + (1.0 - targets) * jax.nn.softplus(pred_matched),
+        axis=-1,
+    )
+    dice = _dice_loss(sig_matched, targets)
+    denom = jnp.maximum(jnp.sum(assigned), 1.0)
+    loss_mask = jnp.sum(bce * assigned) / denom
+    loss_dice = jnp.sum(dice * assigned) / denom
+    return (
+        class_weight * loss_class
+        + mask_weight * loss_mask
+        + dice_weight * loss_dice
+    )
+
+
 class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
     task = "semantic_segmentation"
 
@@ -343,68 +413,13 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
     def _single_level_loss(self, cls_logits, mask_logits, targets, valid,
                            tgt_classes):
         a = self.args
-        B, Q, N = mask_logits.shape
-        K = targets.shape[1]
-        # ---- matching costs (device) ----
-        cls_prob = jax.nn.softmax(cls_logits, axis=-1)  # (B, Q, C+1)
-        cost_class = -jnp.take_along_axis(
-            cls_prob[:, :, None, :],
-            tgt_classes[:, None, :, None].repeat(Q, 1),
-            axis=-1,
-        )[..., 0]  # (B, Q, K)
-        pred_sig = jax.nn.sigmoid(mask_logits)
-        # BCE cost (mean over pixels), computed as matmuls (MXU).
-        pos = jax.nn.softplus(-mask_logits)  # -log sigmoid
-        neg = jax.nn.softplus(mask_logits)  # -log(1-sigmoid)
-        cost_bce = (
-            jnp.einsum("bqn,bkn->bqk", pos, targets)
-            + jnp.einsum("bqn,bkn->bqk", neg, 1.0 - targets)
-        ) / N
-        inter = jnp.einsum("bqn,bkn->bqk", pred_sig, targets)
-        sums = pred_sig.sum(-1)[:, :, None] + targets.sum(-1)[:, None, :]
-        cost_dice = 1.0 - (2 * inter + 1.0) / (sums + 1.0)
-        cost = (
-            a.class_weight * cost_class
-            + a.mask_weight * cost_bce
-            + a.dice_weight * cost_dice
-        )
-        assignment = hungarian_match(
-            jax.lax.stop_gradient(cost), valid
-        )  # (B, K) query index or -1
-        assigned = assignment >= 0
-        safe_idx = jnp.maximum(assignment, 0)
-
-        # ---- class CE: matched queries get their class, others no-object --
-        C = a.num_classes
-        matched_q = jnp.full((B, Q), C, dtype=jnp.int32)  # default: no-object
-        matched_q = jax.vmap(
-            lambda mq, idx, cls, ok: mq.at[jnp.where(ok, idx, Q)].set(
-                jnp.where(ok, cls, C), mode="drop"
-            )
-        )(matched_q, safe_idx, tgt_classes, assigned)
-        logp = jax.nn.log_softmax(cls_logits, axis=-1)
-        ce = -jnp.take_along_axis(logp, matched_q[..., None], axis=-1)[..., 0]
-        w = jnp.where(matched_q == C, a.no_object_weight, 1.0)
-        loss_class = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
-
-        # ---- mask losses on matched pairs ----
-        pred_matched = jnp.take_along_axis(
-            mask_logits, safe_idx[..., None], axis=1
-        )  # (B, K, N)
-        sig_matched = jax.nn.sigmoid(pred_matched)
-        bce = jnp.mean(
-            targets * jax.nn.softplus(-pred_matched)
-            + (1.0 - targets) * jax.nn.softplus(pred_matched),
-            axis=-1,
-        )  # (B, K)
-        dice = _dice_loss(sig_matched, targets)
-        denom = jnp.maximum(jnp.sum(assigned), 1.0)
-        loss_mask = jnp.sum(bce * assigned) / denom
-        loss_dice = jnp.sum(dice * assigned) / denom
-        return (
-            a.class_weight * loss_class
-            + a.mask_weight * loss_mask
-            + a.dice_weight * loss_dice
+        return mask_classification_loss(
+            cls_logits, mask_logits, targets, valid, tgt_classes,
+            num_classes=a.num_classes,
+            class_weight=a.class_weight,
+            mask_weight=a.mask_weight,
+            dice_weight=a.dice_weight,
+            no_object_weight=a.no_object_weight,
         )
 
     # -- inference ----------------------------------------------------------

@@ -1,0 +1,129 @@
+"""EoMT instance + panoptic segmentation tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import lightly_train_tpu as lt
+
+TASK_ARGS = {"num_queries": 8, "num_joint_blocks": 1, "max_instances": 8}
+RUN_KW = dict(steps=2, batch_size=8, image_size=32, precision="fp32",
+              num_workers=2, log_every=1, val_every=2)
+
+
+@pytest.fixture
+def coco_instance(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = tmp_path / split
+        d.mkdir()
+        images, annotations = [], []
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+            images.append({"id": i, "file_name": f"{i}.png",
+                           "width": 40, "height": 40})
+            annotations.append({
+                "id": i * 2, "image_id": i, "category_id": 1,
+                "segmentation": [[5, 5, 20, 5, 20, 20, 5, 20]],
+                "bbox": [5, 5, 15, 15], "area": 225,
+            })
+            annotations.append({
+                "id": i * 2 + 1, "image_id": i, "category_id": 2,
+                "segmentation": [[25, 25, 38, 25, 38, 38, 25, 38]],
+                "bbox": [25, 25, 13, 13], "area": 169,
+            })
+        (d / "ann.json").write_text(json.dumps({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}],
+        }))
+    return tmp_path
+
+
+def test_coco_instance_dataset(coco_instance):
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        COCOInstanceSegmentationDataset,
+    )
+
+    ds = COCOInstanceSegmentationDataset(
+        coco_instance / "train", coco_instance / "train" / "ann.json",
+        image_hw=(32, 32), max_instances=8,
+    )
+    item = ds[0]
+    assert item["seg_valid"].sum() == 2
+    assert set(np.unique(item["seg_map"])) <= {0, 1, 255}
+    assert (item["seg_map"] == 0).sum() > 0  # first polygon rasterized
+
+
+def test_instance_segmentation_end_to_end(tmp_path, coco_instance):
+    state, val = lt.train_instance_segmentation(
+        out=str(tmp_path / "out"),
+        data={
+            "train": {"images": str(coco_instance / "train"),
+                      "annotations": str(coco_instance / "train" / "ann.json")},
+            "val": {"images": str(coco_instance / "val"),
+                    "annotations": str(coco_instance / "val" / "ann.json")},
+        },
+        model="dinov3/vittest16",
+        task_args=TASK_ARGS,
+        **RUN_KW,
+    )
+    assert int(state.step) == 2
+    assert "val_mask_map" in val
+
+
+@pytest.fixture
+def coco_panoptic(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = tmp_path / split
+        (d / "images").mkdir(parents=True)
+        (d / "panoptic").mkdir()
+        images, annotations = [], []
+        for i in range(4):
+            Image.fromarray(
+                rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+            ).save(d / "images" / f"{i}.png")
+            pan = np.zeros((40, 40, 3), np.uint8)
+            pan[:20, :, 0] = 1  # segment id 1
+            pan[20:, :, 0] = 2  # segment id 2
+            Image.fromarray(pan).save(d / "panoptic" / f"{i}.png")
+            images.append({"id": i, "file_name": f"{i}.png",
+                           "width": 40, "height": 40})
+            annotations.append({
+                "image_id": i, "file_name": f"{i}.png",
+                "segments_info": [
+                    {"id": 1, "category_id": 1},
+                    {"id": 2, "category_id": 2},
+                ],
+            })
+        (d / "ann.json").write_text(json.dumps({
+            "images": images, "annotations": annotations,
+            "categories": [{"id": 1, "name": "sky"}, {"id": 2, "name": "road"}],
+        }))
+    return tmp_path
+
+
+def test_panoptic_end_to_end(tmp_path, coco_panoptic):
+    state, val = lt.train_panoptic_segmentation(
+        out=str(tmp_path / "out"),
+        data={
+            "train": {"images": str(coco_panoptic / "train" / "images"),
+                      "panoptic": str(coco_panoptic / "train" / "panoptic"),
+                      "annotations": str(coco_panoptic / "train" / "ann.json")},
+            "val": {"images": str(coco_panoptic / "val" / "images"),
+                    "panoptic": str(coco_panoptic / "val" / "panoptic"),
+                    "annotations": str(coco_panoptic / "val" / "ann.json")},
+        },
+        model="dinov3/vittest16",
+        task_args=TASK_ARGS,
+        **RUN_KW,
+    )
+    assert int(state.step) == 2
+    assert "val_pq" in val and 0.0 <= val["val_pq"] <= 1.0
