@@ -12,10 +12,12 @@ from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
 from lightly_train_tpu._commands.predict_task import predict_semantic_segmentation
 from lightly_train_tpu._commands.train_task import (
     train_image_classification,
+    train_image_classification_multihead,
     train_instance_segmentation,
     train_object_detection,
     train_panoptic_segmentation,
     train_semantic_segmentation,
+    train_semantic_segmentation_multihead,
 )
 from lightly_train_tpu.tasks.model_io import load_model, load_model_from_checkpoint
 from lightly_train_tpu.methods.method_helpers import list_methods
@@ -36,10 +38,12 @@ __all__ = [
     "pretrain_from_config",
     "train",
     "train_image_classification",
+    "train_image_classification_multihead",
     "train_instance_segmentation",
     "train_object_detection",
     "train_panoptic_segmentation",
     "train_semantic_segmentation",
+    "train_semantic_segmentation_multihead",
 ]
 
 __version__ = "0.1.0"

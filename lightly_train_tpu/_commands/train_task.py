@@ -522,6 +522,83 @@ def train_object_detection(
     )
 
 
+def train_image_classification_multihead(
+    out: str,
+    data: Dict[str, str],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """Several classification heads at different LRs in one run."""
+    from lightly_train_tpu.tasks.image_classification import (
+        ImageClassificationDataset,
+    )
+    from lightly_train_tpu.tasks.multihead import (
+        ImageClassificationMultiheadArgs,
+        ImageClassificationMultiheadTrainModel,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    hw = (config.image_size, config.image_size)
+    train_ds = ImageClassificationDataset(Path(data["train"]), hw)
+    val_ds = (
+        ImageClassificationDataset(Path(data["val"]), hw)
+        if "val" in data
+        else None
+    )
+    task_args = pydantic_model_validate(
+        ImageClassificationMultiheadArgs,
+        {"num_classes": len(train_ds.classes), **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = ImageClassificationMultiheadTrainModel(wrapped, task_args)
+    meta["classes"] = train_ds.classes
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
+def train_semantic_segmentation_multihead(
+    out: str,
+    data: Dict[str, Any],
+    model: str,
+    **kwargs: Any,
+) -> Tuple[TaskTrainState, Dict[str, float]]:
+    """Several linear segmentation heads at different LRs in one run."""
+    from lightly_train_tpu.tasks.multihead import (
+        SemanticSegmentationMultiheadArgs,
+        SemanticSegmentationMultiheadTrainModel,
+    )
+    from lightly_train_tpu.tasks.semantic_segmentation_linear import (
+        MaskSemanticSegmentationDataset,
+    )
+
+    config = pydantic_model_validate(
+        TrainTaskConfig, {"out": out, "model": model, **kwargs}
+    )
+    hw = (config.image_size, config.image_size)
+    train_ds = MaskSemanticSegmentationDataset(
+        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
+    )
+    val_ds = (
+        MaskSemanticSegmentationDataset(
+            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw
+        )
+        if "val" in data
+        else None
+    )
+    task_args = pydantic_model_validate(
+        SemanticSegmentationMultiheadArgs,
+        {"num_classes": int(data["num_classes"]), **config.task_args},
+    )
+    wrapped, pretrained, meta = _load_backbone(config)
+    train_model = SemanticSegmentationMultiheadTrainModel(wrapped, task_args)
+    return run_task_training(
+        config, train_model, train_ds, val_ds, meta, pretrained
+    )
+
+
 def train_instance_segmentation(
     out: str,
     data: Dict[str, Any],

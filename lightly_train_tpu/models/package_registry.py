@@ -137,6 +137,37 @@ for _size in _CONVNEXT_SIZES:
 
 
 # ---------------------------------------------------------------------------
+# ECViT (EdgeCrafter) hybrid family (reference: _models/ecvit/)
+# ---------------------------------------------------------------------------
+
+
+def _build_ecvit(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    from lightly_train_tpu.models.ecvit import ECViT, ecvit_config
+
+    cfg = ecvit_config(name, dtype=dtype)
+    return WrappedModel(
+        name=f"ecvit/{name}",
+        module=ECViT(cfg),
+        feature_dim=cfg.embed_dim,
+        patch_size=16,
+        architecture="hybrid",
+        supports_mask=False,
+    )
+
+
+from lightly_train_tpu.models.ecvit import _ECVIT_SIZES  # noqa: E402
+
+for _name in _ECVIT_SIZES:
+    register_model(
+        f"ecvit/{_name}",
+        (lambda n: lambda dtype=jnp.float32, **kw: _build_ecvit(n, dtype, **kw))(
+            _name
+        ),
+        hidden=_name == "ecvittest",
+    )
+
+
+# ---------------------------------------------------------------------------
 # torchvision-parity ResNets (native Flax, reference: _models/torchvision/)
 # ---------------------------------------------------------------------------
 
