@@ -128,21 +128,68 @@ def _crop_resize_one(
     return out
 
 
+def _bilinear_weight_matrix(
+    src: jax.Array, in_size: int
+) -> jax.Array:
+    """(out,) source coords -> (out, in) bilinear hat-kernel weights.
+
+    Expresses 1-D bilinear resampling as a small dense matmul — on TPU the
+    separable resize becomes two MXU matmuls instead of lane-wise gathers
+    (gathers are the slow path on the VPU). Rows sum to 1 for coords clipped
+    into [0, in-1].
+    """
+    idx = jnp.arange(in_size, dtype=jnp.float32)
+    d = 1.0 - jnp.abs(src[:, None] - idx[None, :])
+    return jnp.clip(d, 0.0, 1.0)
+
+
+def crop_resize_matmul(
+    images: jax.Array,
+    y0: jax.Array,
+    x0: jax.Array,
+    h: jax.Array,
+    w: jax.Array,
+    out_hw: Tuple[int, int],
+) -> jax.Array:
+    """Batched crop+resize as two batched matmuls (MXU path).
+
+    images: (B, H, W, C); y0/x0/h/w: (B,) crop boxes in pixels.
+    """
+    B, H, W, C = images.shape
+    oh, ow = out_hw
+    t_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+    t_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    sy = jnp.clip(y0[:, None] + t_y[None, :] * h[:, None] - 0.5, 0.0, H - 1.0)
+    sx = jnp.clip(x0[:, None] + t_x[None, :] * w[:, None] - 0.5, 0.0, W - 1.0)
+    Ry = jax.vmap(lambda s: _bilinear_weight_matrix(s, H))(sy)  # (B, oh, H)
+    Rx = jax.vmap(lambda s: _bilinear_weight_matrix(s, W))(sx)  # (B, ow, W)
+    img_f = images.astype(jnp.float32)
+    rows = jnp.einsum("boh,bhwc->bowc", Ry, img_f)  # (B, oh, W, C)
+    return jnp.einsum("bowc,bxw->boxc", rows, Rx)  # (B, oh, ow, C)
+
+
 def random_resized_crop(
     key: jax.Array,
     images: jax.Array,
     out_size: Tuple[int, int],
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+    use_matmul: bool = True,
 ) -> jax.Array:
     """Batched RandomResizedCrop: (B, H, W, C) uint8/float -> (B, oh, ow, C) f32.
 
-    Output is in [0, 1] when the input is uint8.
+    Output is in [0, 1] when the input is uint8. ``use_matmul`` selects the
+    MXU matmul resampler (default; identical math to the gather path).
     """
     B = images.shape[0]
     in_hw = (images.shape[1], images.shape[2])
     y0, x0, h, w = _sample_crop_boxes(key, B, in_hw, scale, ratio)
-    out = jax.vmap(partial(_crop_resize_one, out_hw=out_size))(images, y0, x0, h, w)
+    if use_matmul:
+        out = crop_resize_matmul(images, y0, x0, h, w, out_size)
+    else:
+        out = jax.vmap(partial(_crop_resize_one, out_hw=out_size))(
+            images, y0, x0, h, w
+        )
     if images.dtype == jnp.uint8:
         out = out * (1.0 / 255.0)
     return out
@@ -189,8 +236,10 @@ def color_jitter(
 
     Factor ranges follow torchvision semantics: brightness/contrast/saturation
     factors uniform in [max(0, 1-s*v), 1+s*v], hue rotation uniform in
-    [-s*h, s*h] turns (applied as YIQ rotation). Applied per-image with
-    probability ``prob``; op order fixed b -> c -> s -> h.
+    [-s*h, s*h] turns (applied as YIQ rotation); op order fixed b -> c -> s ->
+    h. All four ops are affine in RGB, so they compose into ONE per-image
+    3x3 matrix + offset — a single pixel pass (b, 3, 3) einsum instead of
+    four, which is what makes the fused on-device pipeline cheap.
     """
     B = images.shape[0]
     k_apply, kb, kc, ks, kh = jax.random.split(key, 5)
@@ -199,37 +248,52 @@ def color_jitter(
     def factor(k: jax.Array, v: float) -> jax.Array:
         lo = max(0.0, 1.0 - strength * v)
         hi = 1.0 + strength * v
-        return jax.random.uniform(k, (B, 1, 1, 1), minval=lo, maxval=hi)
+        return jax.random.uniform(k, (B,), minval=lo, maxval=hi)
 
-    out = images
-    # brightness
-    out = out * factor(kb, brightness)
-    # contrast: blend with per-image mean luminance
-    gray_mean = jnp.mean(
-        jnp.tensordot(out, _RGB2GRAY, axes=([-1], [0])), axis=(1, 2), keepdims=True
-    )[..., None]
+    fb = factor(kb, brightness)
     fc = factor(kc, contrast)
-    out = gray_mean + (out - gray_mean) * fc
-    # saturation: blend with per-pixel grayscale
-    gray_pix = jnp.tensordot(out, _RGB2GRAY, axes=([-1], [0]))[..., None]
     fs = factor(ks, saturation)
-    out = gray_pix + (out - gray_pix) * fs
-    # hue: rotate IQ plane
     theta = (
         jax.random.uniform(
-            kh, (B, 1, 1), minval=-strength * hue, maxval=strength * hue
+            kh, (B,), minval=-strength * hue, maxval=strength * hue
         )
         * 2.0
         * jnp.pi
     )
-    yiq = jnp.einsum("bhwc,dc->bhwd", out, _RGB2YIQ)
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    y, i_ch, q_ch = yiq[..., 0], yiq[..., 1], yiq[..., 2]
-    i_rot = i_ch * cos_t - q_ch * sin_t
-    q_rot = i_ch * sin_t + q_ch * cos_t
-    out = jnp.einsum(
-        "bhwc,dc->bhwd", jnp.stack([y, i_rot, q_rot], axis=-1), _YIQ2RGB
-    )
+
+    eye = jnp.eye(3, dtype=jnp.float32)
+    # brightness: x <- fb * x
+    A = fb[:, None, None] * eye[None]
+    o = jnp.zeros((B, 3), jnp.float32)
+    # contrast: x <- fc * x + (1 - fc) * mean_gray (per-image scalar from the
+    # brightness-adjusted image: mean_gray = fb * mean(gray(x))).
+    gray_mean = jnp.mean(
+        jnp.tensordot(images, _RGB2GRAY, axes=([-1], [0])), axis=(1, 2)
+    )  # (B,)
+    A = fc[:, None, None] * A
+    o = fc[:, None] * o + ((1.0 - fc) * fb * gray_mean)[:, None]
+    # saturation: x <- fs * x + (1 - fs) * gray(x) * ones
+    G = jnp.outer(jnp.ones(3), _RGB2GRAY)  # (3, 3)
+    S = fs[:, None, None] * eye[None] + (1.0 - fs)[:, None, None] * G[None]
+    A = jnp.einsum("bij,bjk->bik", S, A)
+    o = jnp.einsum("bij,bj->bi", S, o)
+    # hue: YIQ rotation matrix
+    c_t, s_t = jnp.cos(theta), jnp.sin(theta)
+    zeros = jnp.zeros_like(c_t)
+    ones = jnp.ones_like(c_t)
+    R_yiq = jnp.stack(
+        [
+            jnp.stack([ones, zeros, zeros], -1),
+            jnp.stack([zeros, c_t, -s_t], -1),
+            jnp.stack([zeros, s_t, c_t], -1),
+        ],
+        axis=1,
+    )  # (B, 3, 3)
+    H_mat = jnp.einsum("ij,bjk,kl->bil", _YIQ2RGB, R_yiq, _RGB2YIQ)
+    A = jnp.einsum("bij,bjk->bik", H_mat, A)
+    o = jnp.einsum("bij,bj->bi", H_mat, o)
+
+    out = jnp.einsum("bhwc,bdc->bhwd", images, A) + o[:, None, None, :]
     out = jnp.clip(out, 0.0, 1.0)
     return images * (1.0 - apply) + out * apply
 
@@ -263,37 +327,21 @@ def gaussian_blur(
         k_sigma, (B,), minval=sigma_range[0], maxval=sigma_range[1]
     )
     half = kernel_size // 2
-    x = jnp.arange(-half, half + 1, dtype=jnp.float32)  # (K,)
-    # (B, K) per-image kernels
-    kern = jnp.exp(-(x[None, :] ** 2) / (2.0 * sigma[:, None] ** 2))
-    kern = kern / jnp.sum(kern, axis=1, keepdims=True)
 
-    def blur_one(img: jax.Array, k1d: jax.Array) -> jax.Array:
-        # img (H, W, C); conv along H then W with reflect-free zero pad
-        # normalized by the in-bounds kernel mass to avoid edge darkening.
-        pad_h = jnp.pad(img, ((half, half), (0, 0), (0, 0)))
-        out = jnp.zeros_like(img)
-        norm = jnp.zeros((H, 1, 1), dtype=img.dtype)
-        ones = jnp.ones((H,), dtype=img.dtype)
-        ones_pad = jnp.pad(ones, (half, half))
-        for i in range(kernel_size):
-            out = out + k1d[i] * jax.lax.dynamic_slice_in_dim(pad_h, i, H, axis=0)
-            norm = norm + k1d[i] * jax.lax.dynamic_slice_in_dim(
-                ones_pad, i, H, axis=0
-            ).reshape(H, 1, 1)
-        img_h = out / norm
-        pad_w = jnp.pad(img_h, ((0, 0), (half, half), (0, 0)))
-        out = jnp.zeros_like(img_h)
-        ones_w = jnp.pad(jnp.ones((W,), dtype=img.dtype), (half, half))
-        norm_w = jnp.zeros((1, W, 1), dtype=img.dtype)
-        for i in range(kernel_size):
-            out = out + k1d[i] * jax.lax.dynamic_slice_in_dim(pad_w, i, W, axis=1)
-            norm_w = norm_w + k1d[i] * jax.lax.dynamic_slice_in_dim(
-                ones_w, i, W, axis=0
-            ).reshape(1, W, 1)
-        return out / norm_w
+    def band_matrix(n: int) -> jax.Array:
+        """(B, n, n) per-image banded gaussian blur operators, row-normalized
+        (edge-renormalized zero padding). Separable blur becomes two MXU
+        matmuls instead of per-image shifted adds."""
+        i = jnp.arange(n, dtype=jnp.float32)
+        d = i[:, None] - i[None, :]  # (n, n)
+        w = jnp.exp(-(d[None] ** 2) / (2.0 * sigma[:, None, None] ** 2))
+        w = jnp.where(jnp.abs(d)[None] <= half, w, 0.0)
+        return w / jnp.sum(w, axis=-1, keepdims=True)
 
-    blurred = jax.vmap(blur_one)(images, kern)
+    Kh = band_matrix(H)
+    Kw = band_matrix(W)
+    blurred = jnp.einsum("bij,bjwc->biwc", Kh, images)
+    blurred = jnp.einsum("biwc,bxw->bixc", blurred, Kw)
     apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
     return jnp.where(apply, blurred, images)
 

@@ -100,3 +100,25 @@ def test_augment_deterministic_same_key(images):
     a = augment.augment_view(jax.random.key(7), images, cfg)
     b = augment.augment_view(jax.random.key(7), images, cfg)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_matmul_and_gather_crop_parity():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from lightly_train_tpu.ops.augment import (
+        _crop_resize_one, _sample_crop_boxes, crop_resize_matmul,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = jnp.asarray(rng.integers(0, 256, (4, 40, 48, 3), dtype=np.uint8))
+    y0, x0, h, w = _sample_crop_boxes(
+        jax.random.key(3), 4, (40, 48), (0.2, 1.0), (0.75, 1.333)
+    )
+    out_mm = crop_resize_matmul(imgs, y0, x0, h, w, (16, 16))
+    out_gather = jax.vmap(partial(_crop_resize_one, out_hw=(16, 16)))(
+        imgs, y0, x0, h, w
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_mm), np.asarray(out_gather), atol=1e-2
+    )
