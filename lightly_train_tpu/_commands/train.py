@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any, Dict, Literal, Optional, Union
+from typing import Any, Dict, List, Literal, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,8 @@ from lightly_train_tpu._data import (
     list_image_files,
     write_items_to_file,
 )
-from lightly_train_tpu._loggers.jsonl import JSONLLogger
+from lightly_train_tpu._debug.nan_guard import NaNGuard
+from lightly_train_tpu._loggers.multi import build_loggers
 from lightly_train_tpu._logging import (
     get_logger,
     set_up_console_logging,
@@ -77,6 +78,9 @@ class TrainConfig(PydanticConfig):
     num_workers: int = 8
     seed: int = 0
     log_every: int = 50
+    loggers: List[str] = ["jsonl"]
+    log_augmentations: bool = True
+    nan_check: bool = True
     checkpoint_every: Union[int, Auto] = AUTO
     resume_interrupted: bool = False
     overwrite: bool = False
@@ -237,7 +241,7 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         state = jax.device_put(state, NamedSharding(mesh, P()))
         logger.info("Resumed from step %d", int(state.step))
 
-    jsonl = JSONLLogger(out_dir)
+    jsonl = build_loggers(out_dir, config.loggers)
     jsonl.log_hyperparams(
         {
             **config.dump(),
@@ -277,6 +281,23 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",
         config.model, config.method, total_steps, batch_size, lr,
     )
+    def on_first_batch(batch: jax.Array) -> None:
+        # Augmentation grid at step 0 (``method.py:169-191``).
+        if not (config.log_augmentations and is_main_process()):
+            return
+        from lightly_train_tpu._visualize.grids import save_augmentation_grid
+        from lightly_train_tpu.ops.augment import augment_view
+
+        views = []
+        key = jax.random.key(config.seed + 1)
+        for spec in method.view_specs():
+            views.append(
+                np.asarray(
+                    augment_view(key, batch[:8], spec.config, jnp.float32)
+                )
+            )
+        save_augmentation_grid(views, out_dir / "augmentations.png")
+
     state = fit(
         train_step,
         state,
@@ -287,6 +308,8 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         on_log=on_log,
         on_checkpoint=on_checkpoint,
         checkpoint_every=checkpoint_every,
+        nan_guard=NaNGuard(out_dir, enabled=config.nan_check),
+        on_first_batch=on_first_batch,
     )
     ckpt_mgr.wait()
     ckpt_mgr.close()

@@ -65,6 +65,7 @@ def make_train_step(
             jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
         )
         grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
         updates, opt_state = optimizer.update(
             grads, state.opt_state, state.params
         )
@@ -80,7 +81,12 @@ def make_train_step(
             opt_state=opt_state,
             method_state=method_state,
         )
-        out_metrics = {"train_loss": loss, "grad_norm": grad_norm, **metrics}
+        out_metrics = {
+            "train_loss": loss,
+            "grad_norm": grad_norm,
+            "finite": finite,
+            **metrics,
+        }
         return new_state, out_metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -96,6 +102,8 @@ def fit(
     on_log: Optional[Callable[[int, Dict[str, float]], None]] = None,
     on_checkpoint: Optional[Callable[[int, TrainState], None]] = None,
     checkpoint_every: Optional[int] = None,
+    nan_guard: Optional[Any] = None,
+    on_first_batch: Optional[Callable[[jax.Array], None]] = None,
 ) -> TrainState:
     """Host step loop: feed batches, log throughput, checkpoint.
 
@@ -114,24 +122,35 @@ def fit(
     batch_size: Optional[int] = None
 
     batch_iter = iter(batches)
+    data_wait = 0.0
     while current < total_steps:
+        t_data = time.perf_counter()
         batch = next(batch_iter)
+        data_wait += time.perf_counter() - t_data
         if batch_size is None:
             batch_size = batch.shape[0]
+            if on_first_batch is not None:
+                on_first_batch(batch)
         state, pending = train_step(state, batch, base_key)
         current += 1
         window_steps += 1
         if current in burn_in or current % log_every == 0 or current == total_steps:
             metrics = {k: float(v) for k, v in pending.items()}  # device sync
+            if nan_guard is not None and metrics.get("finite", 1.0) < 0.5:
+                nan_guard.check(
+                    jnp.asarray(False), current, batch, base_key, state.params
+                )
             dt = time.perf_counter() - t_window
             metrics["profiling/images_per_sec"] = (
                 batch_size * window_steps / max(dt, 1e-9)
             )
             metrics["profiling/step_time"] = dt / max(window_steps, 1)
+            metrics["profiling/data_time"] = data_wait / max(window_steps, 1)
             if on_log is not None:
                 on_log(current, metrics)
             t_window = time.perf_counter()
             window_steps = 0
+            data_wait = 0.0
         if (
             checkpoint_every is not None
             and on_checkpoint is not None

@@ -1,0 +1,54 @@
+"""kNN classifier evaluation on embeddings.
+
+The BASELINE.json accuracy metric (DINOv2 val kNN acc, ``README.md:506-514``
+reports 81.9% for dinov2/vitl16) is a weighted cosine kNN over frozen
+embeddings — this is the standard DINO eval protocol. Runs fully on device:
+the (Nq, Nt) similarity matmul rides the MXU; scores are temperature-weighted
+top-k votes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "num_classes"))
+def knn_predict(
+    query: jax.Array,  # (Nq, D)
+    train_features: jax.Array,  # (Nt, D)
+    train_labels: jax.Array,  # (Nt,)
+    num_classes: int,
+    k: int = 20,
+    temperature: float = 0.07,
+) -> jax.Array:
+    """Weighted-kNN class predictions (DINO eval protocol)."""
+    q = query / jnp.maximum(jnp.linalg.norm(query, axis=1, keepdims=True), 1e-8)
+    t = train_features / jnp.maximum(
+        jnp.linalg.norm(train_features, axis=1, keepdims=True), 1e-8
+    )
+    sim = q @ t.T  # (Nq, Nt)
+    k = min(k, t.shape[0])
+    top_sim, top_idx = jax.lax.top_k(sim, k)
+    weights = jnp.exp(top_sim / temperature)  # (Nq, k)
+    votes = jax.nn.one_hot(train_labels[top_idx], num_classes)  # (Nq, k, C)
+    scores = jnp.sum(weights[..., None] * votes, axis=1)
+    return jnp.argmax(scores, axis=-1)
+
+
+def knn_accuracy(
+    query: jax.Array,
+    query_labels: jax.Array,
+    train_features: jax.Array,
+    train_labels: jax.Array,
+    num_classes: int,
+    k: int = 20,
+    temperature: float = 0.07,
+) -> float:
+    pred = knn_predict(
+        query, train_features, train_labels, num_classes, k, temperature
+    )
+    return float(jnp.mean((pred == query_labels).astype(jnp.float32)))
