@@ -9,6 +9,9 @@ land). Compute is JAX/XLA/Pallas over a GSPMD device mesh.
 from lightly_train_tpu._commands.embed import embed
 from lightly_train_tpu._commands.export import export
 from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
+from lightly_train_tpu._commands.benchmark_task import benchmark_object_detection
+from lightly_train_tpu._commands.export_task import export_onnx, export_stablehlo
+from lightly_train_tpu._commands.extract_video_frames import extract_video_frames
 from lightly_train_tpu._commands.predict_task import predict_semantic_segmentation
 from lightly_train_tpu._commands.train_task import (
     train_image_classification,
@@ -27,8 +30,12 @@ from lightly_train_tpu.models.package_registry import list_models
 train = pretrain
 
 __all__ = [
+    "benchmark_object_detection",
     "embed",
     "export",
+    "export_onnx",
+    "export_stablehlo",
+    "extract_video_frames",
     "list_methods",
     "list_models",
     "load_model",

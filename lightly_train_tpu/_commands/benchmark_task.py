@@ -1,0 +1,125 @@
+"""``benchmark_object_detection``: latency + accuracy harness.
+
+Rebuild of ``src/lightly_train/_commands/benchmark_task.py:78`` +
+``benchmark_backends.py``: measures per-image latency statistics
+(mean/median/p90/min/max over timed runs after warmup) of a detection
+checkpoint, optionally evaluating mAP over a provided dataset. Backends:
+``jax`` (jitted, runs on whatever accelerator is attached) and
+``stablehlo`` (the exported artifact round-tripped through
+``jax.export.deserialize`` — the deployment path).
+"""
+
+from __future__ import annotations
+
+import statistics
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Literal, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lightly_train_tpu._configs.config import PydanticConfig
+from lightly_train_tpu._configs.validate import pydantic_model_validate
+from lightly_train_tpu._logging import get_logger, set_up_console_logging
+from lightly_train_tpu.tasks.model_io import load_model
+
+logger = get_logger("benchmark")
+
+
+class BenchmarkConfig(PydanticConfig):
+    checkpoint: str
+    data: Optional[Dict[str, Any]] = None  # optional val split for mAP
+    image_size: int = 640
+    num_warmup: int = 5
+    num_runs: int = 30
+    backend: Literal["jax", "stablehlo"] = "jax"
+
+
+def benchmark_object_detection(checkpoint: str, **kwargs: Any) -> Dict[str, Any]:
+    config = pydantic_model_validate(
+        BenchmarkConfig, {"checkpoint": checkpoint, **kwargs}
+    )
+    set_up_console_logging()
+    model = load_model(Path(config.checkpoint), image_size=config.image_size)
+    spec_shape = (1, config.image_size, config.image_size, 3)
+    sample = jnp.asarray(
+        np.random.default_rng(0).normal(size=spec_shape).astype(np.float32)
+    )
+
+    if config.backend == "stablehlo":
+        from jax import export as jax_export
+
+        exported = jax_export.export(
+            jax.jit(
+                lambda x: model.train_model.predict(model.variables, x)
+            )
+        )(jax.ShapeDtypeStruct(spec_shape, jnp.float32))
+        restored = jax_export.deserialize(exported.serialize())
+        fn = restored.call
+    else:
+        fn = jax.jit(
+            lambda x: model.train_model.predict(model.variables, x)
+        )
+
+    for _ in range(config.num_warmup):
+        out = fn(sample)
+    jax.block_until_ready(out)
+    times: List[float] = []
+    for _ in range(config.num_runs):
+        t0 = time.perf_counter()
+        out = fn(sample)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) * 1000)
+
+    result: Dict[str, Any] = {
+        "backend": config.backend,
+        "device": str(jax.devices()[0].platform),
+        "image_size": config.image_size,
+        "latency_ms": {
+            "mean": statistics.mean(times),
+            "median": statistics.median(times),
+            "p90": sorted(times)[int(0.9 * len(times))],
+            "min": min(times),
+            "max": max(times),
+        },
+    }
+
+    if config.data is not None:
+        from lightly_train_tpu.tasks.detection.data import (
+            YOLOObjectDetectionDataset,
+        )
+        from lightly_train_tpu.tasks.detection.metrics import compute_map
+        from lightly_train_tpu.tasks.detection.box_utils import cxcywh_to_xyxy
+
+        ds = YOLOObjectDetectionDataset(
+            Path(config.data["images"]), Path(config.data["labels"]),
+            (config.image_size, config.image_size),
+        )
+        predictions, targets = [], []
+        for i in range(len(ds)):
+            item = ds[i]
+            img = jnp.asarray(item["images"][None]).astype(jnp.float32)
+            from lightly_train_tpu.ops.augment import (
+                IMAGENET_MEAN, IMAGENET_STD, normalize,
+            )
+
+            img = normalize(img / 255.0)
+            boxes, scores, labels = fn(img)
+            predictions.append({
+                "boxes": np.asarray(boxes)[0],
+                "scores": np.asarray(scores)[0],
+                "labels": np.asarray(labels)[0],
+            })
+            tv = item["box_valid"]
+            targets.append({
+                "boxes": np.asarray(
+                    cxcywh_to_xyxy(jnp.asarray(item["boxes"][tv]))
+                ),
+                "labels": item["labels"][tv],
+            })
+        result["map"] = compute_map(predictions, targets)
+
+    logger.info("Benchmark: %s", result)
+    return result

@@ -1,0 +1,94 @@
+"""StableHLO export + benchmark command tests."""
+
+import json
+
+import numpy as np
+import pytest
+
+import lightly_train_tpu as lt
+from lightly_train_tpu.errors import ConfigError
+
+
+@pytest.fixture(scope="module")
+def cls_run(tmp_path_factory):
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("clsrun")
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp / "train" / cls
+        d.mkdir(parents=True)
+        for i in range(6):
+            Image.fromarray(
+                rng.integers(0, 256, (36, 36, 3), dtype=np.uint8)
+            ).save(d / f"{i}.png")
+    lt.train_image_classification(
+        out=str(tmp / "out"), data={"train": str(tmp / "train")},
+        model="torchvision/resnettest", steps=1, batch_size=8,
+        image_size=32, precision="fp32", num_workers=2,
+    )
+    return tmp
+
+
+@pytest.fixture(scope="module")
+def det_run(tmp_path_factory):
+    from PIL import Image
+
+    tmp = tmp_path_factory.mktemp("detrun")
+    rng = np.random.default_rng(0)
+    (tmp / "images").mkdir(parents=True)
+    (tmp / "labels").mkdir()
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        ).save(tmp / "images" / f"{i}.png")
+        (tmp / "labels" / f"{i}.txt").write_text("0 0.5 0.5 0.4 0.4\n")
+    lt.train_object_detection(
+        out=str(tmp / "out"),
+        data={"format": "yolo",
+              "train": {"images": str(tmp / "images"),
+                        "labels": str(tmp / "labels")},
+              "num_classes": 1},
+        model="dinov3/vittest16",
+        task_args={"num_queries": 8, "num_decoder_layers": 1, "d_model": 32,
+                   "num_heads": 2, "dim_feedforward": 64, "max_detections": 4},
+        steps=1, batch_size=8, image_size=32, precision="fp32", num_workers=2,
+    )
+    return tmp
+
+
+def test_export_stablehlo_classification(tmp_path, cls_run):
+    out = lt.export_stablehlo(
+        out=str(tmp_path / "model.stablehlo"),
+        checkpoint=str(cls_run / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    assert out.exists() and out.stat().st_size > 1000
+    meta = json.loads(out.with_suffix(out.suffix + ".json").read_text())
+    assert meta["format"] == "stablehlo"
+    assert meta["task"] == "image_classification"
+
+
+def test_export_onnx_gated():
+    with pytest.raises(ConfigError, match="export_stablehlo"):
+        lt.export_onnx(out="x.onnx", checkpoint="whatever")
+
+
+def test_benchmark_object_detection_jax_backend(det_run):
+    result = lt.benchmark_object_detection(
+        checkpoint=str(det_run / "out" / "exported_models" / "exported_last"),
+        image_size=32, num_warmup=1, num_runs=3,
+        data={"images": str(det_run / "images"),
+              "labels": str(det_run / "labels")},
+    )
+    assert result["latency_ms"]["mean"] > 0
+    assert "map" in result and 0.0 <= result["map"]["map"] <= 1.0
+
+
+def test_benchmark_stablehlo_backend(det_run):
+    result = lt.benchmark_object_detection(
+        checkpoint=str(det_run / "out" / "exported_models" / "exported_last"),
+        image_size=32, num_warmup=1, num_runs=2, backend="stablehlo",
+    )
+    assert result["backend"] == "stablehlo"
+    assert result["latency_ms"]["median"] > 0
