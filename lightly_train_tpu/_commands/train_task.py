@@ -605,9 +605,11 @@ def train_instance_segmentation(
     model: str,
     **kwargs: Any,
 ) -> Tuple[TaskTrainState, Dict[str, float]]:
-    """EoMT instance segmentation (COCO polygon JSON).
+    """Instance segmentation (COCO polygon JSON).
 
     data: {"train": {"images": dir, "annotations": json}, "val": {...}}.
+    ``model`` names ending in ``-ltdetr`` train the LT-DETR detector + mask
+    head; otherwise (or with ``-eomt``) the EoMT mask transformer.
     """
     from lightly_train_tpu.tasks.eomt_instance_panoptic import (
         COCOInstanceSegmentationDataset,
@@ -618,7 +620,8 @@ def train_instance_segmentation(
     config = pydantic_model_validate(
         TrainTaskConfig, {"out": out, "model": model, **kwargs}
     )
-    backbone_name = config.model.removesuffix("-eomt")
+    use_ltdetr = config.model.endswith("-ltdetr")
+    backbone_name = config.model.removesuffix("-eomt").removesuffix("-ltdetr")
     config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)
     max_inst = int(config.task_args.get("max_instances", 50))
@@ -634,14 +637,29 @@ def train_instance_segmentation(
         if "val" in data
         else None
     )
-    task_args = pydantic_model_validate(
-        EoMTInstanceSegmentationArgs,
-        {"num_classes": int(data.get("num_classes", train_ds.num_classes)),
-         **config.task_args},
-    )
+    num_classes = int(data.get("num_classes", train_ds.num_classes))
     wrapped, pretrained, meta = _load_backbone(config)
-    train_model = EoMTInstanceSegmentationTrainModel(wrapped, task_args)
-    meta["architecture"] = "eomt"
+    if use_ltdetr:
+        from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+            InstanceSegmentationLTDETRArgs,
+            LTDETRInstanceSegmentationTrainModel,
+        )
+
+        task_args = pydantic_model_validate(
+            InstanceSegmentationLTDETRArgs,
+            {"num_classes": num_classes, **config.task_args},
+        )
+        train_model: Any = LTDETRInstanceSegmentationTrainModel(
+            wrapped, task_args
+        )
+        meta["architecture"] = "ltdetr"
+    else:
+        task_args = pydantic_model_validate(
+            EoMTInstanceSegmentationArgs,
+            {"num_classes": num_classes, **config.task_args},
+        )
+        train_model = EoMTInstanceSegmentationTrainModel(wrapped, task_args)
+        meta["architecture"] = "eomt"
     return run_task_training(
         config, train_model, train_ds, val_ds, meta, pretrained
     )

@@ -365,4 +365,5 @@ class DETRDecoder(nn.Module):
                 (logits.astype(jnp.float32), new_boxes.astype(jnp.float32))
             )
             boxes = jax.lax.stop_gradient(new_boxes)
+        self.sow("intermediates", "final_queries", q)
         return outputs

@@ -333,6 +333,7 @@ class COCOInstanceSegmentationDataset:
         seg_map = np.full(hw, NO_SEGMENT, np.int32)
         labels = np.zeros((self.max_instances,), np.int32)
         valid = np.zeros((self.max_instances,), bool)
+        boxes = np.zeros((self.max_instances, 4), np.float32)
         sx, sy = hw[1] / W, hw[0] / H
         for slot, a in enumerate(anns[: self.max_instances]):
             seg = a["segmentation"]
@@ -343,11 +344,17 @@ class COCOInstanceSegmentationDataset:
             seg_map[m] = slot
             labels[slot] = self.cat_to_idx.get(a["category_id"], 0)
             valid[slot] = True
+            if "bbox" in a:
+                x, y, bw, bh = a["bbox"]
+                boxes[slot] = [
+                    (x + bw / 2) / W, (y + bh / 2) / H, bw / W, bh / H
+                ]
         return {
             "images": image,
             "seg_map": seg_map,
             "seg_labels": labels,
             "seg_valid": valid,
+            "boxes": boxes,
         }
 
 

@@ -127,3 +127,22 @@ def test_panoptic_end_to_end(tmp_path, coco_panoptic):
     )
     assert int(state.step) == 2
     assert "val_pq" in val and 0.0 <= val["val_pq"] <= 1.0
+
+
+def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
+    state, val = lt.train_instance_segmentation(
+        out=str(tmp_path / "out_ltdetr"),
+        data={
+            "train": {"images": str(coco_instance / "train"),
+                      "annotations": str(coco_instance / "train" / "ann.json")},
+            "val": {"images": str(coco_instance / "val"),
+                    "annotations": str(coco_instance / "val" / "ann.json")},
+        },
+        model="dinov3/vittest16-ltdetr",
+        task_args={"num_queries": 8, "num_decoder_layers": 1, "d_model": 32,
+                   "num_heads": 2, "dim_feedforward": 64, "max_instances": 8,
+                   "mask_dim": 16, "max_detections": 8},
+        **RUN_KW,
+    )
+    assert int(state.step) == 2
+    assert "val_mask_map" in val
