@@ -19,7 +19,7 @@ import optax
 
 from lightly_train_tpu._logging import get_logger
 from lightly_train_tpu.methods.base import Method, TrainState
-from lightly_train_tpu.ops.augment import augment_view
+from lightly_train_tpu.ops.augment import augment_view_with_geometry
 
 logger = get_logger("train_loop")
 
@@ -33,6 +33,9 @@ def make_train_step(
     """Build the fused step: augment + loss + update in one program."""
     view_specs = method.view_specs()
     n_views = sum(s.count for s in view_specs)
+    # Methods with dense-geometric losses (DINOv31 PaKA) receive the per-view
+    # crop geometry arrays appended after the view arrays.
+    needs_geometry = getattr(method, "needs_geometry", False)
 
     def train_step(
         state: TrainState, images_u8: jax.Array, base_key: jax.Array
@@ -42,13 +45,18 @@ def make_train_step(
 
         aug_keys = jax.random.split(k_aug, n_views)
         views = []
+        geoms = []
         i = 0
         for spec in view_specs:
             for _ in range(spec.count):
-                views.append(
-                    augment_view(aug_keys[i], images_u8, spec.config, aug_dtype)
+                view, geom = augment_view_with_geometry(
+                    aug_keys[i], images_u8, spec.config, aug_dtype
                 )
+                views.append(view)
+                geoms.append(geom)
                 i += 1
+        if needs_geometry:
+            views = views + geoms
 
         def loss_wrapper(params):
             return method.loss_fn(

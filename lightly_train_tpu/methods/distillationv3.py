@@ -43,6 +43,9 @@ from lightly_train_tpu.ops.losses import similarity_queue_ce
 
 class DistillationV3Args(MethodArgs):
     teacher: str = "dinov3/vitb16"
+    # Path to teacher weights: a torch .pth (Meta naming, converted via
+    # models/convert.py) or an exported_models artifact directory.
+    teacher_weights: Optional[str] = None
     queue_size: Union[int, Auto] = AUTO
     temperature: float = 0.07
     mixup_prob: float = 0.5
@@ -81,8 +84,27 @@ class DistillationV3(Method):
         super().__init__(wrapped, args)
         self.args: DistillationV3Args = args
         self.teacher = teacher_wrapped or get_wrapped_model(args.teacher)
-        # Pretrained teacher weights injected by the caller (converted from a
-        # reference torch checkpoint); random teacher if absent (tests).
+        # Pretrained teacher weights: injected by the caller, or loaded from
+        # args.teacher_weights (torch .pth via converter, or an exported
+        # artifact dir); random teacher if absent (tests).
+        if teacher_variables is None and args.teacher_weights is not None:
+            from pathlib import Path
+
+            path = Path(args.teacher_weights)
+            if path.is_dir():
+                from lightly_train_tpu._checkpoint.checkpoint import (
+                    load_exported_model,
+                )
+
+                teacher_variables = load_exported_model(path)["variables"]
+            else:
+                from lightly_train_tpu.models.convert import (
+                    load_torch_checkpoint_for_model,
+                )
+
+                teacher_variables = load_torch_checkpoint_for_model(
+                    path, args.teacher
+                )
         self._teacher_variables_init = teacher_variables
         self.global_head = ProjectionHead(self.teacher.feature_dim)
         self.local_head = ProjectionHead(self.teacher.feature_dim)

@@ -14,6 +14,7 @@ from lightly_train_tpu.methods.densecl import DenseCL, DenseCLArgs
 from lightly_train_tpu.methods.detcon import DetConB, DetConBArgs
 from lightly_train_tpu.methods.dino import DINO, DINOArgs
 from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+from lightly_train_tpu.methods.dinov31 import DINOv31, DINOv31Args
 from lightly_train_tpu.methods.distillation_v1v2 import (
     DistillationV1,
     DistillationV1Args,
@@ -31,6 +32,7 @@ _METHODS: Dict[str, Tuple[Type[Method], Type[MethodArgs]]] = {
     "distillationv2": (DistillationV2, DistillationV2Args),
     "distillationv1": (DistillationV1, DistillationV1Args),
     "dinov2": (DINOv2, DINOv2Args),
+    "dinov31": (DINOv31, DINOv31Args),
     "dino": (DINO, DINOArgs),
     "simclr": (SimCLR, SimCLRArgs),
     "densecl": (DenseCL, DenseCLArgs),

@@ -1,0 +1,135 @@
+"""Torch-checkpoint weight converters (Meta DINOv2/DINOv3 naming -> Flax).
+
+Rebuild of the reference's weight-loading path: the reference consumes Meta's
+torch checkpoints directly (``dinov2_vit_package.py``, ``dinov3_package.py``);
+this converter maps those state dicts onto the Flax parameter tree of
+``models/vit.VisionTransformer`` so pretrained teachers initialize with
+identical weights (critical for DistillationV3/DINOv2 output fidelity,
+SURVEY.md §7).
+
+Key mappings (torch -> flax):
+- ``patch_embed.proj.weight`` (D,3,p,p) -> ``patch_embed.kernel`` (p,p,3,D)
+- ``blocks.{i}.attn.qkv.weight`` (3D,D) -> ``block{i}.attn.qkv.kernel`` (D,3D)
+  (row blocks [q;k;v] match the (3, H, hd) output reshape)
+- ``pos_embed`` (1, 1+N, D): the CLS positional entry is folded into
+  ``cls_token`` (both are learned constants summed at the same site), and
+  the patch entries become the (1, N, D) grid table.
+- LayerScale ``ls{1,2}.gamma`` -> ``ls{1,2}.gamma``; norms map weight/bias ->
+  scale/bias; all Linear weights transpose.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from lightly_train_tpu._logging import get_logger
+
+logger = get_logger("convert")
+
+
+def _t(x: Any) -> np.ndarray:
+    arr = np.asarray(x, dtype=np.float32)
+    return arr
+
+
+def convert_torch_vit_state_dict(
+    state_dict: Mapping[str, Any], depth: int
+) -> Dict[str, Any]:
+    """Meta DINOv2/v3 ViT state dict -> Flax params for VisionTransformer."""
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+
+    pos = sd["pos_embed"]  # (1, 1+N, D) or (1, N, D)
+    cls = sd["cls_token"]  # (1, 1, D)
+    if pos.shape[1] % 2 == 1:  # has a CLS positional entry
+        cls = cls + pos[:, :1]
+        pos = pos[:, 1:]
+    params["cls_token"] = cls
+    params["pos_embed"] = pos
+    params["mask_token"] = sd.get(
+        "mask_token", np.zeros((1, cls.shape[-1]), np.float32)
+    ).reshape(-1)
+    if "register_tokens" in sd:
+        params["register_tokens"] = sd["register_tokens"]
+
+    w = sd["patch_embed.proj.weight"]  # (D, 3, p, p)
+    params["patch_embed"] = {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+
+    for i in range(depth):
+        p = f"blocks.{i}."
+        if f"{p}norm1.weight" not in sd:
+            # FSDP block-chunked naming: blocks.{chunk}.{i}.*
+            alt = [k for k in sd if k.startswith("blocks.") and
+                   k.endswith(f".{i}.norm1.weight")]
+            if alt:
+                p = alt[0][: -len("norm1.weight")]
+            else:
+                raise KeyError(f"Missing block {i} in state dict")
+        block: Dict[str, Any] = {
+            "norm1": {"scale": sd[f"{p}norm1.weight"],
+                      "bias": sd[f"{p}norm1.bias"]},
+            "norm2": {"scale": sd[f"{p}norm2.weight"],
+                      "bias": sd[f"{p}norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": sd[f"{p}attn.qkv.weight"].T},
+                "proj": {"kernel": sd[f"{p}attn.proj.weight"].T,
+                         "bias": sd[f"{p}attn.proj.bias"]},
+            },
+        }
+        if f"{p}attn.qkv.bias" in sd:
+            block["attn"]["qkv"]["bias"] = sd[f"{p}attn.qkv.bias"]
+        if f"{p}ls1.gamma" in sd:
+            block["ls1"] = {"gamma": sd[f"{p}ls1.gamma"]}
+            block["ls2"] = {"gamma": sd[f"{p}ls2.gamma"]}
+        if f"{p}mlp.fc1.weight" in sd:
+            block["mlp"] = {
+                "fc1": {"kernel": sd[f"{p}mlp.fc1.weight"].T,
+                        "bias": sd[f"{p}mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[f"{p}mlp.fc2.weight"].T,
+                        "bias": sd[f"{p}mlp.fc2.bias"]},
+            }
+        else:  # SwiGLU FFN (DINOv3 large models)
+            block["mlp"] = {
+                "w12": {"kernel": sd[f"{p}mlp.w12.weight"].T,
+                        "bias": sd[f"{p}mlp.w12.bias"]},
+                "w3": {"kernel": sd[f"{p}mlp.w3.weight"].T,
+                       "bias": sd[f"{p}mlp.w3.bias"]},
+            }
+        params[f"block{i}"] = block
+
+    params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return params
+
+
+def load_torch_checkpoint_for_model(
+    checkpoint_path: Path, model_name: str
+) -> Dict[str, Any]:
+    """Load a torch ``.pth`` checkpoint and convert for ``model_name``.
+
+    Accepts raw Meta checkpoints ({'model': sd} or flat sd) for dinov2/
+    dinov3 ViT names; returns flax ``{"params": ...}`` variables.
+    """
+    import torch
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+
+    wrapped = get_wrapped_model(model_name)
+    ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "model" in ckpt:
+        ckpt = ckpt["model"]
+    sd = {
+        k.removeprefix("module.").removeprefix("backbone."): v.numpy()
+        for k, v in ckpt.items()
+    }
+    depth = wrapped.module.cfg.depth  # type: ignore[attr-defined]
+    params = convert_torch_vit_state_dict(sd, depth)
+    logger.info(
+        "Converted %d torch tensors for %s", len(sd), model_name
+    )
+    return {"params": params}

@@ -378,11 +378,42 @@ def augment_view(
     images: (B, H, W, 3) uint8. Returns (B, oh, ow, 3) normalized ``out_dtype``.
     Op order matches ``ViewTransform`` (``view_transform.py:133-213``).
     """
-    keys = jax.random.split(key, 6)
-    out = random_resized_crop(
-        keys[0], images, cfg.out_size, cfg.crop_scale, cfg.crop_ratio
+    view, _ = augment_view_with_geometry(key, images, cfg, out_dtype)
+    return view
+
+
+def augment_view_with_geometry(
+    key: jax.Array,
+    images: jax.Array,
+    cfg: ViewAugmentConfig,
+    out_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jax.Array, jax.Array]:
+    """Like ``augment_view`` but also returns per-image crop geometry.
+
+    Geometry: (B, 5) float32 ``[y0, x0, h, w, hflipped]`` in source pixels —
+    the reference's geometry recording for PaKA (``view_transform.py:215-256``).
+    """
+    keys = jax.random.split(key, 7)
+    B = images.shape[0]
+    in_hw = (images.shape[1], images.shape[2])
+    y0, x0, h, w = _sample_crop_boxes(
+        keys[0], B, in_hw, cfg.crop_scale, cfg.crop_ratio
     )
-    out = random_flip(keys[1], out, cfg.hflip_prob, cfg.vflip_prob)
+    out = crop_resize_matmul(images, y0, x0, h, w, cfg.out_size)
+    if images.dtype == jnp.uint8:
+        out = out * (1.0 / 255.0)
+    hflip = (
+        jax.random.uniform(keys[6], (B,)) < cfg.hflip_prob
+        if cfg.hflip_prob > 0
+        else jnp.zeros((B,), bool)
+    )
+    out = jnp.where(hflip[:, None, None, None], out[:, :, ::-1, :], out)
+    if cfg.vflip_prob > 0:
+        vflip = jax.random.uniform(keys[1], (B, 1, 1, 1)) < cfg.vflip_prob
+        out = jnp.where(vflip, out[:, ::-1, :, :], out)
+    geometry = jnp.stack(
+        [y0, x0, h, w, hflip.astype(jnp.float32)], axis=1
+    )
     if cfg.cj_prob > 0:
         out = color_jitter(
             keys[2],
@@ -400,7 +431,7 @@ def augment_view(
     )
     out = random_solarize(keys[5], out, cfg.solarize_prob, cfg.solarize_threshold)
     out = normalize(out, cfg.mean, cfg.std)
-    return out.astype(out_dtype)
+    return out.astype(out_dtype), geometry
 
 
 def augment_views(

@@ -90,3 +90,34 @@ def test_distillation_queue_advances():
     state, _ = _run_two_steps("distillationv3")
     assert int(state.method_state["queue_ptr"]) == 16 % 16  # 2*8 mod 16
     assert int(state.method_state["queue_filled"]) == 16
+
+
+def test_dinov31_paka_step():
+    from lightly_train_tpu.methods.dinov31 import DINOv31, DINOv31Args
+
+    args = DINOv31Args(
+        output_dim=32, hidden_dim=16, bottleneck_dim=8, local_view_count=2,
+        global_image_size=32, local_image_size=16,
+    )
+    wrapped = get_wrapped_model("dinov3/vittest16")
+    method = DINOv31(wrapped, args)
+    assert method.needs_geometry
+    rng = jax.random.key(0)
+    sample = jnp.zeros((2, 48, 48, 3), dtype=jnp.uint8)
+    params, model_state, method_state = method.init(rng, sample)
+    opt = build_optimizer(
+        method.default_optimizer_args(), cosine_warmup(1e-3, 10, 1), params,
+        grad_clip_norm=method.grad_clip_norm(),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, model_state=model_state,
+        opt_state=opt.init(params), method_state=method_state,
+    )
+    step_fn = make_train_step(method, opt, total_steps=10)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (8, 48, 48, 3), dtype=np.uint8)
+    )
+    state, metrics = step_fn(state, imgs, jax.random.key(1))
+    assert np.isfinite(float(metrics["train_loss"]))
+    assert np.isfinite(float(metrics["paka_loss"]))
+    assert float(metrics["paka_loss"]) >= 0.0
