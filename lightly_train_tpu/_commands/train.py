@@ -119,6 +119,9 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
     set_up_console_logging()
     set_up_file_logging(out_dir / "train.log")
     logger.info("Devices: %d x %s", jax.device_count(), jax.devices()[0].platform)
+    from lightly_train_tpu._system import log_system_information
+
+    log_system_information()
 
     # ---- data -------------------------------------------------------------
     canonical_hw = (config.canonical_size, config.canonical_size)

@@ -62,6 +62,7 @@ class TrainTaskConfig(PydanticConfig):
     optim_args: Dict[str, Any] = {}
     learning_rate: Union[float, Auto] = AUTO
     precision: Literal["bf16", "fp32"] = "bf16"
+    grad_accum_steps: int = 1
     image_size: int = 224
     num_workers: int = 8
     seed: int = 0
@@ -149,6 +150,9 @@ def run_task_training(
         out_dir.mkdir(parents=True, exist_ok=True)
     set_up_console_logging()
     set_up_file_logging(out_dir / "train.log")
+    from lightly_train_tpu._system import log_system_information
+
+    log_system_information()
 
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     args = train_model.args
@@ -244,18 +248,60 @@ def run_task_training(
     # ---- jitted steps -----------------------------------------------------
     hflip = config.hflip_prob
 
+    accum = max(1, config.grad_accum_steps)
+
     @jax.jit
     def train_step(s: TaskTrainState, batch, base_key):
         k = jax.random.fold_in(base_key, s.step)
         k_aug, k_loss = jax.random.split(k)
         batch = _device_train_transform(batch, k_aug, hflip, dtype)
 
-        def lw(p):
-            return train_model.loss_fn(p, s.model_state, batch, k_loss, s.step)
+        def lw(p, b, kl, ms):
+            return train_model.loss_fn(p, ms, b, kl, s.step)
 
-        (loss, (model_state, metrics)), grads = jax.value_and_grad(
-            lw, has_aux=True
-        )(s.params)
+        if accum > 1:
+            # Gradient accumulation via lax.scan over microbatches
+            # (reference grad-accum loop, ``train_task.py:1749-1769``).
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, -1) + x.shape[1:]), batch
+            )
+
+            def body(carry, mb_key):
+                mb, kl = mb_key
+                g_sum, ms, loss_sum, metrics_sum = carry
+                (loss, (ms2, metrics)), g = jax.value_and_grad(
+                    lw, has_aux=True
+                )(s.params, mb, kl, ms)
+                g_sum = jax.tree_util.tree_map(jnp.add, g_sum, g)
+                metrics_sum = jax.tree_util.tree_map(
+                    jnp.add, metrics_sum, metrics
+                )
+                return (g_sum, ms2, loss_sum + loss, metrics_sum), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, s.params)
+            keys = jax.random.split(k_loss, accum)
+            first_mb = jax.tree_util.tree_map(lambda x: x[0], micro)
+            metrics_shapes = jax.eval_shape(
+                lambda: lw(s.params, first_mb, keys[0], s.model_state)
+            )[1][1]
+            zero_metrics = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype), metrics_shapes
+            )
+            (g_sum, model_state, loss_sum, metrics_sum), _ = jax.lax.scan(
+                body,
+                (zero_g, s.model_state, jnp.zeros((), jnp.float32),
+                 zero_metrics),
+                (micro, keys),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            loss = loss_sum / accum
+            metrics = jax.tree_util.tree_map(
+                lambda m: m / accum, metrics_sum
+            )
+        else:
+            (loss, (model_state, metrics)), grads = jax.value_and_grad(
+                lw, has_aux=True
+            )(s.params, batch, k_loss, s.model_state)
         updates, opt_state = optimizer.update(grads, s.opt_state, s.params)
         params = optax.apply_updates(s.params, updates)
         ema_params = s.ema_params
@@ -490,8 +536,10 @@ def train_object_detection(
     config = pydantic_model_validate(
         TrainTaskConfig, {"out": out, "model": model, **kwargs}
     )
+    use_picodet = config.model.startswith("picodet")
     backbone_name = config.model.removesuffix("-ltdetr")
-    config = config.model_copy(update={"model": backbone_name})
+    if not use_picodet:
+        config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)
     fmt = data.get("format", "yolo")
 
@@ -511,6 +559,26 @@ def train_object_detection(
         or len(getattr(train_ds, "class_names", []) or [])
         or 80
     )
+    if use_picodet:
+        # picodet-s / picodet-l model names (reference config.py:53-70).
+        from lightly_train_tpu.tasks.detection.picodet import (
+            PicoDetArgs,
+            PicoDetTrainModel,
+        )
+
+        widths = (128, 256, 512) if config.model.endswith("-l") else (96, 192, 384)
+        task_args = pydantic_model_validate(
+            PicoDetArgs,
+            {"num_classes": num_classes, "widths": widths, **config.task_args},
+        )
+        from lightly_train_tpu.models.package_registry import get_wrapped_model
+
+        wrapped = get_wrapped_model("torchvision/resnettest")  # placeholder iface
+        train_model: Any = PicoDetTrainModel(wrapped, task_args)
+        meta = {"model_name": config.model, "architecture": "picodet"}
+        return run_task_training(
+            config, train_model, train_ds, val_ds, meta, None
+        )
     task_args = pydantic_model_validate(
         ObjectDetectionArgs, {"num_classes": num_classes, **config.task_args}
     )

@@ -478,6 +478,57 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             self._semantic_logits(variables["params"], images), axis=-1
         )
 
+    def predict_tiled(
+        self,
+        variables,
+        images: jax.Array,
+        tile_size: int = 512,
+        stride: Optional[int] = None,
+    ) -> jax.Array:
+        """High-resolution inference via static-shape tiling.
+
+        Rebuild of the reference's val-time tiling/untiling
+        (``dinov3_eomt_semantic_segmentation/task_model.py:511-583``): the
+        image is split into a static grid of overlapping ``tile_size`` crops,
+        each tile runs the normal forward, and per-pixel logits are averaged
+        back into the full canvas. The tile grid is static per input shape so
+        one compiled program serves every image of that size.
+        """
+        B, H, W, _ = images.shape
+        if H <= tile_size and W <= tile_size:
+            return self.predict(variables, images)
+        stride = stride or (tile_size * 2 // 3)
+        nc = self.args.num_classes
+        ys = list(range(0, max(H - tile_size, 0) + 1, stride))
+        xs = list(range(0, max(W - tile_size, 0) + 1, stride))
+        if ys[-1] + tile_size < H:
+            ys.append(H - tile_size)
+        if xs[-1] + tile_size < W:
+            xs.append(W - tile_size)
+        logits_sum = jnp.zeros((B, H, W, nc), jnp.float32)
+        counts = jnp.zeros((B, H, W, 1), jnp.float32)
+        for y in ys:
+            for x in xs:
+                tile = jax.lax.dynamic_slice(
+                    images, (0, y, x, 0), (B, tile_size, tile_size, 3)
+                )
+                tl = self._semantic_logits(variables["params"], tile)
+                logits_sum = jax.lax.dynamic_update_slice(
+                    logits_sum,
+                    jax.lax.dynamic_slice(
+                        logits_sum, (0, y, x, 0), (B, tile_size, tile_size, nc)
+                    ) + tl,
+                    (0, y, x, 0),
+                )
+                counts = jax.lax.dynamic_update_slice(
+                    counts,
+                    jax.lax.dynamic_slice(
+                        counts, (0, y, x, 0), (B, tile_size, tile_size, 1)
+                    ) + 1.0,
+                    (0, y, x, 0),
+                )
+        return jnp.argmax(logits_sum / jnp.maximum(counts, 1.0), axis=-1)
+
     def default_optimizer_args(self):
         from lightly_train_tpu._optim import AdamWArgs
 

@@ -126,3 +126,14 @@ def test_classification_with_pretrained_checkpoint(tmp_path, classification_dir)
         num_workers=2, val_every=2,
     )
     assert int(state.step) == 2
+
+
+def test_grad_accumulation(tmp_path, classification_dir):
+    state, val = lt.train_image_classification(
+        out=str(tmp_path / "out_accum"),
+        data={"train": str(classification_dir / "train")},
+        model="torchvision/resnettest",
+        steps=2, batch_size=16, grad_accum_steps=2, image_size=32,
+        precision="fp32", num_workers=2,
+    )
+    assert int(state.step) == 2

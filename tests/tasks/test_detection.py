@@ -116,3 +116,27 @@ def test_detection_end_to_end_training(tmp_path, yolo_dataset):
     assert int(state.step) == 2
     assert "val_map" in val and 0.0 <= val["val_map"] <= 1.0
     assert state.ema_params is not None  # detection uses EMA
+
+
+def test_picodet_end_to_end(tmp_path, yolo_dataset):
+    import lightly_train_tpu as lt
+
+    state, val = lt.train_object_detection(
+        out=str(tmp_path / "out_pico"),
+        data={
+            "format": "yolo",
+            "train": {"images": str(yolo_dataset / "train" / "images"),
+                      "labels": str(yolo_dataset / "train" / "labels")},
+            "val": {"images": str(yolo_dataset / "val" / "images"),
+                    "labels": str(yolo_dataset / "val" / "labels")},
+            "num_classes": 2,
+        },
+        model="picodet-s",
+        task_args={"widths": (16, 32, 64), "neck_dim": 16, "head_convs": 1,
+                   "max_detections": 8},
+        steps=2, batch_size=8, image_size=64, precision="fp32",
+        num_workers=2, log_every=1, val_every=2,
+    )
+    assert int(state.step) == 2
+    assert "val_map" in val
+    assert state.ema_params is not None

@@ -129,3 +129,17 @@ def test_eomt_end_to_end_training(tmp_path):
     )
     assert int(state.step) == 2
     assert "val_miou" in val
+
+
+def test_eomt_tiled_inference(model):
+    import jax
+    import jax.numpy as jnp
+
+    rng = jax.random.key(0)
+    small = jax.random.uniform(rng, (1, 32, 32, 3))
+    batch = {"images": small, "masks": jnp.zeros((1, 32, 32), jnp.int32)}
+    params, _ = model.init(rng, batch)
+    big = jax.random.uniform(jax.random.key(1), (1, 64, 48, 3))
+    pred = model.predict_tiled({"params": params}, big, tile_size=32)
+    assert pred.shape == (1, 64, 48)
+    assert int(pred.max()) < 4
