@@ -51,6 +51,10 @@ class ViTConfig:
     # Base grid the learned pos-embed is stored at (DINOv2: 518/14=37;
     # we store at 224/patch and interpolate).
     pos_embed_size: int = 16
+    # Rematerialize every Nth block (0 = off) — jax.checkpoint analog of the
+    # reference's every-N-blocks activation checkpointing
+    # (``_activation_checkpointing.py:20-43``).
+    remat_every: int = 0
     dtype: Any = jnp.float32  # compute dtype (bf16 for training)
 
 
@@ -299,12 +303,16 @@ class VisionTransformer(nn.Module):
         ]
         intermediates = []
         for i in range(cfg.depth):
-            x = Block(
+            block_cls = Block
+            if cfg.remat_every and i % cfg.remat_every == 0:
+                # Trade FLOPs for activation memory on this block.
+                block_cls = nn.remat(Block, static_argnums=(2,))
+            x = block_cls(
                 cfg,
                 drop_path=dp_rates[i],
                 num_prefix_tokens=self.num_prefix_tokens,
                 name=f"block{i}",
-            )(x, rope, deterministic=not train)
+            )(x, rope, not train)
             intermediates.append(x)
         self.sow("intermediates", "blocks", intermediates)
 

@@ -1,3 +1,5 @@
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -111,3 +113,18 @@ def test_vit_droppath_rng_train_mode():
         variables, x, train=True, rngs={"droppath": jax.random.key(1)}
     )
     assert out["cls_token"].shape == (4, 32)
+
+
+def test_vit_remat_matches_no_remat():
+    import jax.numpy as jnp
+    from lightly_train_tpu.models.vit import VisionTransformer, vit_config
+
+    x = jnp.ones((1, 32, 32, 3))
+    cfg = vit_config("vittest", 16, flavor="dinov3")
+    cfg_remat = dataclasses.replace(cfg, remat_every=1)
+    m = VisionTransformer(cfg)
+    mr = VisionTransformer(cfg_remat)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    out = m.apply(v, x, train=False)["cls_token"]
+    out_r = mr.apply(v, x, train=False)["cls_token"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
