@@ -7,9 +7,9 @@ an optax mask; DINOv2's layer-wise LR decay + patch-embed LR multiplier
 (``_methods/dinov2/utils.py:155-253``) becomes a per-leaf update scaling
 transform keyed on the flax parameter path.
 
-AdamW8bit note: the reference wraps bitsandbytes for 8-bit optimizer state;
-the TPU equivalent (int8-quantized moments via stochastic rounding in a
-Pallas kernel) is planned in ops/pallas — AdamW is used until then.
+AdamW8bit: the reference wraps bitsandbytes; the TPU-native equivalent
+(int8 block-quantized moments, sqrt-domain second moment, stochastic
+rounding) lives in ``adamw8bit.py``.
 """
 
 from __future__ import annotations
@@ -53,6 +53,7 @@ class LARSArgs(OptimizerArgs):
     trust_coefficient: float = 0.001
 
 
+# Filled below (adamw8bit appended at module bottom to avoid a cycle).
 OPTIMIZER_ARGS_TYPES = {"adamw": AdamWArgs, "sgd": SGDArgs, "lars": LARSArgs}
 
 
@@ -137,11 +138,20 @@ def build_optimizer(
     0.04 -> 0.4, applied via optax.add_decayed_weights with a mask and an
     injected schedule using inject_hyperparams).
     """
+    from lightly_train_tpu._optim.adamw8bit import (
+        AdamW8bitArgs,
+        scale_by_adam8bit,
+    )
+
     wd_mask = no_weight_decay_mask(params)
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    if isinstance(args, AdamWArgs):
+    if isinstance(args, AdamW8bitArgs):
+        chain.append(
+            scale_by_adam8bit(b1=args.betas[0], b2=args.betas[1], eps=args.eps)
+        )
+    elif isinstance(args, AdamWArgs):
         chain.append(
             optax.scale_by_adam(b1=args.betas[0], b2=args.betas[1], eps=args.eps)
         )
@@ -174,3 +184,9 @@ def build_optimizer(
         optax.scale_by_learning_rate(learning_rate)
     )
     return optax.chain(*chain)
+
+
+# Registered here (bottom) to avoid a circular import with adamw8bit.py.
+from lightly_train_tpu._optim.adamw8bit import AdamW8bitArgs  # noqa: E402
+
+OPTIMIZER_ARGS_TYPES["adamw8bit"] = AdamW8bitArgs

@@ -102,3 +102,47 @@ def test_build_optimizer_with_llrd_and_wd_schedule():
     u0 = float(jnp.abs(updates["block0"]["attn"]["kernel"]).mean())
     u1 = float(jnp.abs(updates["block1"]["attn"]["kernel"]).mean())
     assert u0 < u1  # earlier layer gets smaller update
+
+
+def test_adamw8bit_tracks_adamw():
+    """8-bit moments approximate fp32 AdamW over a few steps."""
+    from lightly_train_tpu._optim.adamw8bit import AdamW8bitArgs
+
+    params = {"w": jnp.ones((512,)) * 0.5, "b": jnp.ones((8,))}
+    rng = np.random.default_rng(0)
+    grads_seq = [
+        {"w": jnp.asarray(rng.normal(size=(512,)), jnp.float32),
+         "b": jnp.asarray(rng.normal(size=(8,)), jnp.float32)}
+        for _ in range(5)
+    ]
+    out = {}
+    for name, args in [("fp32", AdamWArgs(lr=0.1, weight_decay=0.0)),
+                       ("int8", AdamW8bitArgs(lr=0.1, weight_decay=0.0))]:
+        opt = build_optimizer(args, 0.1, params)
+        state = opt.init(params)
+        p = params
+        for g in grads_seq:
+            updates, state = opt.update(g, state, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+        out[name] = p
+    diff = float(jnp.max(jnp.abs(out["fp32"]["w"] - out["int8"]["w"])))
+    assert diff < 0.05, diff  # quantization noise stays small
+    assert "adamw8bit" in __import__(
+        "lightly_train_tpu._optim.optimizers", fromlist=["OPTIMIZER_ARGS_TYPES"]
+    ).OPTIMIZER_ARGS_TYPES
+
+
+def test_adamw8bit_state_is_int8():
+    from lightly_train_tpu._optim.adamw8bit import (
+        AdamW8bitArgs, ScaleByAdam8bitState,
+    )
+
+    params = {"w": jnp.ones((300,))}
+    opt = build_optimizer(AdamW8bitArgs(lr=0.1), 0.1, params)
+    state = opt.init(params)
+    inner = [s for s in jax.tree_util.tree_leaves(
+        state, is_leaf=lambda x: isinstance(x, ScaleByAdam8bitState))
+        if isinstance(s, ScaleByAdam8bitState)]
+    assert inner, "adam8bit state not found in chain"
+    assert inner[0].mu_q["w"].dtype == jnp.int8
+    assert inner[0].mu_q["w"].shape == (2, 256)  # 300 -> 2 blocks of 256
