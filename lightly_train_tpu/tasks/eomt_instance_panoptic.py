@@ -275,6 +275,47 @@ class EoMTPanopticSegmentationTrainModel(EoMTInstanceSegmentationTrainModel):
 # ---------------------------------------------------------------------------
 
 
+def _decode_rle_counts(s: str) -> List[int]:
+    """Decode pycocotools' compressed RLE counts string (LEB128-style,
+    6 bits/char at ASCII 48+, delta-coded after the first two runs)."""
+    counts: List[int] = []
+    i = 0
+    while i < len(s):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(s[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k + 5)
+            k += 1
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def decode_rle(segmentation: dict) -> np.ndarray:
+    """COCO RLE dict -> bool mask (h, w). Pure numpy (no pycocotools).
+
+    Supports compressed (string counts) and uncompressed (list counts)
+    encodings; runs are column-major starting with background.
+    """
+    h, w = segmentation["size"]
+    counts = segmentation["counts"]
+    if isinstance(counts, str):
+        counts = _decode_rle_counts(counts)
+    counts = np.asarray(counts, dtype=np.int64)
+    values = np.zeros(len(counts), dtype=bool)
+    values[1::2] = True
+    flat = np.repeat(values, counts)
+    flat = np.pad(flat, (0, max(0, h * w - flat.size)))[: h * w]
+    return flat.reshape(w, h).T  # column-major
+
+
 def _rasterize_polygons(polys: List[List[float]], hw: Tuple[int, int],
                         scale_xy: Tuple[float, float]) -> np.ndarray:
     from PIL import Image, ImageDraw
@@ -339,8 +380,15 @@ class COCOInstanceSegmentationDataset:
             seg = a["segmentation"]
             if isinstance(seg, list):
                 m = _rasterize_polygons(seg, hw, (sx, sy))
+            elif isinstance(seg, dict) and "counts" in seg:
+                from PIL import Image
+
+                full = decode_rle(seg)
+                m = np.asarray(
+                    Image.fromarray(full).resize((hw[1], hw[0]), Image.NEAREST)
+                ).astype(bool)
             else:
-                continue  # RLE unsupported without pycocotools; skipped
+                continue
             seg_map[m] = slot
             labels[slot] = self.cat_to_idx.get(a["category_id"], 0)
             valid[slot] = True

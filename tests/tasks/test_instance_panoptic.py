@@ -146,3 +146,46 @@ def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
     )
     assert int(state.step) == 2
     assert "val_mask_map" in val
+
+
+def test_decode_rle_uncompressed():
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import decode_rle
+
+    # 3x3 mask, column-major runs: 2 zeros, 4 ones, 3 zeros.
+    m = decode_rle({"size": [3, 3], "counts": [2, 4, 3]})
+    assert m.shape == (3, 3)
+    assert m.sum() == 4
+    # Column-major: positions 2,3,4,5 in F-order.
+    flat = m.T.reshape(-1)
+    np.testing.assert_array_equal(
+        flat, [0, 0, 1, 1, 1, 1, 0, 0, 0]
+    )
+
+
+def test_decode_rle_compressed_roundtrip():
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        _decode_rle_counts, decode_rle,
+    )
+
+    # Encode [2, 4, 3] with the pycocotools scheme (values then deltas).
+    def encode(counts):
+        out = []
+        for i, x in enumerate(counts):
+            if i > 2:
+                x -= counts[i - 2]
+            more = True
+            while more:
+                c = x & 0x1F
+                x >>= 5
+                more = not (
+                    (x == 0 and not (c & 0x10)) or (x == -1 and (c & 0x10))
+                )
+                if more:
+                    c |= 0x20
+                out.append(chr(c + 48))
+        return "".join(out)
+
+    counts = [2, 4, 3, 5, 1, 12]
+    assert _decode_rle_counts(encode(counts)) == counts
+    m = decode_rle({"size": [9, 3], "counts": encode(counts)})
+    assert m.sum() == 4 + 5 + 12  # odd-index runs are foreground
