@@ -46,12 +46,18 @@ lightly-train-tpu — TPU-native vision pretraining & fine-tuning
 Usage: python -m lightly_train_tpu <command> [key=value ...]
 
 Commands:
-  pretrain        Pretrain a model (out=... data=... model=... method=...)
-  train           Deprecated alias of pretrain
-  embed           Write embeddings (out=... data=... checkpoint=...)
-  export          Export a trained model (out=... checkpoint=... format=...)
-  list_models     List available models
-  list_methods    List available pretraining methods
+  pretrain              Pretrain a model (out=... data=... model=... method=...)
+  train                 Deprecated alias of pretrain
+  embed                 Write embeddings (out=... data=... checkpoint=...)
+  export                Export a trained model (out=... checkpoint=... format=...)
+  export_stablehlo      Export a deployment artifact (out=... checkpoint=...)
+  predict_semantic_segmentation
+                        Autolabel a directory (out=... data=... checkpoint=...)
+  benchmark_object_detection
+                        Latency/mAP harness (checkpoint=...)
+  extract_video_frames  ffmpeg frame extraction (out=... data=...)
+  list_models           List available models
+  list_methods          List available pretraining methods
 """
 
 
@@ -89,6 +95,32 @@ def main(argv: List[str] | None = None) -> int:
         from lightly_train_tpu._commands.export import export
 
         export(**overrides)
+        return 0
+    if command == "export_stablehlo":
+        from lightly_train_tpu._commands.export_task import export_stablehlo
+
+        export_stablehlo(**overrides)
+        return 0
+    if command == "predict_semantic_segmentation":
+        from lightly_train_tpu._commands.predict_task import (
+            predict_semantic_segmentation,
+        )
+
+        predict_semantic_segmentation(**overrides)
+        return 0
+    if command == "benchmark_object_detection":
+        from lightly_train_tpu._commands.benchmark_task import (
+            benchmark_object_detection,
+        )
+
+        print(json.dumps(benchmark_object_detection(**overrides), indent=2))
+        return 0
+    if command == "extract_video_frames":
+        from lightly_train_tpu._commands.extract_video_frames import (
+            extract_video_frames,
+        )
+
+        extract_video_frames(**overrides)
         return 0
     print(f"Unknown command '{command}'.\n\n{_HELP}", file=sys.stderr)
     return 2

@@ -170,6 +170,8 @@ def run_task_training(
         )
         batch_size = rounded
 
+    # Give the task model mesh access for shard-local augmentations.
+    train_model.mesh = mesh
     train_loader = TaskTrainLoader(
         train_dataset, batch_size, mesh, config.seed, config.num_workers
     )
@@ -250,11 +252,23 @@ def run_task_training(
 
     accum = max(1, config.grad_accum_steps)
 
+    # Batch preparation (shared flip+normalize + task augs) runs as its OWN
+    # jitted program: mixing the augmentation collectives into the step
+    # program that already hosts the Hungarian pure_callback deadlocks XLA
+    # CPU's in-process collectives (observed on the 8-device test mesh);
+    # the split costs one HBM round-trip of the batch and removes the
+    # interaction entirely.
+    @jax.jit
+    def prepare_batch(batch, base_key, step):
+        k = jax.random.fold_in(base_key, step)
+        k_aug, k_task_aug = jax.random.split(k)
+        batch = _device_train_transform(batch, k_aug, hflip, dtype)
+        return train_model.augment_batch(batch, k_task_aug, step)
+
     @jax.jit
     def train_step(s: TaskTrainState, batch, base_key):
         k = jax.random.fold_in(base_key, s.step)
-        k_aug, k_loss = jax.random.split(k)
-        batch = _device_train_transform(batch, k_aug, hflip, dtype)
+        _, k_loss = jax.random.split(k)
 
         def lw(p, b, kl, ms):
             return train_model.loss_fn(p, ms, b, kl, s.step)
@@ -409,6 +423,7 @@ def run_task_training(
     )
     while current < total_steps:
         batch = next(train_iter)
+        batch = prepare_batch(batch, base_key, jnp.asarray(current, jnp.int32))
         state, pending = train_step(state, batch, base_key)
         current += 1
         window += 1

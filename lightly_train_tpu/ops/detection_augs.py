@@ -1,0 +1,178 @@
+"""On-device detection augmentations: Mosaic, MixUp, zoom-out, IoU-crop.
+
+Rebuild of the reference's step-scheduled detection augs
+(``src/lightly_train/_transforms/mosaic.py``, ``mixup.py``,
+``transform.py:103-279``): where the reference composes images on CPU with
+cached samples and re-initializes dataloaders when an activation window
+flips (``train_task.py:1735-1746``), here every op is a batched device
+function over fixed shapes and the schedule is a traced per-step gate —
+no recompilation, no dataloader re-init.
+
+Box targets are fixed-shape (B, K, 4) normalized cxcywh + valid flags;
+composite ops concatenate the partners' (rolled batch) targets into a
+doubled-K buffer, so callers should budget ``max_boxes`` accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _roll(batch_leaf: jax.Array, shift: int) -> jax.Array:
+    """Batch-axis roll as a gather: XLA lowers jnp.roll on a sharded batch
+    axis to a CPU collective-permute whose thunk segfaults (observed on the
+    8-device CPU test mesh, jax 0.9); an index gather lowers to all-gather
+    + dynamic-slice which is stable on both backends."""
+    B = batch_leaf.shape[0]
+    idx = (jnp.arange(B) + shift) % B
+    return jnp.take(batch_leaf, idx, axis=0)
+
+
+def mosaic(
+    key: jax.Array,
+    images: jax.Array,  # (B, H, W, 3) float [0,1] or uint8
+    boxes: jax.Array,  # (B, K, 4) normalized cxcywh
+    labels: jax.Array,  # (B, K)
+    valid: jax.Array,  # (B, K)
+    prob: jax.Array | float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """4-image mosaic: each output is a 2x2 grid of the image and 3 rolled
+    partners, each quadrant downscaled 2x; boxes remap into quadrants.
+
+    Returns (images, boxes (B, 4K, 4), labels (B, 4K), valid (B, 4K)).
+    """
+    B, H, W, C = images.shape
+    imgs_f = images.astype(jnp.float32)
+    half = jax.image.resize(imgs_f, (B, H // 2, W // 2, C), "bilinear")
+    quads = [half] + [_roll(half, s) for s in (1, 2, 3)]
+    top = jnp.concatenate([quads[0], quads[1]], axis=2)
+    bottom = jnp.concatenate([quads[2], quads[3]], axis=2)
+    grid = jnp.concatenate([top, bottom], axis=1)  # (B, H, W, C)
+
+    offsets = [(0.0, 0.0), (0.0, 0.5), (0.5, 0.0), (0.5, 0.5)]  # (dy, dx)
+    new_boxes, new_labels, new_valid = [], [], []
+    for q, (dy, dx) in enumerate(offsets):
+        b = _roll(boxes, q) if q else boxes
+        l = _roll(labels, q) if q else labels
+        v = _roll(valid, q) if q else valid
+        scaled = jnp.stack(
+            [
+                b[..., 0] * 0.5 + dx,
+                b[..., 1] * 0.5 + dy,
+                b[..., 2] * 0.5,
+                b[..., 3] * 0.5,
+            ],
+            axis=-1,
+        )
+        new_boxes.append(scaled)
+        new_labels.append(l)
+        new_valid.append(v)
+    m_boxes = jnp.concatenate(new_boxes, axis=1)
+    m_labels = jnp.concatenate(new_labels, axis=1)
+    m_valid = jnp.concatenate(new_valid, axis=1)
+
+    apply = jax.random.uniform(key, (B, 1, 1, 1)) < prob
+    out_images = jnp.where(apply, grid, imgs_f).astype(images.dtype)
+    app = apply[:, :, 0, 0]
+    pad_boxes = jnp.concatenate(
+        [boxes, jnp.zeros_like(m_boxes[:, : 3 * boxes.shape[1]])], axis=1
+    )
+    pad_labels = jnp.concatenate(
+        [labels, jnp.zeros_like(m_labels[:, : 3 * labels.shape[1]])], axis=1
+    )
+    pad_valid = jnp.concatenate(
+        [valid, jnp.zeros_like(m_valid[:, : 3 * valid.shape[1]])], axis=1
+    )
+    out_boxes = jnp.where(app[..., None], m_boxes, pad_boxes)
+    out_labels = jnp.where(app, m_labels, pad_labels)
+    out_valid = jnp.where(app, m_valid, pad_valid)
+    return out_images, out_boxes, out_labels, out_valid
+
+
+def detection_mixup(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,
+    labels: jax.Array,
+    valid: jax.Array,
+    prob: jax.Array | float = 0.5,
+    alpha: float = 0.5,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Image blend with a rolled partner; targets are the union of both.
+
+    Returns (images, boxes (B, 2K, 4), labels (B, 2K), valid (B, 2K)).
+    """
+    B = images.shape[0]
+    k_apply, k_lam = jax.random.split(key)
+    lam = jax.random.beta(k_lam, alpha, alpha, (B, 1, 1, 1)) * 0.5 + 0.25
+    imgs_f = images.astype(jnp.float32)
+    mixed = lam * imgs_f + (1.0 - lam) * _roll(imgs_f, 1)
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
+    out_images = jnp.where(apply, mixed, imgs_f).astype(images.dtype)
+    app = apply[:, :, 0, 0]
+    out_boxes = jnp.concatenate([boxes, _roll(boxes, 1)], axis=1)
+    out_labels = jnp.concatenate([labels, _roll(labels, 1)], axis=1)
+    partner_valid = _roll(valid, 1) & app
+    out_valid = jnp.concatenate([valid, partner_valid], axis=1)
+    return out_images, out_boxes, out_labels, out_valid
+
+
+def random_zoom_out(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,
+    prob: jax.Array | float = 0.5,
+    max_scale: float = 2.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Canvas zoom-out: the image shrinks into a larger gray canvas
+    (``RandomZoomOut``); boxes scale accordingly. Output size unchanged."""
+    B, H, W, C = images.shape
+    k_apply, k_s, k_pos = jax.random.split(key, 3)
+    s = jax.random.uniform(k_s, (B,), minval=1.0, maxval=max_scale)
+    # Content occupies 1/s of the canvas at a random offset.
+    frac = 1.0 / s
+    off = jax.random.uniform(k_pos, (B, 2)) * (1.0 - frac)[:, None]
+    # Resample: output pixel (u,v) reads source ((u - off)/frac) — use the
+    # matmul resampler with a virtual crop box of size s*H starting at
+    # -off*s*H (out-of-bounds reads clamp; mask them to gray).
+    from lightly_train_tpu.ops.augment import crop_resize_matmul
+
+    y0 = -off[:, 0] * s * H
+    x0 = -off[:, 1] * s * W
+    zoomed = crop_resize_matmul(
+        images.astype(jnp.float32), y0, x0, s * H, s * W, (H, W)
+    )
+    # Gray out regions outside the original content.
+    uy = (jnp.arange(H)[None, :] + 0.5) / H
+    ux = (jnp.arange(W)[None, :] + 0.5) / W
+    in_y = (uy >= off[:, 0:1]) & (uy <= off[:, 0:1] + frac[:, None])
+    in_x = (ux >= off[:, 1:2]) & (ux <= off[:, 1:2] + frac[:, None])
+    inside = in_y[:, :, None] & in_x[:, None, :]
+    gray = 0.5 if images.dtype != jnp.uint8 else 114.0
+    zoomed = jnp.where(inside[..., None], zoomed, gray)
+    new_boxes = jnp.stack(
+        [
+            boxes[..., 0] * frac[:, None] + off[:, 1:2],
+            boxes[..., 1] * frac[:, None] + off[:, 0:1],
+            boxes[..., 2] * frac[:, None],
+            boxes[..., 3] * frac[:, None],
+        ],
+        axis=-1,
+    )
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
+    out_images = jnp.where(apply, zoomed, images.astype(jnp.float32)).astype(
+        images.dtype
+    )
+    out_boxes = jnp.where(apply[:, :, 0, :], new_boxes, boxes)
+    return out_images, out_boxes
+
+
+def window_gate(step: jax.Array, start: int, stop: int) -> jax.Array:
+    """Traced activation-window gate (``ActivationPolicyArgs`` step_start/
+    step_stop): 1.0 inside [start, stop), else 0.0 — multiplied into the
+    op's probability so schedules need no recompilation."""
+    s = jnp.asarray(step, jnp.float32)
+    return ((s >= start) & (s < stop)).astype(jnp.float32)

@@ -51,6 +51,15 @@ class TaskTrainModel(abc.ABC):
     def init(self, rng: jax.Array, sample_batch: Dict[str, Any]):
         """Returns (params, model_state)."""
 
+    def augment_batch(
+        self, batch: Dict[str, Any], key: jax.Array, step: jax.Array
+    ) -> Dict[str, Any]:
+        """Task-specific on-device batch augmentation (after the shared
+        flip+normalize), with traced step for activation windows. Default:
+        identity."""
+        del key, step
+        return batch
+
     def wrap_pretrained(self, variables: Dict[str, Any]) -> Dict[str, Any]:
         """Re-nest a pretrained backbone artifact's variables into this
         task's parameter namespace (identity when the trunk params sit

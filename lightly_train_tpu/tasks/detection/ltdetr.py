@@ -40,6 +40,14 @@ class ObjectDetectionArgs(TaskArgs):
     dim_feedforward: int = 1024
     max_detections: int = 100
     score_threshold: float = 0.0
+    # Step-scheduled on-device augs (reference ActivationPolicyArgs windows,
+    # ``transform.py:103-279``): (step_start, step_stop) or None.
+    mosaic_window: Optional[Tuple[int, int]] = None
+    mosaic_prob: float = 0.5
+    mixup_window: Optional[Tuple[int, int]] = None
+    mixup_prob: float = 0.5
+    zoom_out_window: Optional[Tuple[int, int]] = None
+    zoom_out_prob: float = 0.3
     default_steps: int = 60_000
     default_batch_size: int = 16
 
@@ -99,6 +107,80 @@ class ObjectDetectionTrainModel(TaskTrainModel):
     def wrap_pretrained(self, variables):
         """Backbone trunk lives at params['backbone']['trunk']."""
         return {k: {"trunk": v} for k, v in variables.items()}
+
+    # Set by the runtime before the step is jitted (shard-local augs).
+    mesh = None
+
+    def augment_batch(self, batch, key, step):
+        """Step-windowed on-device Mosaic / MixUp / zoom-out.
+
+        Composite ops (mosaic/mixup) run SHARD-LOCAL via shard_map: partner
+        images come from the same device's slice of the batch — faithful to
+        the reference's per-worker mosaic sample cache, and free of
+        cross-device communication in the augmentation stage.
+        """
+        a = self.args
+        if not (a.mosaic_window or a.mixup_window or a.zoom_out_window):
+            return batch
+        from lightly_train_tpu.ops.detection_augs import (
+            detection_mixup,
+            mosaic,
+            random_zoom_out,
+            window_gate,
+        )
+
+        g_mosaic = (
+            window_gate(step, *a.mosaic_window) * a.mosaic_prob
+            if a.mosaic_window is not None else None
+        )
+        g_mixup = (
+            window_gate(step, *a.mixup_window) * a.mixup_prob
+            if a.mixup_window is not None else None
+        )
+        g_zoom = (
+            window_gate(step, *a.zoom_out_window) * a.zoom_out_prob
+            if a.zoom_out_window is not None else None
+        )
+
+        def aug(images, boxes, labels, valid, key, g_mosaic=g_mosaic,
+                g_mixup=g_mixup, g_zoom=g_zoom):
+            k1, k2, k3 = jax.random.split(key[0], 3)
+            if g_zoom is not None:
+                images, boxes = random_zoom_out(k1, images, boxes, prob=g_zoom)
+            if g_mosaic is not None:
+                images, boxes, labels, valid = mosaic(
+                    k2, images, boxes, labels, valid, prob=g_mosaic
+                )
+            if g_mixup is not None:
+                images, boxes, labels, valid = detection_mixup(
+                    k3, images, boxes, labels, valid, prob=g_mixup
+                )
+            return images, boxes, labels, valid
+
+        args = (batch["images"], batch["boxes"], batch["labels"],
+                batch["box_valid"])
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from lightly_train_tpu.parallel.mesh import BATCH_AXIS
+
+            n = self.mesh.shape[BATCH_AXIS]
+            keys = jax.random.split(key, n)
+            images, boxes, labels, valid = jax.shard_map(
+                aug,
+                mesh=self.mesh,
+                in_specs=(P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS),
+                          P(BATCH_AXIS), P(BATCH_AXIS)),
+                out_specs=P(BATCH_AXIS),
+            )(*args, keys)
+        else:
+            images, boxes, labels, valid = aug(*args, key[None])
+        return {
+            **batch,
+            "images": images,
+            "boxes": boxes,
+            "labels": labels,
+            "box_valid": valid,
+        }
 
     def init(self, rng, sample_batch):
         k1, k2 = jax.random.split(rng)

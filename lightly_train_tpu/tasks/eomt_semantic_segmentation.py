@@ -229,7 +229,8 @@ def _hungarian_host(cost: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
-def hungarian_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
+def hungarian_match_host(cost: jax.Array, valid: jax.Array) -> jax.Array:
+    """Optimal assignment via host callback (scipy LSA)."""
     B, Q, K = cost.shape
     return jax.pure_callback(
         _hungarian_host,
@@ -238,6 +239,66 @@ def hungarian_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
         valid,
         vmap_method="sequential",
     )
+
+
+_BIG = 1e9
+
+
+def greedy_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
+    """Device-native greedy assignment (no host callback).
+
+    Repeatedly takes the globally cheapest remaining (query, target) pair —
+    a standard near-optimal Hungarian approximation that stays entirely
+    inside the jitted program. min(Q, K) sequential lax iterations of an
+    O(Q*K) argmin each.
+    """
+    B, Q, K = cost.shape
+    c0 = jnp.where(valid[:, None, :], cost.astype(jnp.float32), _BIG)
+
+    def body(_, carry):
+        assign, c = carry
+        flat = c.reshape(B, Q * K)
+        idx = jnp.argmin(flat, axis=1)
+        q = (idx // K).astype(jnp.int32)
+        k = (idx % K).astype(jnp.int32)
+        ok = jnp.take_along_axis(flat, idx[:, None], 1)[:, 0] < _BIG / 2
+
+        def upd(a, cc, qq, kk, o):
+            a = a.at[kk].set(jnp.where(o, qq, a[kk]))
+            cc = jnp.where(
+                o,
+                cc.at[qq, :].set(_BIG).at[:, kk].set(_BIG),
+                cc,
+            )
+            return a, cc
+
+        assign, c = jax.vmap(upd)(assign, c, q, k, ok)
+        return assign, c
+
+    init = (jnp.full((B, K), -1, jnp.int32), c0)
+    assign, _ = jax.lax.fori_loop(0, min(Q, K), body, init)
+    return assign
+
+
+def hungarian_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
+    """Matching dispatcher.
+
+    Host Hungarian (optimal) by default on TPU / single-device; the greedy
+    device matcher on multi-device CPU, where XLA's in-process collectives
+    deadlock when a host callback shares the program with cross-device
+    all-reduces (observed on the 8-device test mesh). Override with
+    LIGHTLY_TRAIN_MATCHER=hungarian|greedy.
+    """
+    import os
+
+    choice = os.environ.get("LIGHTLY_TRAIN_MATCHER", "auto")
+    if choice == "hungarian":
+        return hungarian_match_host(cost, valid)
+    if choice == "greedy":
+        return greedy_match(cost, valid)
+    if jax.device_count() > 1 and jax.devices()[0].platform == "cpu":
+        return greedy_match(cost, valid)
+    return hungarian_match_host(cost, valid)
 
 
 def _dice_loss(pred_sigmoid: jax.Array, target: jax.Array) -> jax.Array:

@@ -143,3 +143,26 @@ def test_eomt_tiled_inference(model):
     pred = model.predict_tiled({"params": params}, big, tile_size=32)
     assert pred.shape == (1, 64, 48)
     assert int(pred.max()) < 4
+
+
+def test_greedy_matches_hungarian_on_random_costs():
+    from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+        greedy_match, hungarian_match_host,
+    )
+
+    rng = np.random.default_rng(0)
+    cost = jnp.asarray(rng.normal(size=(4, 6, 5)).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(4, 5)) < 0.8)
+    g = np.asarray(greedy_match(cost, valid))
+    h = np.asarray(hungarian_match_host(cost, valid))
+    # Same targets assigned/unassigned.
+    np.testing.assert_array_equal(g >= 0, h >= 0)
+    # Greedy total cost within 10% of optimal on these sizes.
+    def total(a):
+        t = 0.0
+        for b in range(4):
+            for k in range(5):
+                if a[b, k] >= 0:
+                    t += float(cost[b, a[b, k], k])
+        return t
+    assert total(g) <= total(h) + 0.1 * abs(total(h)) + 1e-3
