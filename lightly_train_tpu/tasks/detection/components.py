@@ -258,10 +258,10 @@ class DecoderLayer(nn.Module):
     cfg: DetrConfig
 
     @nn.compact
-    def __call__(self, q, ref_points, value_levels, train):
+    def __call__(self, q, ref_points, value_levels, train, self_attn_mask=None):
         cfg = self.cfg
         D = cfg.d_model
-        # Self-attention over queries.
+        # Self-attention over queries (mask isolates denoising groups).
         h = nn.LayerNorm(dtype=cfg.dtype, name="ln1")(q)
         B, Q, _ = h.shape
         qkv = nn.Dense(3 * D, dtype=cfg.dtype, name="self_qkv")(h)
@@ -269,7 +269,7 @@ class DecoderLayer(nn.Module):
             qkv.reshape(B, Q, 3, cfg.num_heads, D // cfg.num_heads), 3, axis=2
         )
         sa = jax.nn.dot_product_attention(
-            qh.squeeze(2), kh.squeeze(2), vh.squeeze(2)
+            qh.squeeze(2), kh.squeeze(2), vh.squeeze(2), mask=self_attn_mask
         ).reshape(B, Q, D)
         q = q + nn.Dense(D, dtype=cfg.dtype, name="self_proj")(sa)
         # Deformable cross-attention.
@@ -288,13 +288,25 @@ class DecoderLayer(nn.Module):
 
 
 class DETRDecoder(nn.Module):
-    """Top-k query selection + L refinement layers; returns per-layer preds."""
+    """Top-k query selection + L refinement layers; returns per-layer preds.
+
+    Denoising training (``denoising.py`` in the reference): ``dn_labels`` /
+    ``dn_boxes`` (noised GT) prepend label-embedded queries whose
+    self-attention is isolated from the matching queries (and between
+    groups) via a static mask; callers split the per-layer outputs at
+    ``dn_labels.shape[1]``.
+    """
 
     cfg: DetrConfig
 
     @nn.compact
     def __call__(
-        self, levels: Sequence[jax.Array], train: bool = False
+        self,
+        levels: Sequence[jax.Array],
+        train: bool = False,
+        dn_labels: Any = None,  # (B, Dn) int labels (noised)
+        dn_boxes: Any = None,  # (B, Dn, 4) cxcywh (noised)
+        dn_group_size: int = 0,
     ) -> List[Tuple[jax.Array, jax.Array]]:
         cfg = self.cfg
         D = cfg.d_model
@@ -336,6 +348,41 @@ class DETRDecoder(nn.Module):
         q = jax.lax.stop_gradient(sel_memory)
         boxes = jax.lax.stop_gradient(init_boxes)
 
+        # Label embedding table for denoising queries (always created so the
+        # param tree is identical between train and inference).
+        dn_label_embed = self.param(
+            "dn_label_embed",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.num_classes + 1, cfg.d_model),
+        )
+        self_attn_mask = None
+        n_dn = 0
+        if dn_labels is not None:
+            n_dn = dn_labels.shape[1]
+            dn_q = dn_label_embed[dn_labels].astype(q.dtype)  # (B, Dn, D)
+            q = jnp.concatenate([dn_q, q], axis=1)
+            boxes = jnp.concatenate(
+                [jax.lax.stop_gradient(dn_boxes.astype(boxes.dtype)), boxes],
+                axis=1,
+            )
+            # Static mask: matching queries never attend dn; dn groups are
+            # isolated from each other (each group attends itself + matching).
+            N = n_dn + k
+            idx = jnp.arange(N)
+            group = jnp.where(
+                idx < n_dn,
+                idx // max(dn_group_size, 1),
+                -1,
+            )  # -1 = matching part
+            is_dn_col = (idx < n_dn)[None, :]
+            same_group = group[:, None] == group[None, :]
+            allowed = jnp.where(
+                is_dn_col,
+                same_group,  # dn columns visible only to their own group
+                True,  # matching columns visible to everyone
+            )
+            self_attn_mask = allowed[None, None, :, :]
+
         outputs: List[Tuple[jax.Array, jax.Array]] = []
         enc_out_logits = jnp.take_along_axis(
             jnp.pad(enc_logits, ((0, 0), (0, 0), (0, 1))),
@@ -347,7 +394,7 @@ class DETRDecoder(nn.Module):
         )
         for i in range(cfg.num_decoder_layers):
             q = DecoderLayer(cfg, name=f"layer{i}")(
-                q, boxes[..., :2], levels, train
+                q, boxes[..., :2], levels, train, self_attn_mask
             )
             qn = nn.LayerNorm(dtype=cfg.dtype, name=f"head{i}_ln")(q)
             logits = nn.Dense(

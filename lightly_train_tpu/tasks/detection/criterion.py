@@ -61,10 +61,29 @@ def detection_loss_single(
     gamma: float = 2.0,
 ) -> Dict[str, jax.Array]:
     """One prediction level: match then VFL + L1 + GIoU."""
-    B, Q, C1 = logits.shape
-    C = C1 - 1
     cost = detection_matching_cost(logits, boxes, tgt_labels, tgt_boxes)
     assignment = hungarian_match(jax.lax.stop_gradient(cost), tgt_valid)
+    return detection_loss_from_assignment(
+        logits, boxes, tgt_labels, tgt_boxes, assignment, alpha, gamma
+    )
+
+
+def detection_loss_from_assignment(
+    logits: jax.Array,
+    boxes: jax.Array,
+    tgt_labels: jax.Array,
+    tgt_boxes: jax.Array,
+    assignment: jax.Array,  # (B, K) query index per target or -1
+    alpha: float = 0.75,
+    gamma: float = 2.0,
+) -> Dict[str, jax.Array]:
+    """VFL + L1 + GIoU for a known target->query assignment.
+
+    Shared by the Hungarian-matched path and the denoising path (where the
+    assignment is the identity onto the dn query slots, ``denoising.py``).
+    """
+    B, Q, C1 = logits.shape
+    C = C1 - 1
     assigned = assignment >= 0  # (B, K)
     safe_q = jnp.maximum(assignment, 0)
 

@@ -5,8 +5,10 @@ Rebuild of ``src/lightly_train/_task_models/ltdetr_object_detection/``
 like ``dino_vit_wrapper.py``, or CNN stage features), HybridEncoder,
 DETR decoder with deformable cross-attention and iterative refinement,
 VFL+L1+GIoU criterion with Hungarian matching, ModelEMA (``ema.py:28``,
-via TaskTrainState.ema_params + warmup momentum), flat-cosine LR.
-Denoising-query training (``denoising.py``) is scheduled for a later round.
+via TaskTrainState.ema_params + warmup momentum), flat-cosine LR,
+denoising-query training (``denoising.py``: noised GT groups with isolated
+self-attention and identity-assignment losses), and step-windowed on-device
+Mosaic/MixUp/zoom-out.
 """
 
 from __future__ import annotations
@@ -48,6 +50,11 @@ class ObjectDetectionArgs(TaskArgs):
     mixup_prob: float = 0.5
     zoom_out_window: Optional[Tuple[int, int]] = None
     zoom_out_prob: float = 0.3
+    # Denoising query training (reference ``denoising.py``): number of noised
+    # GT groups prepended to the decoder (0 disables).
+    dn_groups: int = 2
+    dn_box_noise: float = 0.4
+    dn_label_noise: float = 0.25
     default_steps: int = 60_000
     default_batch_size: int = 16
 
@@ -59,7 +66,8 @@ class _LTDETRModule(nn.Module):
     cfg: DetrConfig
 
     @nn.compact
-    def __call__(self, images: jax.Array, train: bool = False):
+    def __call__(self, images: jax.Array, train: bool = False,
+                 dn_labels=None, dn_boxes=None, dn_group_size: int = 0):
         D = self.cfg.d_model
         # Fresh instance of the backbone module bound under the stable name
         # "trunk" (all backbone modules take a single cfg attribute).
@@ -82,7 +90,10 @@ class _LTDETRModule(nn.Module):
             )(f)
             feats = [up, f, down]
         levels = HybridEncoder(self.cfg, name="encoder")(feats, train)
-        return DETRDecoder(self.cfg, name="decoder")(levels, train)
+        return DETRDecoder(self.cfg, name="decoder")(
+            levels, train, dn_labels=dn_labels, dn_boxes=dn_boxes,
+            dn_group_size=dn_group_size,
+        )
 
 
 class ObjectDetectionTrainModel(TaskTrainModel):
@@ -120,7 +131,10 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         cross-device communication in the augmentation stage.
         """
         a = self.args
-        if not (a.mosaic_window or a.mixup_window or a.zoom_out_window):
+        mosaic_w = getattr(a, "mosaic_window", None)
+        mixup_w = getattr(a, "mixup_window", None)
+        zoom_w = getattr(a, "zoom_out_window", None)
+        if not (mosaic_w or mixup_w or zoom_w):
             return batch
         from lightly_train_tpu.ops.detection_augs import (
             detection_mixup,
@@ -130,16 +144,16 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         )
 
         g_mosaic = (
-            window_gate(step, *a.mosaic_window) * a.mosaic_prob
-            if a.mosaic_window is not None else None
+            window_gate(step, *mosaic_w) * a.mosaic_prob
+            if mosaic_w is not None else None
         )
         g_mixup = (
-            window_gate(step, *a.mixup_window) * a.mixup_prob
-            if a.mixup_window is not None else None
+            window_gate(step, *mixup_w) * a.mixup_prob
+            if mixup_w is not None else None
         )
         g_zoom = (
-            window_gate(step, *a.zoom_out_window) * a.zoom_out_prob
-            if a.zoom_out_window is not None else None
+            window_gate(step, *zoom_w) * a.zoom_out_prob
+            if zoom_w is not None else None
         )
 
         def aug(images, boxes, labels, valid, key, g_mosaic=g_mosaic,
@@ -193,25 +207,105 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         model_state = {k: v for k, v in variables.items() if k != "params"}
         return {"backbone": params}, model_state
 
-    def _apply(self, params, model_state, images, train, rng=None):
+    def _apply(self, params, model_state, images, train, rng=None, **kwargs):
         variables = {"params": params["backbone"], **model_state}
         mutable = [k for k in model_state] if (model_state and train) else False
         rngs = {"droppath": rng} if (train and rng is not None) else None
         out = self.module.apply(
-            variables, images, train=train, rngs=rngs, mutable=mutable
+            variables, images, train=train, rngs=rngs, mutable=mutable,
+            **kwargs,
         )
         if mutable:
             return out
         return out, model_state
 
+    def _make_dn_queries(self, key, labels, boxes, valid):
+        """Noised GT queries: jittered boxes + flipped labels, G groups."""
+        a = self.args
+        G = a.dn_groups
+        K = labels.shape[1]
+        B = labels.shape[0]
+        k_box, k_size, k_label, k_flip = jax.random.split(key, 4)
+        t_labels = jnp.tile(labels, (1, G))
+        t_boxes = jnp.tile(boxes, (1, G, 1))
+        t_valid = jnp.tile(valid, (1, G))
+        # Center jitter within +-0.5*wh*noise; size scale in [1-n, 1+n].
+        wh = t_boxes[..., 2:]
+        c_noise = (
+            jax.random.uniform(k_box, t_boxes[..., :2].shape) - 0.5
+        ) * wh * a.dn_box_noise
+        s_noise = 1.0 + (
+            jax.random.uniform(k_size, wh.shape) - 0.5
+        ) * 2.0 * a.dn_box_noise
+        noised_boxes = jnp.clip(
+            jnp.concatenate(
+                [t_boxes[..., :2] + c_noise, wh * s_noise], axis=-1
+            ),
+            1e-4, 1.0,
+        )
+        flip = jax.random.uniform(k_flip, t_labels.shape) < a.dn_label_noise
+        rand_label = jax.random.randint(
+            k_label, t_labels.shape, 0, a.num_classes
+        )
+        noised_labels = jnp.where(flip, rand_label, t_labels)
+        # Invalid slots use the no-object embedding index.
+        noised_labels = jnp.where(t_valid, noised_labels, a.num_classes)
+        return noised_labels, noised_boxes, t_labels, t_boxes, t_valid
+
     def loss_fn(self, params, model_state, batch, rng, step):
         del step
+        a = self.args
+        use_dn = a.dn_groups > 0
+        dn_kwargs = {}
+        if use_dn:
+            k_dn, rng = jax.random.split(rng)
+            (dn_labels, dn_boxes, dn_tgt_labels, dn_tgt_boxes,
+             dn_tgt_valid) = self._make_dn_queries(
+                k_dn, batch["labels"], batch["boxes"], batch["box_valid"]
+            )
+            dn_kwargs = dict(
+                dn_labels=dn_labels, dn_boxes=dn_boxes,
+                dn_group_size=batch["labels"].shape[1],
+            )
         outputs, new_model_state = self._apply(
-            params, model_state, batch["images"], True, rng
+            params, model_state, batch["images"], True, rng, **dn_kwargs
         )
+        if use_dn:
+            n_dn = dn_kwargs["dn_labels"].shape[1]
+            # Level 0 (encoder) has no dn slots; decoder levels carry them.
+            match_outputs = [outputs[0]] + [
+                (l[:, n_dn:], b[:, n_dn:]) for l, b in outputs[1:]
+            ]
+            dn_outputs = [(l[:, :n_dn], b[:, :n_dn]) for l, b in outputs[1:]]
+        else:
+            match_outputs = outputs
+            dn_outputs = []
         loss, metrics = detection_criterion(
-            outputs, batch["labels"], batch["boxes"], batch["box_valid"]
+            match_outputs, batch["labels"], batch["boxes"], batch["box_valid"]
         )
+        if dn_outputs:
+            from lightly_train_tpu.tasks.detection.criterion import (
+                detection_loss_from_assignment,
+            )
+
+            n_dn = dn_kwargs["dn_labels"].shape[1]
+            identity = jnp.where(
+                dn_tgt_valid,
+                jnp.arange(n_dn, dtype=jnp.int32)[None, :],
+                -1,
+            )
+            dn_total = 0.0
+            for l, b in dn_outputs:
+                losses = detection_loss_from_assignment(
+                    l, b, dn_tgt_labels, dn_tgt_boxes, identity
+                )
+                dn_total = dn_total + (
+                    losses["loss_vfl"] + 5.0 * losses["loss_l1"]
+                    + 2.0 * losses["loss_giou"]
+                )
+            dn_total = dn_total / len(dn_outputs)
+            metrics = {**metrics, "dn_loss": dn_total}
+            loss = loss + dn_total
         return loss, (new_model_state, metrics)
 
     def _decode(self, outputs) -> Tuple[jax.Array, jax.Array, jax.Array]:

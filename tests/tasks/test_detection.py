@@ -140,3 +140,54 @@ def test_picodet_end_to_end(tmp_path, yolo_dataset):
     assert int(state.step) == 2
     assert "val_map" in val
     assert state.ema_params is not None
+
+
+def test_denoising_queries_training(tmp_path, yolo_dataset):
+    import lightly_train_tpu as lt
+
+    state, val = lt.train_object_detection(
+        out=str(tmp_path / "out_dn"),
+        data={
+            "format": "yolo",
+            "train": {"images": str(yolo_dataset / "train" / "images"),
+                      "labels": str(yolo_dataset / "train" / "labels")},
+            "val": {"images": str(yolo_dataset / "val" / "images"),
+                    "labels": str(yolo_dataset / "val" / "labels")},
+            "num_classes": 2,
+        },
+        model="dinov3/vittest16",
+        task_args={"num_queries": 16, "num_decoder_layers": 1,
+                   "d_model": 32, "num_heads": 2, "dim_feedforward": 64,
+                   "max_detections": 16, "dn_groups": 2},
+        steps=2, batch_size=8, image_size=32, precision="fp32",
+        num_workers=2, log_every=1, val_every=2,
+    )
+    assert int(state.step) == 2
+    assert "val_map" in val
+
+
+def test_dn_mask_isolates_groups():
+    """Denoising self-attn mask: matching sees no dn, dn groups isolated."""
+    import jax
+    import jax.numpy as jnp
+    from lightly_train_tpu.tasks.detection.components import (
+        DETRDecoder, DetrConfig,
+    )
+
+    cfg = DetrConfig(d_model=32, num_heads=2, num_queries=4,
+                     num_decoder_layers=1, dim_feedforward=32, num_classes=3)
+    dec = DETRDecoder(cfg)
+    levels = [jnp.zeros((1, s, s, 32)) for s in (8, 4, 2)]
+    dn_labels = jnp.zeros((1, 4), jnp.int32)  # 2 groups x group_size 2
+    dn_boxes = jnp.full((1, 4, 4), 0.5)
+    variables = dec.init(
+        {"params": jax.random.key(0)}, levels, False,
+        dn_labels=dn_labels, dn_boxes=dn_boxes, dn_group_size=2,
+    )
+    outputs = dec.apply(
+        variables, levels, False, dn_labels=dn_labels, dn_boxes=dn_boxes,
+        dn_group_size=2,
+    )
+    # Decoder levels carry dn + matching slots; encoder level only matching.
+    assert outputs[0][0].shape[1] == 4
+    assert outputs[1][0].shape[1] == 8
