@@ -82,6 +82,12 @@ class TrainConfig(PydanticConfig):
     log_augmentations: bool = True
     nan_check: bool = True
     checkpoint_every: Union[int, Auto] = AUTO
+    # Capture a jax.profiler trace of steps [profile_start, profile_start+
+    # profile_steps) into out/profile (TensorBoard/XProf-viewable) — the
+    # TPU-native upgrade of the reference's step timer (SURVEY.md §5.1).
+    profile: bool = False
+    profile_start: int = 10
+    profile_steps: int = 5
     resume_interrupted: bool = False
     overwrite: bool = False
 
@@ -313,6 +319,9 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         checkpoint_every=checkpoint_every,
         nan_guard=NaNGuard(out_dir, enabled=config.nan_check),
         on_first_batch=on_first_batch,
+        profile_dir=str(out_dir / "profile") if config.profile else None,
+        profile_start=config.profile_start,
+        profile_steps=config.profile_steps,
     )
     ckpt_mgr.wait()
     ckpt_mgr.close()

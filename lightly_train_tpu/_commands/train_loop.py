@@ -112,6 +112,9 @@ def fit(
     checkpoint_every: Optional[int] = None,
     nan_guard: Optional[Any] = None,
     on_first_batch: Optional[Callable[[jax.Array], None]] = None,
+    profile_dir: Optional[str] = None,
+    profile_start: int = 10,
+    profile_steps: int = 5,
 ) -> TrainState:
     """Host step loop: feed batches, log throughput, checkpoint.
 
@@ -131,7 +134,17 @@ def fit(
 
     batch_iter = iter(batches)
     data_wait = 0.0
+    profiling = False
     while current < total_steps:
+        if profile_dir is not None:
+            if current == profile_start and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            elif profiling and current >= profile_start + profile_steps:
+                jax.block_until_ready(pending)
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("Wrote profiler trace to %s", profile_dir)
         t_data = time.perf_counter()
         batch = next(batch_iter)
         data_wait += time.perf_counter() - t_data
@@ -166,6 +179,9 @@ def fit(
             and current < total_steps
         ):
             on_checkpoint(current, state)
+    if profiling:
+        jax.block_until_ready(pending)
+        jax.profiler.stop_trace()
     if on_checkpoint is not None:
         on_checkpoint(current, state)
     return state

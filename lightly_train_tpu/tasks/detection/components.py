@@ -38,6 +38,13 @@ class DetrConfig:
     num_decoder_layers: int = 6
     dim_feedforward: int = 1024
     num_classes: int = 80
+    # D-FINE decoder variant (``dfine_decoder.py:605``): distribution-based
+    # box refinement (Integral over offset bins, ``Integral:345``) + LQE
+    # (location quality estimator, ``:369``). False = RT-DETRv2-style direct
+    # delta regression.
+    use_dfine: bool = False
+    dfine_bins: int = 16
+    dfine_scale: float = 0.5  # max edge offset as a fraction of box size
     dtype: Any = jnp.float32
 
 
@@ -400,14 +407,59 @@ class DETRDecoder(nn.Module):
             logits = nn.Dense(
                 cfg.num_classes + 1, dtype=cfg.dtype, name=f"head{i}_class"
             )(qn)
-            delta = nn.Dense(
-                4, dtype=cfg.dtype,
-                kernel_init=nn.initializers.zeros, name=f"head{i}_box",
-            )(qn)
-            new_boxes = jax.nn.sigmoid(
-                jax.scipy.special.logit(jnp.clip(boxes, 1e-4, 1 - 1e-4))
-                + delta
-            )
+            if cfg.use_dfine:
+                # D-FINE: per-edge offset DISTRIBUTIONS; the expectation
+                # (Integral, ``dfine_decoder.py:345``) is the refinement.
+                nb = cfg.dfine_bins
+                dist = nn.Dense(
+                    4 * nb, dtype=cfg.dtype,
+                    kernel_init=nn.initializers.zeros,
+                    name=f"head{i}_dist",
+                )(qn).reshape(qn.shape[0], qn.shape[1], 4, nb)
+                bins = jnp.linspace(-1.0, 1.0, nb, dtype=jnp.float32)
+                probs = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
+                edge_delta = jnp.sum(probs * bins, axis=-1)  # (B, Q, 4)
+                x0 = boxes[..., 0] - boxes[..., 2] / 2
+                y0 = boxes[..., 1] - boxes[..., 3] / 2
+                x1 = boxes[..., 0] + boxes[..., 2] / 2
+                y1 = boxes[..., 1] + boxes[..., 3] / 2
+                sw = boxes[..., 2] * cfg.dfine_scale
+                sh = boxes[..., 3] * cfg.dfine_scale
+                x0 = x0 + edge_delta[..., 0] * sw
+                y0 = y0 + edge_delta[..., 1] * sh
+                x1 = x1 + edge_delta[..., 2] * sw
+                y1 = y1 + edge_delta[..., 3] * sh
+                new_boxes = jnp.clip(
+                    jnp.stack(
+                        [(x0 + x1) / 2, (y0 + y1) / 2,
+                         jnp.maximum(x1 - x0, 1e-4),
+                         jnp.maximum(y1 - y0, 1e-4)],
+                        axis=-1,
+                    ),
+                    1e-4, 1.0,
+                )
+                # LQE (``dfine_decoder.py:369``): class-logit refinement from
+                # distribution statistics (top-k bin probs per edge).
+                k_stat = min(4, nb)
+                stats = jax.lax.top_k(probs, k_stat)[0].reshape(
+                    qn.shape[0], qn.shape[1], 4 * k_stat
+                )
+                lqe = nn.Dense(
+                    1, dtype=cfg.dtype, kernel_init=nn.initializers.zeros,
+                    name=f"head{i}_lqe",
+                )(nn.gelu(nn.Dense(
+                    32, dtype=cfg.dtype, name=f"head{i}_lqe_fc"
+                )(stats.astype(cfg.dtype))))
+                logits = logits + lqe.astype(logits.dtype)
+            else:
+                delta = nn.Dense(
+                    4, dtype=cfg.dtype,
+                    kernel_init=nn.initializers.zeros, name=f"head{i}_box",
+                )(qn)
+                new_boxes = jax.nn.sigmoid(
+                    jax.scipy.special.logit(jnp.clip(boxes, 1e-4, 1 - 1e-4))
+                    + delta
+                )
             outputs.append(
                 (logits.astype(jnp.float32), new_boxes.astype(jnp.float32))
             )

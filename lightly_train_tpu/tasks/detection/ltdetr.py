@@ -55,6 +55,9 @@ class ObjectDetectionArgs(TaskArgs):
     dn_groups: int = 2
     dn_box_noise: float = 0.4
     dn_label_noise: float = 0.25
+    # Decoder variant: "dfine" (distribution-based refinement + LQE,
+    # LT-DETRv2 default in the reference) or "rtdetrv2" (direct deltas).
+    decoder: str = "dfine"
     default_steps: int = 60_000
     default_batch_size: int = 16
 
@@ -109,6 +112,7 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             num_decoder_layers=args.num_decoder_layers,
             dim_feedforward=args.dim_feedforward,
             num_classes=args.num_classes,
+            use_dfine=getattr(args, "decoder", "dfine") == "dfine",
         )
         self.module = _LTDETRModule(wrapped, self.cfg)
 

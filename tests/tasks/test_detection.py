@@ -191,3 +191,24 @@ def test_dn_mask_isolates_groups():
     # Decoder levels carry dn + matching slots; encoder level only matching.
     assert outputs[0][0].shape[1] == 4
     assert outputs[1][0].shape[1] == 8
+
+
+def test_dfine_and_rtdetrv2_decoders(tmp_path, yolo_dataset):
+    import lightly_train_tpu as lt
+
+    for decoder in ("dfine", "rtdetrv2"):
+        state, _ = lt.train_object_detection(
+            out=str(tmp_path / f"out_{decoder}"),
+            data={"format": "yolo",
+                  "train": {"images": str(yolo_dataset / "train" / "images"),
+                            "labels": str(yolo_dataset / "train" / "labels")},
+                  "num_classes": 2},
+            model="dinov3/vittest16",
+            task_args={"num_queries": 8, "num_decoder_layers": 1,
+                       "d_model": 32, "num_heads": 2, "dim_feedforward": 64,
+                       "max_detections": 8, "dn_groups": 0,
+                       "decoder": decoder},
+            steps=1, batch_size=8, image_size=32, precision="fp32",
+            num_workers=2,
+        )
+        assert int(state.step) == 1
