@@ -74,6 +74,9 @@ class TrainConfig(PydanticConfig):
     learning_rate: Union[float, Auto] = AUTO
     warmup_fraction: float = 0.1
     precision: Literal["bf16", "fp32"] = "bf16"
+    # FSDP axis size (1 = pure data parallel); large params + optimizer
+    # moments shard over it (ZeRO-3 style) for ViT-g+ scale.
+    fsdp: int = 1
     canonical_size: int = 256
     num_workers: int = 8
     seed: int = 0
@@ -177,7 +180,9 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
     method = method_cls(wrapped, method_args)
 
     # ---- mesh + loader ----------------------------------------------------
-    mesh = get_default_mesh()
+    from lightly_train_tpu.parallel.mesh import MeshConfig
+
+    mesh = MeshConfig(fsdp=config.fsdp).build()
     if dataset is not None:
         loader = PretrainLoader(
             dataset,
@@ -240,14 +245,17 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         opt_state=optimizer.init(params),
         method_state=method_state,
     )
-    # Replicate over the mesh; batches arrive batch-axis-sharded.
-    state = jax.device_put(state, NamedSharding(mesh, P()))
+    # Place state on the mesh (replicated for DP; large leaves sharded
+    # over the fsdp axis when enabled); batches arrive batch-axis-sharded.
+    from lightly_train_tpu.parallel.mesh import shard_train_state
+
+    state = shard_train_state(state, mesh)
 
     # ---- checkpointing + logging ------------------------------------------
     ckpt_mgr = CheckpointManager(out_dir / "checkpoints")
     if config.resume_interrupted and ckpt_mgr.latest_step() is not None:
         state = ckpt_mgr.restore(state)
-        state = jax.device_put(state, NamedSharding(mesh, P()))
+        state = shard_train_state(state, mesh)
         logger.info("Resumed from step %d", int(state.step))
 
     jsonl = build_loggers(out_dir, config.loggers)

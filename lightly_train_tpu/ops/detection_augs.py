@@ -170,6 +170,157 @@ def random_zoom_out(
     return out_images, out_boxes
 
 
+def random_iou_crop(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,  # (B, K, 4) normalized cxcywh
+    valid: jax.Array,  # (B, K)
+    prob: jax.Array | float = 0.5,
+    min_scale: float = 0.3,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """RandomIoUCrop: zoom into a random sub-window; boxes remap and targets
+    whose centers leave the window are invalidated (reference
+    ``RandomIoUCrop`` semantics with static shapes — no rejection loop)."""
+    B, H, W, C = images.shape
+    k_apply, k_s, k_pos = jax.random.split(key, 3)
+    s = jax.random.uniform(k_s, (B,), minval=min_scale, maxval=1.0)
+    off = jax.random.uniform(k_pos, (B, 2)) * (1.0 - s)[:, None]  # (dy, dx)
+    from lightly_train_tpu.ops.augment import crop_resize_matmul
+
+    cropped = crop_resize_matmul(
+        images.astype(jnp.float32),
+        off[:, 0] * H, off[:, 1] * W, s * H, s * W, (H, W),
+    )
+    cx = (boxes[..., 0] - off[:, 1:2]) / s[:, None]
+    cy = (boxes[..., 1] - off[:, 0:1]) / s[:, None]
+    new_boxes = jnp.stack(
+        [cx, cy, boxes[..., 2] / s[:, None], boxes[..., 3] / s[:, None]],
+        axis=-1,
+    )
+    center_in = (cx > 0) & (cx < 1) & (cy > 0) & (cy < 1)
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
+    app = apply[:, :, 0, 0]
+    out_images = jnp.where(apply, cropped, images.astype(jnp.float32)).astype(
+        images.dtype
+    )
+    out_boxes = jnp.where(app[..., None], jnp.clip(new_boxes, 0.0, 1.0), boxes)
+    out_valid = jnp.where(app, valid & center_in, valid)
+    return out_images, out_boxes, out_valid
+
+
+def photometric_distort(
+    key: jax.Array, images: jax.Array, prob: jax.Array | float = 0.5
+) -> jax.Array:
+    """RandomPhotometricDistort: the SSL affine color-jitter pass with SSD's
+    wider factor ranges (brightness/contrast/saturation/hue)."""
+    from lightly_train_tpu.ops.augment import color_jitter
+
+    return color_jitter(
+        key, images, prob=prob, strength=1.0,
+        brightness=0.25, contrast=0.5, saturation=0.5, hue=0.05,
+    )
+
+
+def scale_jitter(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,
+    prob: jax.Array | float = 0.5,
+    scale_range: Tuple[float, float] = (0.5, 1.5),
+) -> Tuple[jax.Array, jax.Array]:
+    """ScaleJitter at fixed output size: scale <1 shrinks content into a gray
+    canvas (zoom-out), scale >1 zooms into the center (boxes outside keep
+    their coordinates clipped)."""
+    B, H, W, C = images.shape
+    k_apply, k_s = jax.random.split(key)
+    s = jax.random.uniform(
+        k_s, (B,), minval=scale_range[0], maxval=scale_range[1]
+    )
+    from lightly_train_tpu.ops.augment import crop_resize_matmul
+
+    # Virtual crop of size 1/s centered.
+    frac = 1.0 / s
+    off = (1.0 - frac) / 2.0
+    out = crop_resize_matmul(
+        images.astype(jnp.float32),
+        off * H, off * W, frac * H, frac * W, (H, W),
+    )
+    # Gray outside the source content when zooming out (frac > 1).
+    uy = (jnp.arange(H)[None, :] + 0.5) / H
+    ux = (jnp.arange(W)[None, :] + 0.5) / W
+    in_y = (uy >= off[:, None]) & (uy <= (off + frac)[:, None])
+    in_x = (ux >= off[:, None]) & (ux <= (off + frac)[:, None])
+    inside = in_y[:, :, None] & in_x[:, None, :]
+    gray = 0.5 if images.dtype != jnp.uint8 else 114.0
+    out = jnp.where(inside[..., None], out, gray)
+    new_boxes = jnp.stack(
+        [
+            (boxes[..., 0] - off[:, None]) * s[:, None],
+            (boxes[..., 1] - off[:, None]) * s[:, None],
+            boxes[..., 2] * s[:, None],
+            boxes[..., 3] * s[:, None],
+        ],
+        axis=-1,
+    )
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
+    out_images = jnp.where(apply, out, images.astype(jnp.float32)).astype(
+        images.dtype
+    )
+    out_boxes = jnp.where(
+        apply[:, :, 0, :], jnp.clip(new_boxes, 0.0, 1.0), boxes
+    )
+    return out_images, out_boxes
+
+
+def copy_blend(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,
+    labels: jax.Array,
+    valid: jax.Array,
+    prob: jax.Array | float = 0.5,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """CopyBlend: blend the partner image's box regions onto this image and
+    adopt those targets (reference ``copyblend.py``: object copy-paste with
+    soft blending). Fixed shapes: the partner's box regions become a soft
+    mask; targets are the union (B, 2K)."""
+    B, H, W, C = images.shape
+    k_apply, k_alpha = jax.random.split(key)
+    p_images = _roll(images, 1).astype(jnp.float32)
+    p_boxes = _roll(boxes, 1)
+    p_labels = _roll(labels, 1)
+    p_valid = _roll(valid, 1)
+    # Rasterize partner boxes into a (B, H, W) mask.
+    uy = (jnp.arange(H, dtype=jnp.float32)[None, :, None] + 0.5) / H
+    ux = (jnp.arange(W, dtype=jnp.float32)[None, :, None] + 0.5) / W
+    x0 = (p_boxes[..., 0] - p_boxes[..., 2] / 2)[:, None, :]
+    x1 = (p_boxes[..., 0] + p_boxes[..., 2] / 2)[:, None, :]
+    y0 = (p_boxes[..., 1] - p_boxes[..., 3] / 2)[:, None, :]
+    y1 = (p_boxes[..., 1] + p_boxes[..., 3] / 2)[:, None, :]
+    in_x = (ux >= x0) & (ux <= x1)  # (B, W, K)
+    in_y = (uy >= y0) & (uy <= y1)  # (B, H, K)
+    in_box = jnp.einsum(
+        "bhk,bwk->bhw",
+        (in_y & p_valid[:, None, :]).astype(jnp.float32),
+        in_x.astype(jnp.float32),
+    ) > 0.0
+    alpha = jax.random.uniform(k_alpha, (B, 1, 1, 1), minval=0.6, maxval=1.0)
+    blended = jnp.where(
+        in_box[..., None],
+        alpha * p_images + (1 - alpha) * images.astype(jnp.float32),
+        images.astype(jnp.float32),
+    )
+    apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
+    app = apply[:, :, 0, 0]
+    out_images = jnp.where(apply, blended, images.astype(jnp.float32)).astype(
+        images.dtype
+    )
+    out_boxes = jnp.concatenate([boxes, p_boxes], axis=1)
+    out_labels = jnp.concatenate([labels, p_labels], axis=1)
+    out_valid = jnp.concatenate([valid, p_valid & app], axis=1)
+    return out_images, out_boxes, out_labels, out_valid
+
+
 def window_gate(step: jax.Array, start: int, stop: int) -> jax.Array:
     """Traced activation-window gate (``ActivationPolicyArgs`` step_start/
     step_stop): 1.0 inside [start, stop), else 0.0 — multiplied into the

@@ -80,11 +80,42 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis_index: int = 0) -> Any:
     return jax.tree_util.tree_map(_put, batch)
 
 
-def shard_train_state(state: Any, mesh: Mesh) -> Any:
-    """Replicate a train-state pytree across the mesh (pure DP).
+def fsdp_leaf_sharding(
+    leaf: Any, mesh: Mesh, min_size: int = 2**18
+) -> NamedSharding:
+    """ZeRO-3-style rule for one leaf: shard the largest divisible axis of
+    big (>=2-D, >= min_size elements) tensors over FSDP_AXIS; replicate the
+    rest. Shape-based, so it applies equally to params and same-shaped
+    optimizer moments."""
+    fsdp_n = mesh.shape[FSDP_AXIS]
+    shape = getattr(leaf, "shape", ())
+    ndim = len(shape)
+    size = 1
+    for s in shape:
+        size *= s
+    if fsdp_n > 1 and ndim >= 2 and size >= min_size:
+        for ax in sorted(range(ndim), key=lambda a: -shape[a]):
+            if shape[ax] % fsdp_n == 0:
+                spec: list = [None] * ndim
+                spec[ax] = FSDP_AXIS
+                return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
 
-    For FSDP meshes, parameter sharding rules would go here; data-parallel
-    replication is the default for all reference-parity models.
+
+def shard_train_state(state: Any, mesh: Mesh, fsdp_min_size: int = 2**18) -> Any:
+    """Place a train-state pytree on the mesh.
+
+    Pure-DP meshes (fsdp=1) replicate everything (sufficient for every
+    reference-parity model, SURVEY.md §2.7). With an FSDP axis, large 2-D+
+    leaves (params, Adam moments, EMA teachers) are sharded over it — the
+    GSPMD analog of the reference's vestigial FSDP block chunking; XLA
+    inserts the all-gathers/reduce-scatters.
     """
-    sharding = replicated_sharding(mesh)
-    return jax.device_put(state, sharding)
+    if mesh.shape[FSDP_AXIS] == 1:
+        return jax.device_put(state, replicated_sharding(mesh))
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(
+            leaf, fsdp_leaf_sharding(leaf, mesh, fsdp_min_size)
+        ),
+        state,
+    )

@@ -102,3 +102,49 @@ def test_detection_training_with_scheduled_augs(tmp_path):
         steps=2, batch_size=8, image_size=32, precision="fp32", num_workers=2,
     )
     assert int(state.step) == 2
+
+
+def test_random_iou_crop():
+    from lightly_train_tpu.ops.detection_augs import random_iou_crop
+
+    images, boxes, labels, valid = _batch()
+    out_i, out_b, out_v = random_iou_crop(
+        jax.random.key(0), images, boxes, valid, prob=1.0, min_scale=0.5
+    )
+    assert out_i.shape == images.shape
+    assert out_b.shape == boxes.shape
+    # Boxes grow when zooming in (w/h divided by scale<1), clipped to [0,1].
+    assert (np.asarray(out_b) <= 1.0 + 1e-6).all()
+
+
+def test_photometric_distort_changes_pixels():
+    from lightly_train_tpu.ops.detection_augs import photometric_distort
+
+    images, *_ = _batch()
+    out = photometric_distort(jax.random.key(0), images, prob=1.0)
+    assert not np.allclose(np.asarray(out), np.asarray(images))
+
+
+def test_scale_jitter_box_consistency():
+    from lightly_train_tpu.ops.detection_augs import scale_jitter
+
+    images, boxes, labels, valid = _batch()
+    out_i, out_b = scale_jitter(
+        jax.random.key(0), images, boxes, prob=1.0, scale_range=(0.5, 0.5)
+    )
+    # scale 0.5: centered content shrinks; centered box stays centered, halves.
+    np.testing.assert_allclose(
+        np.asarray(out_b[0, 0]), [0.5, 0.5, 0.2, 0.2], atol=1e-5
+    )
+
+
+def test_copy_blend_unions_targets():
+    from lightly_train_tpu.ops.detection_augs import copy_blend
+
+    images, boxes, labels, valid = _batch()
+    out_i, out_b, out_l, out_v = copy_blend(
+        jax.random.key(0), images, boxes, labels, valid, prob=1.0
+    )
+    assert out_b.shape == (4, 6, 4)
+    assert int(out_v.sum()) == 8
+    assert not np.allclose(np.asarray(out_i), np.asarray(images))

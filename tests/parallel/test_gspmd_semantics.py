@@ -94,3 +94,59 @@ def test_dinov2_full_step_sharded_vs_replicated():
     loss_sharded = run(P("data"))
     loss_replicated = run(P())
     assert loss_sharded == pytest.approx(loss_replicated, abs=1e-4)
+
+
+def test_fsdp_sharding_rules():
+    from lightly_train_tpu.parallel.mesh import (
+        FSDP_AXIS, MeshConfig, fsdp_leaf_sharding, shard_train_state,
+    )
+
+    mesh = MeshConfig(data=4, fsdp=2).build()
+    big = jnp.zeros((1024, 512))
+    small = jnp.zeros((8,))
+    s_big = fsdp_leaf_sharding(big, mesh)
+    s_small = fsdp_leaf_sharding(small, mesh)
+    assert FSDP_AXIS in (s_big.spec[0], s_big.spec[1] if len(s_big.spec) > 1 else None)
+    assert all(x is None for x in s_small.spec)
+    placed = shard_train_state({"w": big, "b": small}, mesh)
+    assert placed["w"].sharding.spec != placed["b"].sharding.spec
+
+
+def test_dinov2_step_fsdp_mesh_matches_dp():
+    """Full fused step on a (4, 2) data x fsdp mesh == pure-DP loss."""
+    from lightly_train_tpu._optim import build_optimizer
+    from lightly_train_tpu.methods.base import TrainState
+    from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu._commands.train_loop import make_train_step
+    from lightly_train_tpu.parallel.mesh import MeshConfig, shard_train_state
+
+    wrapped = get_wrapped_model("dinov3/vittest16")
+    method = DINOv2(wrapped, DINOv2Args(
+        output_dim=16, hidden_dim=8, bottleneck_dim=8, local_view_count=2,
+        global_image_size=32, local_image_size=16, koleo_weight=0.0,
+    ))
+    rng = jax.random.key(0)
+    params, ms, mstate = method.init(rng, jnp.zeros((2, 48, 48, 3), jnp.uint8))
+    opt = build_optimizer(method.default_optimizer_args(), 1e-3, params)
+    imgs = np.random.default_rng(0).integers(
+        0, 256, (8, 48, 48, 3), dtype=np.uint8
+    )
+
+    def run(mesh_cfg):
+        mesh = mesh_cfg.build()
+        copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=copy(params),
+            model_state=copy(ms), opt_state=opt.init(copy(params)),
+            method_state=copy(mstate),
+        )
+        state = shard_train_state(state, mesh, fsdp_min_size=64)
+        batch = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+        step = make_train_step(method, opt, total_steps=10)
+        _, metrics = step(state, batch, jax.random.key(1))
+        return float(metrics["train_loss"])
+
+    loss_dp = run(MeshConfig(data=8, fsdp=1))
+    loss_fsdp = run(MeshConfig(data=4, fsdp=2))
+    assert loss_fsdp == pytest.approx(loss_dp, abs=1e-4)
