@@ -121,3 +121,51 @@ def test_dinov31_paka_step():
     assert np.isfinite(float(metrics["train_loss"]))
     assert np.isfinite(float(metrics["paka_loss"]))
     assert float(metrics["paka_loss"]) >= 0.0
+
+
+def test_dinov2_sinkhorn_centering():
+    from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+
+    args = DINOv2Args(center_method="sinkhorn", **TINY_ARGS["dinov2"])
+    wrapped = get_wrapped_model("dinov3/vittest16")
+    method = DINOv2(wrapped, args)
+    rng = jax.random.key(0)
+    sample = jnp.zeros((2, 48, 48, 3), dtype=jnp.uint8)
+    params, ms, mstate = method.init(rng, sample)
+    opt = build_optimizer(method.default_optimizer_args(),
+                          cosine_warmup(1e-3, 10, 1), params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       model_state=ms, opt_state=opt.init(params),
+                       method_state=mstate)
+    step_fn = make_train_step(method, opt, total_steps=10)
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (8, 48, 48, 3), dtype=np.uint8))
+    state, metrics = step_fn(state, imgs, jax.random.key(1))
+    assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_distillation_with_teacher_weights_artifact(tmp_path):
+    """teacher_weights pointing at an exported artifact initializes teacher."""
+    from lightly_train_tpu._checkpoint.checkpoint import (
+        export_model, load_exported_model,
+    )
+    from lightly_train_tpu.methods.distillationv3 import (
+        DistillationV3, DistillationV3Args,
+    )
+
+    teacher = get_wrapped_model("dinov3/vittest16")
+    tvars = teacher.init(jax.random.key(42), jnp.zeros((1, 32, 32, 3)))
+    export_model(tmp_path / "teacher", "dinov3/vittest16", tvars["params"])
+    args = DistillationV3Args(
+        teacher="dinov3/vittest16",
+        teacher_weights=str(tmp_path / "teacher"),
+        image_size=32, queue_size=16,
+    )
+    method = DistillationV3(get_wrapped_model("torchvision/resnettest"), args)
+    params, ms, mstate = method.init(
+        jax.random.key(0), jnp.zeros((2, 48, 48, 3), jnp.uint8)
+    )
+    got = mstate["teacher"]["params"]["cls_token"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(tvars["params"]["cls_token"]), atol=1e-6
+    )
