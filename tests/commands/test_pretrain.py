@@ -130,3 +130,32 @@ def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
     assert "dinov2" in lt.list_methods()
+
+
+def test_evaluate_knn_after_pretrain(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    # Two visually distinct classes (bright vs dark) so kNN has signal.
+    for split, n in (("train", 8), ("val", 4)):
+        for cls, base in (("bright", 200), ("dark", 30)):
+            d = tmp_path / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = np.clip(
+                    base + rng.integers(-20, 20, (40, 40, 3)), 0, 255
+                ).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+    pre = tmp_path / "pre"
+    lt.pretrain(
+        out=str(pre), data=str(tmp_path / "train"),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, batch_size=8, steps=1,
+        precision="fp32", canonical_size=48, num_workers=2,
+    )
+    result = lt.evaluate_knn(
+        data={"train": str(tmp_path / "train"), "val": str(tmp_path / "val")},
+        checkpoint=str(pre / "exported_models" / "exported_last"),
+        image_size=32, batch_size=8, k=3,
+    )
+    assert result["knn_top1"] > 0.7  # brightness is trivially separable
