@@ -56,6 +56,7 @@ Commands:
   benchmark_object_detection
                         Latency/mAP harness (checkpoint=...)
   extract_video_frames  ffmpeg frame extraction (out=... data=...)
+  evaluate_knn          kNN eval of a backbone (data=... checkpoint=...)
   list_models           List available models
   list_methods          List available pretraining methods
 """
@@ -121,6 +122,11 @@ def main(argv: List[str] | None = None) -> int:
         )
 
         extract_video_frames(**overrides)
+        return 0
+    if command == "evaluate_knn":
+        from lightly_train_tpu._commands.eval_knn import evaluate_knn
+
+        print(json.dumps(evaluate_knn(**overrides)))
         return 0
     print(f"Unknown command '{command}'.\n\n{_HELP}", file=sys.stderr)
     return 2

@@ -25,7 +25,7 @@ from lightly_train_tpu._data import ImageDataset, list_image_files
 from lightly_train_tpu._logging import get_logger, set_up_console_logging
 from lightly_train_tpu.models.package_registry import get_wrapped_model
 from lightly_train_tpu.parallel import get_default_mesh
-from lightly_train_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from lightly_train_tpu.parallel.mesh import batch_sharding
 
 logger = get_logger("embed")
 

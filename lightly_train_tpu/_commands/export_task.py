@@ -47,11 +47,35 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
         ExportStableHLOConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
     )
     set_up_console_logging()
-    model = load_model(Path(config.checkpoint), image_size=config.image_size)
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
 
-    def predict_fn(images: jax.Array) -> Any:
-        return model.train_model.predict(model.variables, images.astype(dtype))
+    artifact = load_exported_model(Path(config.checkpoint))
+    if "task" in artifact:
+        model = load_model(Path(config.checkpoint), image_size=config.image_size)
+        task = model.task
+
+        def predict_fn(images: jax.Array) -> Any:
+            return model.train_model.predict(
+                model.variables, images.astype(dtype)
+            )
+    else:
+        # Pretraining artifact: export the backbone feature extractor
+        # (pooled embedding + feature map), the `embed` graph.
+        from lightly_train_tpu.models.package_registry import get_wrapped_model
+
+        wrapped = get_wrapped_model(artifact["model_name"], dtype=dtype)
+        variables = artifact["variables"]
+        task = "feature_extractor"
+
+        def predict_fn(images: jax.Array) -> Any:
+            out_feats = wrapped.forward_features(
+                variables, images.astype(dtype), train=False
+            )
+            return (
+                wrapped.forward_pool(out_feats).astype(jnp.float32),
+                out_feats["features"].astype(jnp.float32),
+            )
 
     spec = jax.ShapeDtypeStruct(
         (config.batch_size, config.image_size, config.image_size, 3),
@@ -62,7 +86,7 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exported.serialize())
     meta = {
-        "task": model.task,
+        "task": task,
         "input_shape": list(spec.shape),
         "precision": config.precision,
         "format": "stablehlo",

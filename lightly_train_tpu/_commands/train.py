@@ -17,7 +17,6 @@ from typing import Any, Dict, List, Literal, Optional, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lightly_train_tpu._checkpoint.checkpoint import (
     CheckpointManager,
@@ -51,11 +50,7 @@ from lightly_train_tpu.errors import ConfigError
 from lightly_train_tpu.methods.base import TrainState
 from lightly_train_tpu.methods.method_helpers import get_method_cls
 from lightly_train_tpu.models.package_registry import get_wrapped_model
-from lightly_train_tpu.parallel import (
-    get_default_mesh,
-    initialize_distributed,
-    is_main_process,
-)
+from lightly_train_tpu.parallel import initialize_distributed, is_main_process
 
 logger = get_logger("pretrain")
 

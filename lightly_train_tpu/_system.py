@@ -56,7 +56,33 @@ def get_system_information() -> Dict[str, Any]:
     return info
 
 
+def apply_matmul_precision() -> None:
+    """Apply LIGHTLY_TRAIN_MATMUL_PRECISION (the reference's
+    ``_float32_matmul_precision.py`` analog): maps to JAX's default matmul
+    precision — "default" leaves XLA's bf16-input behavior, "high"/"highest"
+    force higher-precision f32 matmul passes."""
+    from lightly_train_tpu._env import Env
+    import jax
+
+    value = Env.LIGHTLY_TRAIN_MATMUL_PRECISION.value
+    mapping = {
+        "default": None,
+        "high": "bfloat16_3x",
+        "highest": "float32",
+    }
+    if value not in mapping:
+        logger.warning(
+            "Unknown LIGHTLY_TRAIN_MATMUL_PRECISION=%r (default|high|highest)",
+            value,
+        )
+        return
+    if mapping[value] is not None:
+        jax.config.update("jax_default_matmul_precision", mapping[value])
+        logger.info("Set default matmul precision: %s", mapping[value])
+
+
 def log_system_information() -> Dict[str, Any]:
+    apply_matmul_precision()
     info = get_system_information()
     logger.info(
         "System: %s | python %s | jax %s | %d x %s",
