@@ -73,6 +73,9 @@ class TrainConfig(PydanticConfig):
     # moments shard over it (ZeRO-3 style) for ViT-g+ scale.
     fsdp: int = 1
     canonical_size: int = 256
+    # Optional mask dir (stem-paired PNG region ids) for mask-conditioned
+    # methods (DetCon) — the reference's dataset mask inputs.
+    mask_dir: Optional[str] = None
     num_workers: int = 8
     seed: int = 0
     log_every: int = 50
@@ -135,7 +138,10 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
             files = list_image_files(Path(config.data))
             write_items_to_file(files, mmap_path)
         filenames = MemoryMappedSequence(mmap_path)
-        dataset = ImageDataset(filenames, canonical_hw)
+        dataset = ImageDataset(
+            filenames, canonical_hw,
+            mask_dir=Path(config.mask_dir) if config.mask_dir else None,
+        )
         dataset_size = len(dataset)
     else:
         dataset = None
@@ -293,19 +299,20 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",
         config.model, config.method, total_steps, batch_size, lr,
     )
-    def on_first_batch(batch: jax.Array) -> None:
+    def on_first_batch(batch: Any) -> None:
         # Augmentation grid at step 0 (``method.py:169-191``).
         if not (config.log_augmentations and is_main_process()):
             return
         from lightly_train_tpu._visualize.grids import save_augmentation_grid
         from lightly_train_tpu.ops.augment import augment_view
 
+        images = batch["images"] if isinstance(batch, dict) else batch
         views = []
         key = jax.random.key(config.seed + 1)
         for spec in method.view_specs():
             views.append(
                 np.asarray(
-                    augment_view(key, batch[:8], spec.config, jnp.float32)
+                    augment_view(key, images[:8], spec.config, jnp.float32)
                 )
             )
         save_augmentation_grid(views, out_dir / "augmentations.png")

@@ -34,18 +34,28 @@ def make_train_step(
     view_specs = method.view_specs()
     n_views = sum(s.count for s in view_specs)
     # Methods with dense-geometric losses (DINOv31 PaKA) receive the per-view
-    # crop geometry arrays appended after the view arrays.
+    # crop geometry arrays appended after the view arrays; mask-conditioned
+    # methods (DetCon) additionally receive geometry-consistent mask crops
+    # appended before the geometry arrays.
     needs_geometry = getattr(method, "needs_geometry", False)
+    needs_masks = getattr(method, "needs_masks", False)
 
     def train_step(
-        state: TrainState, images_u8: jax.Array, base_key: jax.Array
+        state: TrainState, batch: Any, base_key: jax.Array
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if isinstance(batch, dict):
+            images_u8 = batch["images"]
+            masks = batch.get("masks")
+        else:
+            images_u8 = batch
+            masks = None
         step_key = jax.random.fold_in(base_key, state.step)
         k_aug, k_loss = jax.random.split(step_key)
 
         aug_keys = jax.random.split(k_aug, n_views)
         views = []
         geoms = []
+        mask_views = []
         i = 0
         for spec in view_specs:
             for _ in range(spec.count):
@@ -54,7 +64,22 @@ def make_train_step(
                 )
                 views.append(view)
                 geoms.append(geom)
+                if needs_masks and masks is not None:
+                    from lightly_train_tpu.ops.augment import (
+                        crop_resize_nearest,
+                    )
+
+                    mv = crop_resize_nearest(
+                        masks, geom[:, 0], geom[:, 1], geom[:, 2],
+                        geom[:, 3], spec.config.out_size,
+                    )
+                    mv = jnp.where(
+                        geom[:, 4][:, None, None] > 0.5, mv[:, :, ::-1], mv
+                    )
+                    mask_views.append(mv)
                 i += 1
+        if needs_masks and mask_views:
+            views = views + mask_views
         if needs_geometry:
             views = views + geoms
 
@@ -149,7 +174,7 @@ def fit(
         batch = next(batch_iter)
         data_wait += time.perf_counter() - t_data
         if batch_size is None:
-            batch_size = batch.shape[0]
+            batch_size = jax.tree_util.tree_leaves(batch)[0].shape[0]
             if on_first_batch is not None:
                 on_first_batch(batch)
         state, pending = train_step(state, batch, base_key)

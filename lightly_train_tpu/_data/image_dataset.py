@@ -64,22 +64,54 @@ def decode_image(
 
 
 class ImageDataset:
-    """Filename-backed dataset producing canonical uint8 images."""
+    """Filename-backed dataset producing canonical uint8 images.
+
+    With ``mask_dir`` set, each image is paired by stem with a single-channel
+    mask PNG (region/segment ids — the reference's mask inputs for DetCon,
+    ``_data/image_dataset.py:56-93`` ``masks`` support) and items become
+    ``{"images": u8 HWC, "masks": int32 HW}`` dicts.
+    """
 
     def __init__(
         self,
         filenames: Sequence[str],
         canonical_hw: Tuple[int, int] = (256, 256),
         mode: str = "RGB",
+        mask_dir: Optional[Path] = None,
     ):
         if len(filenames) == 0:
             raise DatasetError("Empty dataset.")
         self.filenames = filenames
         self.canonical_hw = canonical_hw
         self.mode = mode
+        self.mask_by_stem = None
+        if mask_dir is not None:
+            mask_dir = Path(mask_dir)
+            self.mask_by_stem = {
+                p.stem: p
+                for p in sorted(mask_dir.rglob("*"))
+                if p.suffix.lower() in IMAGE_EXTENSIONS
+            }
+            if not self.mask_by_stem:
+                raise DatasetError(f"No masks under {mask_dir}")
 
     def __len__(self) -> int:
         return len(self.filenames)
 
-    def __getitem__(self, index: int) -> np.ndarray:
-        return decode_image(self.filenames[index], self.canonical_hw, self.mode)
+    def __getitem__(self, index: int):
+        image = decode_image(self.filenames[index], self.canonical_hw, self.mode)
+        if self.mask_by_stem is None:
+            return image
+        from PIL import Image
+
+        stem = Path(self.filenames[index]).stem
+        mask_path = self.mask_by_stem.get(stem)
+        if mask_path is None:
+            mask = np.zeros(self.canonical_hw, np.int32)
+        else:
+            with Image.open(mask_path) as m:
+                m = m.convert("L").resize(
+                    (self.canonical_hw[1], self.canonical_hw[0]), Image.NEAREST
+                )
+                mask = np.asarray(m, dtype=np.int32)
+        return {"images": image, "masks": mask}

@@ -82,15 +82,19 @@ class PretrainLoader:
                 ]
             epoch += 1
 
-    def _decode_batch(self, indices: np.ndarray) -> np.ndarray:
+    def _decode_batch(self, indices: np.ndarray):
         from concurrent.futures import ThreadPoolExecutor
 
         if self.num_workers == 1 or len(indices) == 1:
-            imgs = [self.dataset[int(i)] for i in indices]
+            items = [self.dataset[int(i)] for i in indices]
         else:
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                imgs = list(pool.map(lambda i: self.dataset[int(i)], indices))
-        return np.stack(imgs, axis=0)
+                items = list(pool.map(lambda i: self.dataset[int(i)], indices))
+        if isinstance(items[0], dict):
+            return {
+                k: np.stack([it[k] for it in items]) for k in items[0]
+            }
+        return np.stack(items, axis=0)
 
     def __iter__(self) -> Iterator[jax.Array]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -112,9 +116,17 @@ class PretrainLoader:
                 item = out_q.get()
                 if isinstance(item, Exception):
                     raise item
-                yield jax.make_array_from_process_local_data(
-                    self.sharding, item
-                )
+                if isinstance(item, dict):
+                    yield {
+                        k: jax.make_array_from_process_local_data(
+                            self.sharding, v
+                        )
+                        for k, v in item.items()
+                    }
+                else:
+                    yield jax.make_array_from_process_local_data(
+                        self.sharding, item
+                    )
         finally:
             stop.set()
 

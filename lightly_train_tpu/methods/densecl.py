@@ -18,6 +18,7 @@ from lightly_train_tpu.methods.base import Method, MethodArgs, ViewSpec
 from lightly_train_tpu.models.heads import SimCLRProjectionHead
 from lightly_train_tpu.models.wrapper import WrappedModel
 from lightly_train_tpu.ops.augment import ViewAugmentConfig
+from lightly_train_tpu.ops.losses import l2_normalize
 from lightly_train_tpu.ops.ema import ema_update
 
 
@@ -35,11 +36,9 @@ class DenseCLArgs(MethodArgs):
 
 def _info_nce(q: jax.Array, pos: jax.Array, queue: jax.Array, temp: float):
     """InfoNCE with one positive and a queue of negatives. q/pos: (B, D)."""
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
-    pos = pos / jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True), 1e-8)
-    neg = queue / jnp.maximum(
-        jnp.linalg.norm(queue, axis=-1, keepdims=True), 1e-8
-    )
+    q = l2_normalize(q)
+    pos = l2_normalize(pos)
+    neg = l2_normalize(queue)
     l_pos = jnp.sum(q * pos, axis=-1, keepdims=True)  # (B, 1)
     l_neg = q @ neg.T  # (B, Q)
     logits = jnp.concatenate([l_pos, l_neg], axis=1) / temp
@@ -126,12 +125,8 @@ class DenseCL(Method):
         f_t = jax.lax.stop_gradient(f_t)
 
         # Dense correspondence: student pixel i -> teacher pixel argmax sim.
-        fs_n = f_s / jnp.maximum(
-            jnp.linalg.norm(f_s, axis=-1, keepdims=True), 1e-8
-        )
-        ft_n = f_t / jnp.maximum(
-            jnp.linalg.norm(f_t, axis=-1, keepdims=True), 1e-8
-        )
+        fs_n = l2_normalize(f_s)
+        ft_n = l2_normalize(f_t)
         corr = jnp.einsum("bnd,bmd->bnm", fs_n, ft_n)
         match = jnp.argmax(corr, axis=-1)  # (B, n)
         zd_pos = jnp.take_along_axis(zd_t, match[..., None], axis=1)

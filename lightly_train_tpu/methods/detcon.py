@@ -3,9 +3,10 @@
 Rebuild of ``src/lightly_train/_methods/detcon/detcon.py:45-445``: features
 are pooled within region masks, and mask-level embeddings are contrasted
 across views with an EMA target network (BYOL-style predictor for DetConB).
-The reference consumes dataset-provided masks; this rebuild defaults to an
-on-device spatial-grid mask generator (the reference's fallback) — dataset
-mask plumbing lands with the DetCon transform in a later round.
+Supports dataset-provided region masks (``use_dataset_masks`` + pretrain
+``mask_dir``): mask crops follow each view's crop geometry through the fused
+augmentation stage and pool features per region id; without masks a spatial
+grid is used (the reference's maskless fallback).
 """
 
 from __future__ import annotations
@@ -20,13 +21,18 @@ from lightly_train_tpu.methods.base import Method, MethodArgs, ViewSpec
 from lightly_train_tpu.models.heads import SimCLRProjectionHead
 from lightly_train_tpu.models.wrapper import WrappedModel
 from lightly_train_tpu.ops.augment import ViewAugmentConfig
+from lightly_train_tpu.ops.losses import l2_normalize
 from lightly_train_tpu.ops.ema import cosine_schedule, ema_update
 
 
 class DetConBArgs(MethodArgs):
     image_size: int = 224
-    num_masks: int = 16  # grid regions per image
+    num_masks: int = 16  # regions per image (grid cells or dataset mask ids)
     num_samples: int = 5  # masks sampled per view for the loss
+    # True: pool within dataset-provided region masks (requires pretrain
+    # mask_dir; mask crops follow the view's crop geometry). False: spatial
+    # grid fallback (the reference's maskless mode).
+    use_dataset_masks: bool = False
     temperature: float = 0.1
     momentum_start: float = 0.996
     momentum_end: float = 1.0
@@ -52,6 +58,10 @@ class DetConB(Method):
     name = "detconb"
     default_steps = 100_000
     default_batch_size = 1024
+
+    @property
+    def needs_masks(self) -> bool:
+        return self.args.use_dataset_masks
 
     def __init__(self, wrapped: WrappedModel, args: DetConBArgs):
         super().__init__(wrapped, args)
@@ -87,7 +97,7 @@ class DetConB(Method):
         return params, model_state, {"teacher": teacher}
 
     def _mask_pooled(self, params, model_state, images, train, rng,
-                     use_predictor):
+                     use_predictor, region_masks=None):
         variables = {"params": params["student"], **model_state}
         mutable = [k for k in model_state] if (model_state and train) else False
         rngs = {"droppath": rng} if train else None
@@ -100,10 +110,24 @@ class DetConB(Method):
             new_state = model_state
         feats = out["features"]  # (B, h, w, D)
         B, h, w, D = feats.shape
-        masks = _grid_masks((h, w), self.args.num_masks)  # (n, M)
-        pooled = jnp.einsum(
-            "bnd,nm->bmd", feats.reshape(B, h * w, D), masks
-        ) / jnp.maximum(jnp.sum(masks, axis=0)[None, :, None], 1.0)
+        M = self.args.num_masks
+        if region_masks is not None:
+            # Dataset region ids cropped with the view geometry: downsample
+            # to the feature grid (nearest) and one-hot pool per region id.
+            mh = region_masks.shape[1] // h
+            mw = region_masks.shape[2] // w
+            grid_ids = region_masks[:, ::max(mh, 1), ::max(mw, 1)][:, :h, :w]
+            onehot = jax.nn.one_hot(
+                jnp.clip(grid_ids, 0, M - 1), M
+            ).reshape(B, h * w, M)
+            pooled = jnp.einsum(
+                "bnd,bnm->bmd", feats.reshape(B, h * w, D), onehot
+            ) / jnp.maximum(jnp.sum(onehot, axis=1)[:, :, None], 1.0)
+        else:
+            masks = _grid_masks((h, w), M)  # (n, M)
+            pooled = jnp.einsum(
+                "bnd,nm->bmd", feats.reshape(B, h * w, D), masks
+            ) / jnp.maximum(jnp.sum(masks, axis=0)[None, :, None], 1.0)
         z = self.projector.apply({"params": params["projector"]}, pooled)
         if use_predictor:
             z = self.predictor.apply({"params": params["predictor"]}, z)
@@ -113,9 +137,14 @@ class DetConB(Method):
                 total_steps):
         del step, total_steps
         a = self.args
-        v0, v1 = views
+        if a.use_dataset_masks and len(views) >= 4:
+            v0, v1, m0, m1 = views[:4]
+        else:
+            v0, v1 = views[:2]
+            m0 = m1 = None
         z_s, new_model_state = self._mask_pooled(
-            params, model_state, v0, True, rng, use_predictor=True
+            params, model_state, v0, True, rng, use_predictor=True,
+            region_masks=m0,
         )
         teacher = {
             "student": method_state["teacher"]["student"],
@@ -123,14 +152,14 @@ class DetConB(Method):
         }
         z_t, _ = self._mask_pooled(
             jax.lax.stop_gradient(teacher), model_state, v1, False, rng,
-            use_predictor=False,
+            use_predictor=False, region_masks=m1,
         )
         z_t = jax.lax.stop_gradient(z_t)
         # Contrast mask m of view0 vs same mask of view1; negatives = other
         # masks across the batch (reference DetCon loss structure).
         B, M, D = z_s.shape
-        zs = z_s / jnp.maximum(jnp.linalg.norm(z_s, axis=-1, keepdims=True), 1e-8)
-        zt = z_t / jnp.maximum(jnp.linalg.norm(z_t, axis=-1, keepdims=True), 1e-8)
+        zs = l2_normalize(z_s)
+        zt = l2_normalize(z_t)
         logits = jnp.einsum("bmd,cnd->bmcn", zs, zt) / a.temperature
         logits = logits.reshape(B, M, B * M)
         labels = (

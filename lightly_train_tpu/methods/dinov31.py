@@ -21,6 +21,8 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
+from lightly_train_tpu.ops.losses import l2_normalize
+
 from lightly_train_tpu.methods.base import ViewSpec
 from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
 from lightly_train_tpu.ops.augment import ViewAugmentConfig, crop_resize_matmul
@@ -106,8 +108,8 @@ class DINOv31(DINOv2):
         N = gs_h * gs_w
         Zs = Fs.reshape(B, N, D).astype(jnp.float32)
         Zt = Ft_aligned.reshape(B, N, D).astype(jnp.float32)
-        Zs = Zs / jnp.maximum(jnp.linalg.norm(Zs, axis=-1, keepdims=True), 1e-8)
-        Zt = Zt / jnp.maximum(jnp.linalg.norm(Zt, axis=-1, keepdims=True), 1e-8)
+        Zs = l2_normalize(Zs)
+        Zt = l2_normalize(Zt)
         Ks = jnp.einsum("bnd,bmd->bnm", Zs, Zs) / a.paka_temp
         Kt = jnp.einsum("bnd,bmd->bnm", Zt, Zt) / a.paka_temp
         w = valid[:, :, None] & valid[:, None, :]

@@ -168,6 +168,37 @@ def crop_resize_matmul(
     return jnp.einsum("bowc,bxw->boxc", rows, Rx)  # (B, oh, ow, C)
 
 
+def _nearest_weight_matrix(src: jax.Array, in_size: int) -> jax.Array:
+    """(out,) source coords -> (out, in) one-hot nearest-neighbor matrix."""
+    idx = jnp.arange(in_size, dtype=jnp.float32)
+    nearest = jnp.round(jnp.clip(src, 0, in_size - 1))
+    return (jnp.abs(nearest[:, None] - idx[None, :]) < 0.5).astype(jnp.float32)
+
+
+def crop_resize_nearest(
+    masks: jax.Array,  # (B, H, W) int
+    y0: jax.Array,
+    x0: jax.Array,
+    h: jax.Array,
+    w: jax.Array,
+    out_hw: Tuple[int, int],
+) -> jax.Array:
+    """Nearest-neighbor crop+resize for integer masks using the same crop
+    geometry as the image view (one-hot resampling matrices -> exact ids)."""
+    B, H, W = masks.shape
+    oh, ow = out_hw
+    t_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+    t_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    sy = jnp.clip(y0[:, None] + t_y[None, :] * h[:, None] - 0.5, 0.0, H - 1.0)
+    sx = jnp.clip(x0[:, None] + t_x[None, :] * w[:, None] - 0.5, 0.0, W - 1.0)
+    Ry = jax.vmap(lambda s: _nearest_weight_matrix(s, H))(sy)  # (B, oh, H)
+    Rx = jax.vmap(lambda s: _nearest_weight_matrix(s, W))(sx)  # (B, ow, W)
+    m = masks.astype(jnp.float32)[..., None]
+    rows = jnp.einsum("boh,bhwc->bowc", Ry, m)
+    out = jnp.einsum("bowc,bxw->boxc", rows, Rx)[..., 0]
+    return jnp.round(out).astype(masks.dtype)
+
+
 def random_resized_crop(
     key: jax.Array,
     images: jax.Array,

@@ -21,6 +21,18 @@ import jax
 import jax.numpy as jnp
 
 
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Zero-safe l2 normalization: ``x * rsqrt(sum(x^2) + eps)``.
+
+    ``x / max(||x||, eps)`` has a NaN gradient at exactly-zero vectors
+    (0 * d||x||/dx = 0 * NaN); the rsqrt form is finite everywhere. Exact
+    zeros occur in practice (empty mask regions in DetCon pooling).
+    """
+    sq = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(sq + eps)
+
 def softmax_center_teacher(
     teacher_logits: jax.Array, center: jax.Array, temp: float
 ) -> jax.Array:
@@ -135,8 +147,7 @@ def koleo_loss(embeddings: jax.Array, eps: float = 1e-8) -> jax.Array:
     all-gathered there either) — apply per shard via shard_map if exactness
     matters; global matmul under GSPMD is the default here.
     """
-    x = embeddings.astype(jnp.float32)
-    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    x = l2_normalize(embeddings.astype(jnp.float32), eps)
     sim = x @ x.T  # (B, B)
     B = x.shape[0]
     sim = sim - 2.0 * jnp.eye(B, dtype=sim.dtype)  # exclude self
@@ -155,8 +166,8 @@ def ntxent_loss(
     under GSPMD with sharded batch this is an all-gather-style matmul XLA
     handles; negatives span the global batch as in the reference's gather mode.
     """
-    z0 = z0 / jnp.maximum(jnp.linalg.norm(z0, axis=-1, keepdims=True), eps)
-    z1 = z1 / jnp.maximum(jnp.linalg.norm(z1, axis=-1, keepdims=True), eps)
+    z0 = l2_normalize(z0, eps)
+    z1 = l2_normalize(z1, eps)
     B = z0.shape[0]
     z = jnp.concatenate([z0, z1], axis=0).astype(jnp.float32)  # (2B, D)
     sim = (z @ z.T) / temperature
@@ -182,9 +193,9 @@ def similarity_queue_ce(
     s = student_emb.astype(jnp.float32)
     t = teacher_emb.astype(jnp.float32)
     q = queue.astype(jnp.float32)
-    s = s / jnp.maximum(jnp.linalg.norm(s, axis=-1, keepdims=True), 1e-8)
-    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
-    q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    s = l2_normalize(s)
+    t = l2_normalize(t)
+    q = l2_normalize(q)
     sim_s = jnp.einsum("...d,qd->...q", s, q) / temperature
     sim_t = jnp.einsum("...d,qd->...q", t, q) / temperature
     p_t = jax.nn.softmax(sim_t, axis=-1)

@@ -159,3 +159,33 @@ def test_evaluate_knn_after_pretrain(tmp_path):
         image_size=32, batch_size=8, k=3,
     )
     assert result["knn_top1"] > 0.7  # brightness is trivially separable
+
+
+def test_pretrain_detcon_with_dataset_masks(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    masks = tmp_path / "masks"
+    data.mkdir(); masks.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        ).save(data / f"img_{i}.png")
+        Image.fromarray(
+            rng.integers(0, 4, (48, 48), dtype=np.uint8)
+        ).save(masks / f"img_{i}.png")
+    state = lt.pretrain(
+        out=str(tmp_path / "out"), data=str(data), mask_dir=str(masks),
+        model="torchvision/resnettest", method="detconb",
+        method_args={"image_size": 32, "num_masks": 4,
+                     "use_dataset_masks": True, "hidden_dim": 16,
+                     "output_dim": 8},
+        batch_size=8, steps=2, precision="fp32", canonical_size=48,
+        num_workers=2, log_every=1,
+    )
+    assert int(state.step) == 2
+    import json
+    ms = [json.loads(l) for l in (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()
+          if "train_loss" in l]
+    assert all(np.isfinite(m["train_loss"]) for m in ms)
