@@ -66,10 +66,14 @@ class DINO(Method):
     def __init__(self, wrapped: WrappedModel, args: DINOArgs):
         super().__init__(wrapped, args)
         self.args: DINOArgs = args
+        head_dtype = getattr(
+            getattr(wrapped.module, "cfg", None), "dtype", jnp.float32
+        )
         self.head = DINOHead(
             out_dim=args.output_dim,
             hidden_dim=args.hidden_dim,
             bottleneck_dim=args.bottleneck_dim,
+            dtype=head_dtype,
         )
 
     def view_specs(self) -> List[ViewSpec]:
