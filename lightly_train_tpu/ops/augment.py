@@ -150,17 +150,24 @@ def crop_resize_matmul(
     h: jax.Array,
     w: jax.Array,
     out_hw: Tuple[int, int],
+    hflip: jax.Array | None = None,
 ) -> jax.Array:
     """Batched crop+resize as two batched matmuls (MXU path).
 
-    images: (B, H, W, C); y0/x0/h/w: (B,) crop boxes in pixels.
+    images: (B, H, W, C); y0/x0/h/w: (B,) crop boxes in pixels. ``hflip``
+    ((B,) bool) mirrors the horizontal sampling coordinates — the flip rides
+    the resampling matrix for free instead of a separate reversal pass.
     """
     B, H, W, C = images.shape
     oh, ow = out_hw
     t_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
     t_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    if hflip is not None:
+        t_x = jnp.where(hflip[:, None], 1.0 - t_x[None, :], t_x[None, :])
+    else:
+        t_x = t_x[None, :]
     sy = jnp.clip(y0[:, None] + t_y[None, :] * h[:, None] - 0.5, 0.0, H - 1.0)
-    sx = jnp.clip(x0[:, None] + t_x[None, :] * w[:, None] - 0.5, 0.0, W - 1.0)
+    sx = jnp.clip(x0[:, None] + t_x * w[:, None] - 0.5, 0.0, W - 1.0)
     Ry = jax.vmap(lambda s: _bilinear_weight_matrix(s, H))(sy)  # (B, oh, H)
     Rx = jax.vmap(lambda s: _bilinear_weight_matrix(s, W))(sx)  # (B, ow, W)
     img_f = images.astype(jnp.float32)
@@ -369,10 +376,13 @@ def gaussian_blur(
         w = jnp.where(jnp.abs(d)[None] <= half, w, 0.0)
         return w / jnp.sum(w, axis=-1, keepdims=True)
 
-    Kh = band_matrix(H)
-    Kw = band_matrix(W)
-    blurred = jnp.einsum("bij,bjwc->biwc", Kh, images)
-    blurred = jnp.einsum("biwc,bxw->bixc", blurred, Kw)
+    # Blur matmuls in bf16: pixel data in [0, 1] loses nothing visible and
+    # the banded matmuls move to the fast MXU path.
+    Kh = band_matrix(H).astype(jnp.bfloat16)
+    Kw = band_matrix(W).astype(jnp.bfloat16)
+    img16 = images.astype(jnp.bfloat16)
+    blurred = jnp.einsum("bij,bjwc->biwc", Kh, img16)
+    blurred = jnp.einsum("biwc,bxw->bixc", blurred, Kw).astype(images.dtype)
     apply = jax.random.uniform(k_apply, (B, 1, 1, 1)) < prob
     return jnp.where(apply, blurred, images)
 
@@ -430,15 +440,16 @@ def augment_view_with_geometry(
     y0, x0, h, w = _sample_crop_boxes(
         keys[0], B, in_hw, cfg.crop_scale, cfg.crop_ratio
     )
-    out = crop_resize_matmul(images, y0, x0, h, w, cfg.out_size)
-    if images.dtype == jnp.uint8:
-        out = out * (1.0 / 255.0)
     hflip = (
         jax.random.uniform(keys[6], (B,)) < cfg.hflip_prob
         if cfg.hflip_prob > 0
         else jnp.zeros((B,), bool)
     )
-    out = jnp.where(hflip[:, None, None, None], out[:, :, ::-1, :], out)
+    # hflip is folded into the crop's column resampling matrix (no separate
+    # reversal pass over the view).
+    out = crop_resize_matmul(images, y0, x0, h, w, cfg.out_size, hflip=hflip)
+    if images.dtype == jnp.uint8:
+        out = out * (1.0 / 255.0)
     if cfg.vflip_prob > 0:
         vflip = jax.random.uniform(keys[1], (B, 1, 1, 1)) < cfg.vflip_prob
         out = jnp.where(vflip, out[:, ::-1, :, :], out)
