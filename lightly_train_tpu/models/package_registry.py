@@ -192,3 +192,26 @@ for _name in _RESNET_SIZES:
         ),
         hidden=_name == "resnettest",
     )
+
+
+# ---------------------------------------------------------------------------
+# timm-style convenience aliases onto the native families (the reference's
+# timm package wraps arbitrary timm models; here the architecturally
+# equivalent native modules answer to the common names).
+# ---------------------------------------------------------------------------
+
+for _alias, _target in {
+    "timm/resnet18": "torchvision/resnet18",
+    "timm/resnet50": "torchvision/resnet50",
+    "timm/convnext_tiny": "dinov3/convnext-tiny",
+    "timm/convnext_small": "dinov3/convnext-small",
+    "timm/convnext_base": "dinov3/convnext-base",
+    "timm/vit_base_patch16_224": "dinov3/vitb16",
+    "timm/vit_small_patch16_224": "dinov3/vits16",
+}.items():
+    register_model(
+        _alias,
+        (lambda t: lambda dtype=jnp.float32, **kw: get_wrapped_model(
+            t, dtype=dtype, **kw
+        ))(_target),
+    )
