@@ -1,3 +1,17 @@
-from lightly_train_tpu.ops import augment, ema, losses, masking, sinkhorn
+from lightly_train_tpu.ops import (
+    augment,
+    detection_augs,
+    ema,
+    losses,
+    masking,
+    sinkhorn,
+)
 
-__all__ = ["augment", "ema", "losses", "masking", "sinkhorn"]
+__all__ = [
+    "augment",
+    "detection_augs",
+    "ema",
+    "losses",
+    "masking",
+    "sinkhorn",
+]

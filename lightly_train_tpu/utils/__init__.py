@@ -1,0 +1,3 @@
+from lightly_train_tpu.utils import knn, native
+
+__all__ = ["knn", "native"]
