@@ -28,6 +28,11 @@ class PredictSemanticSegmentationConfig(PydanticConfig):
     data: str
     checkpoint: str
     image_size: int = 512
+    # Tiled native-resolution inference (EoMT models): images larger than
+    # image_size are processed as overlapping image_size tiles with logit
+    # averaging instead of being downscaled (the reference's val-time
+    # tiling, ``task_model.py:511-583``).
+    tiled: bool = False
 
 
 def predict_semantic_segmentation(
@@ -48,9 +53,25 @@ def predict_semantic_segmentation(
     out_dir = Path(config.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     files = list_image_files(Path(config.data))
+    tiled_fn = getattr(model.train_model, "predict_tiled", None)
     for f in files:
-        result = model.predict(f)
-        mask = result["mask"].astype(np.uint8)
+        if config.tiled and tiled_fn is not None:
+            import jax.numpy as jnp
+
+            from lightly_train_tpu.ops.augment import (
+                IMAGENET_MEAN, IMAGENET_STD,
+            )
+
+            with Image.open(f) as im:
+                arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            arr = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+            pred = tiled_fn(
+                model.variables, jnp.asarray(arr[None], jnp.float32),
+                tile_size=config.image_size,
+            )
+            mask = np.asarray(pred)[0].astype(np.uint8)
+        else:
+            mask = model.predict(f)["mask"].astype(np.uint8)
         Image.fromarray(mask).save(out_dir / (Path(f).stem + ".png"))
     logger.info("Wrote %d masks to %s", len(files), out_dir)
     return out_dir

@@ -81,3 +81,45 @@ def test_load_model_rejects_pretrain_artifact(tmp_path):
 def test_load_model_unknown_path():
     with pytest.raises(CheckpointError, match="not a local artifact"):
         lt.load_model("dinov3/vits16-eomt-coco")
+
+
+def test_tiled_autolabel_with_eomt(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "train" / "images").mkdir(parents=True)
+    (tmp_path / "train" / "masks").mkdir(parents=True)
+    for i in range(4):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(tmp_path / "train" / "images" / f"{i}.png")
+        Image.fromarray(
+            rng.integers(0, 3, (40, 40), dtype=np.uint8)
+        ).save(tmp_path / "train" / "masks" / f"{i}.png")
+    lt.train_semantic_segmentation(
+        out=str(tmp_path / "out"),
+        data={"train": {"images": str(tmp_path / "train" / "images"),
+                        "masks": str(tmp_path / "train" / "masks")},
+              "num_classes": 3},
+        model="dinov3/vittest16-eomt",
+        task_args={"num_queries": 8, "num_joint_blocks": 1},
+        steps=1, batch_size=8, image_size=32, precision="fp32", num_workers=2,
+    )
+    # Big unlabeled images -> tiled native-resolution autolabel.
+    big = tmp_path / "big"
+    big.mkdir()
+    for i in range(2):
+        Image.fromarray(
+            rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+        ).save(big / f"{i}.png")
+    out_dir = lt.predict_semantic_segmentation(
+        out=str(tmp_path / "autolabels"),
+        data=str(big),
+        checkpoint=str(tmp_path / "out" / "exported_models" / "exported_last"),
+        image_size=32, tiled=True,
+    )
+    masks = sorted(out_dir.glob("*.png"))
+    assert len(masks) == 2
+    m = np.asarray(Image.open(masks[0]))
+    assert m.shape == (64, 48)  # native resolution, not resized
+    assert m.max() < 3
