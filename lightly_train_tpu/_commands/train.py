@@ -64,6 +64,11 @@ class TrainConfig(PydanticConfig):
     optim: str = "auto"
     optim_args: Dict[str, Any] = {}
     batch_size: Union[int, Auto] = AUTO
+    # Split each batch into this many microbatches and accumulate gradients
+    # over a lax.scan before the optimizer update (reference
+    # accumulate-grad-batches, ``train.py:62,463``). batch_size stays the
+    # effective global batch; LR scaling uses it unchanged.
+    grad_accum_steps: int = 1
     steps: Union[int, Auto] = AUTO
     epochs: Optional[int] = None
     learning_rate: Union[float, Auto] = AUTO
@@ -293,7 +298,8 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
 
     # ---- train ------------------------------------------------------------
     train_step = make_train_step(
-        method, optimizer, total_steps, aug_dtype=dtype
+        method, optimizer, total_steps, aug_dtype=dtype,
+        grad_accum_steps=config.grad_accum_steps,
     )
     logger.info(
         "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",

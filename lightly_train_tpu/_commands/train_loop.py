@@ -29,8 +29,17 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     total_steps: int,
     aug_dtype: Any = jnp.float32,
+    grad_accum_steps: int = 1,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
-    """Build the fused step: augment + loss + update in one program."""
+    """Build the fused step: augment + loss + update in one program.
+
+    ``grad_accum_steps`` > 1 splits the incoming batch into that many
+    microbatches and accumulates gradients over a ``lax.scan`` before one
+    optimizer update — the reference's accumulate-grad-batches
+    (``src/lightly_train/_commands/train.py:62,463``) as a single compiled
+    program (the HLO stays microbatch-sized, so effective batch can exceed
+    the per-program compile/memory ceiling).
+    """
     view_specs = method.view_specs()
     n_views = sum(s.count for s in view_specs)
     # Methods with dense-geometric losses (DINOv31 PaKA) receive the per-view
@@ -40,18 +49,16 @@ def make_train_step(
     needs_geometry = getattr(method, "needs_geometry", False)
     needs_masks = getattr(method, "needs_masks", False)
 
-    def train_step(
-        state: TrainState, batch: Any, base_key: jax.Array
-    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        if isinstance(batch, dict):
-            images_u8 = batch["images"]
-            masks = batch.get("masks")
-        else:
-            images_u8 = batch
-            masks = None
-        step_key = jax.random.fold_in(base_key, state.step)
-        k_aug, k_loss = jax.random.split(step_key)
-
+    def _grads_for_microbatch(
+        params: Any,
+        model_state: Any,
+        method_state: Any,
+        images_u8: jax.Array,
+        masks: Any,
+        mb_key: jax.Array,
+        step: jax.Array,
+    ):
+        k_aug, k_loss = jax.random.split(mb_key)
         aug_keys = jax.random.split(k_aug, n_views)
         views = []
         geoms = []
@@ -86,17 +93,120 @@ def make_train_step(
         def loss_wrapper(params):
             return method.loss_fn(
                 params,
-                state.model_state,
-                state.method_state,
+                model_state,
+                method_state,
                 views,
                 k_loss,
-                state.step,
+                step,
                 total_steps,
             )
 
-        (loss, (model_state, method_state, metrics)), grads = (
-            jax.value_and_grad(loss_wrapper, has_aux=True)(state.params)
+        (loss, (new_model_state, new_method_state, metrics)), grads = (
+            jax.value_and_grad(loss_wrapper, has_aux=True)(params)
         )
+        return loss, grads, new_model_state, new_method_state, metrics
+
+    def train_step(
+        state: TrainState, batch: Any, base_key: jax.Array
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        if isinstance(batch, dict):
+            images_u8 = batch["images"]
+            masks = batch.get("masks")
+        else:
+            images_u8 = batch
+            masks = None
+        step_key = jax.random.fold_in(base_key, state.step)
+
+        if grad_accum_steps <= 1:
+            loss, grads, model_state, method_state, metrics = (
+                _grads_for_microbatch(
+                    state.params, state.model_state, state.method_state,
+                    images_u8, masks, step_key, state.step,
+                )
+            )
+        else:
+            k = grad_accum_steps
+            b = images_u8.shape[0]
+            if b % k != 0:
+                raise ValueError(
+                    f"batch size {b} not divisible by grad_accum_steps {k}"
+                )
+            mb_images = images_u8.reshape(k, b // k, *images_u8.shape[1:])
+            mb_masks = (
+                masks.reshape(k, b // k, *masks.shape[1:])
+                if masks is not None
+                else None
+            )
+            mb_keys = jax.random.split(step_key, k)
+
+            def body(carry, xs):
+                model_state, method_state, grads_acc, loss_acc, metrics_acc = (
+                    carry
+                )
+                imgs_i, masks_i, key_i = xs
+                loss, grads, model_state, method_state, metrics = (
+                    _grads_for_microbatch(
+                        state.params, model_state, method_state,
+                        imgs_i, masks_i, key_i, state.step,
+                    )
+                )
+                grads_acc = jax.tree_util.tree_map(
+                    jnp.add, grads_acc, grads
+                )
+                metrics_acc = jax.tree_util.tree_map(
+                    jnp.add, metrics_acc, metrics
+                )
+                return (
+                    model_state, method_state, grads_acc,
+                    loss_acc + loss, metrics_acc,
+                ), None
+
+            # Shapes/dtypes of grads + metrics for the zero init.
+            grads_shape = jax.eval_shape(
+                lambda p: _grads_for_microbatch(
+                    p, state.model_state, state.method_state,
+                    mb_images[0], None if mb_masks is None else mb_masks[0],
+                    mb_keys[0], state.step,
+                )[1],
+                state.params,
+            )
+            metrics_shape = jax.eval_shape(
+                lambda p: _grads_for_microbatch(
+                    p, state.model_state, state.method_state,
+                    mb_images[0], None if mb_masks is None else mb_masks[0],
+                    mb_keys[0], state.step,
+                )[4],
+                state.params,
+            )
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree
+            )
+            xs = (
+                mb_images,
+                mb_masks if mb_masks is not None else jnp.zeros((k,)),
+                mb_keys,
+            )
+            init = (
+                state.model_state, state.method_state,
+                zeros(grads_shape), jnp.zeros((), jnp.float32),
+                zeros(metrics_shape),
+            )
+
+            def body_dispatch(carry, xs):
+                imgs_i, masks_i, key_i = xs
+                return body(
+                    carry,
+                    (imgs_i, masks_i if mb_masks is not None else None, key_i),
+                )
+
+            (model_state, method_state, grads, loss, metrics), _ = (
+                jax.lax.scan(body_dispatch, init, xs)
+            )
+            inv_k = 1.0 / k
+            grads = jax.tree_util.tree_map(lambda g: g * inv_k, grads)
+            metrics = jax.tree_util.tree_map(lambda m: m * inv_k, metrics)
+            loss = loss * inv_k
+
         grad_norm = optax.global_norm(grads)
         finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
         updates, opt_state = optimizer.update(

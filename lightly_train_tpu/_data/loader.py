@@ -82,14 +82,7 @@ class PretrainLoader:
                 ]
             epoch += 1
 
-    def _decode_batch(self, indices: np.ndarray):
-        from concurrent.futures import ThreadPoolExecutor
-
-        if self.num_workers == 1 or len(indices) == 1:
-            items = [self.dataset[int(i)] for i in indices]
-        else:
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                items = list(pool.map(lambda i: self.dataset[int(i)], indices))
+    def _collate(self, items):
         if isinstance(items[0], dict):
             return {
                 k: np.stack([it[k] for it in items]) for k in items[0]
@@ -97,15 +90,43 @@ class PretrainLoader:
         return np.stack(items, axis=0)
 
     def __iter__(self) -> Iterator[jax.Array]:
+        """Decode with a persistent thread pool, pipelined across batches.
+
+        One shared executor lives for the whole iteration (the previous
+        per-batch pool paid thread spawn/teardown on every batch); the
+        producer keeps ``prefetch + 1`` batches of decode futures in flight
+        so workers never drain between batches.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        pool = ThreadPoolExecutor(
+            max_workers=self.num_workers, thread_name_prefix="lt-decode"
+        )
 
         def producer() -> None:
             try:
-                for indices in self._index_stream():
-                    if stop.is_set():
-                        return
-                    out_q.put(self._decode_batch(indices))
+                # Keep a window of batches' futures pending so the pool
+                # always has work even while a finished batch sits in out_q.
+                window: "queue.Queue" = queue.Queue()
+                stream = self._index_stream()
+                for _ in range(self.prefetch + 1):
+                    window.put(
+                        [
+                            pool.submit(self.dataset.__getitem__, int(i))
+                            for i in next(stream)
+                        ]
+                    )
+                while not stop.is_set():
+                    futures = window.get()
+                    out_q.put(self._collate([f.result() for f in futures]))
+                    window.put(
+                        [
+                            pool.submit(self.dataset.__getitem__, int(i))
+                            for i in next(stream)
+                        ]
+                    )
             except Exception as e:  # pragma: no cover - surfaced on get()
                 out_q.put(e)
 
@@ -129,6 +150,7 @@ class PretrainLoader:
                     )
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class SyntheticLoader:

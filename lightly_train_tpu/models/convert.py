@@ -9,8 +9,9 @@ SURVEY.md §7).
 
 Key mappings (torch -> flax):
 - ``patch_embed.proj.weight`` (D,3,p,p) -> ``patch_embed.kernel`` (p,p,3,D)
-- ``blocks.{i}.attn.qkv.weight`` (3D,D) -> ``block{i}.attn.qkv.kernel`` (D,3D)
-  (row blocks [q;k;v] match the (3, H, hd) output reshape)
+- ``blocks.{i}.attn.qkv.weight`` (3D,D) row blocks [q;k;v] split into three
+  ``block{i}.attn.{q,k,v}.kernel`` (D,D) matrices (the Flax attention uses
+  separate projections to avoid strided qkv splits on TPU)
 - ``pos_embed`` (1, 1+N, D): the CLS positional entry is folded into
   ``cls_token`` (both are learned constants summed at the same site), and
   the patch entries become the (1, N, D) grid table.
@@ -71,19 +72,26 @@ def convert_torch_vit_state_dict(
                 p = alt[0][: -len("norm1.weight")]
             else:
                 raise KeyError(f"Missing block {i} in state dict")
+        wqkv = sd[f"{p}attn.qkv.weight"]  # (3D, D), rows [q; k; v]
+        d = wqkv.shape[0] // 3
         block: Dict[str, Any] = {
             "norm1": {"scale": sd[f"{p}norm1.weight"],
                       "bias": sd[f"{p}norm1.bias"]},
             "norm2": {"scale": sd[f"{p}norm2.weight"],
                       "bias": sd[f"{p}norm2.bias"]},
             "attn": {
-                "qkv": {"kernel": sd[f"{p}attn.qkv.weight"].T},
+                "q": {"kernel": wqkv[:d].T},
+                "k": {"kernel": wqkv[d : 2 * d].T},
+                "v": {"kernel": wqkv[2 * d :].T},
                 "proj": {"kernel": sd[f"{p}attn.proj.weight"].T,
                          "bias": sd[f"{p}attn.proj.bias"]},
             },
         }
         if f"{p}attn.qkv.bias" in sd:
-            block["attn"]["qkv"]["bias"] = sd[f"{p}attn.qkv.bias"]
+            bqkv = sd[f"{p}attn.qkv.bias"]
+            block["attn"]["q"]["bias"] = bqkv[:d]
+            block["attn"]["k"]["bias"] = bqkv[d : 2 * d]
+            block["attn"]["v"]["bias"] = bqkv[2 * d :]
         if f"{p}ls1.gamma" in sd:
             block["ls1"] = {"gamma": sd[f"{p}ls1.gamma"]}
             block["ls2"] = {"gamma": sd[f"{p}ls2.gamma"]}

@@ -156,9 +156,17 @@ class Attention(nn.Module):
         B, N, D = x.shape
         H = cfg.num_heads
         head_dim = D // H
-        qkv = nn.Dense(3 * D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="qkv")(x)
-        q, k, v = jnp.split(qkv.reshape(B, N, 3, H, head_dim), 3, axis=2)
-        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # (B, N, H, hd)
+        # Separate q/k/v projections: the fused (B,N,3,H,hd) layout costs a
+        # strided axis-2 split (~5% of the step in data-formatting copies on
+        # v5e); three D->D matmuls followed by free contiguous reshapes keep
+        # the MXU busy with zero copies. Converter splits torch's fused qkv
+        # weight rows accordingly (models/convert.py).
+        q = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="q")(x)
+        k = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="k")(x)
+        v = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="v")(x)
+        q = q.reshape(B, N, H, head_dim)
+        k = k.reshape(B, N, H, head_dim)
+        v = v.reshape(B, N, H, head_dim)
         if rope is not None:
             cos, sin = rope
             p = self.num_prefix_tokens
