@@ -189,9 +189,20 @@ class DINOv2(Method):
         n_tokens = gh * gw
 
         # iBOT masks for the student's global views (fixed budget).
-        mask, mask_weight = random_block_masks(
+        mask, _ = random_block_masks(
             k_mask, 2 * B, (gh, gw), a.mask_prob, a.mask_ratio
         )
+        # Fixed-budget masked-token gather: the iBOT heads see only the (at
+        # most) n_tokens/2 masked positions instead of all patch tokens — the
+        # static-shape analog of the reference's ragged index_select
+        # (``dinov2.py:528-538``). Halves the 65536-prototype head FLOPs and
+        # the (tokens, K) logit memory, the step's biggest HBM tensor.
+        budget = max(n_tokens // 2, 1)
+        order = jnp.argsort(jnp.where(mask, 0, 1), axis=1)  # masked first
+        sel_idx = order[:, :budget]  # (2B, M)
+        sel_mask = jnp.take_along_axis(mask, sel_idx, axis=1)  # (2B, M)
+        n_sel = jnp.sum(sel_mask.astype(jnp.float32), axis=1, keepdims=True)
+        sel_weight = sel_mask.astype(jnp.float32) / jnp.maximum(n_sel, 1.0)
 
         teacher_params = method_state["teacher"]
         teacher_temp = self._teacher_temp(step, total_steps)
@@ -206,7 +217,9 @@ class DINOv2(Method):
             rng,
         )
         t_cls = t_out["cls_token"]  # (2B, D)
-        t_patches = t_out["patch_tokens"]  # (2B, N, D)
+        t_patches = jnp.take_along_axis(
+            t_out["patch_tokens"], sel_idx[:, :, None], axis=1
+        )  # (2B, M, D) masked positions only
         t_dino_logits = self.dino_head.apply(
             {"params": teacher_params["dino_head"]}, t_cls
         )
@@ -230,10 +243,12 @@ class DINOv2(Method):
             new_dino_center = L.update_center(
                 method_state["dino_center"], t_dino_logits, a.center_momentum
             )
+            # iBOT center averages masked tokens only (``dinov2_loss.py:250``).
             new_ibot_center = L.update_center(
                 method_state["ibot_center"],
                 t_ibot_logits.reshape(-1, a.output_dim),
                 a.center_momentum,
+                sample_weights=sel_mask.reshape(-1),
             )
         else:
             t_dino_probs = L.sinkhorn_knopp_teacher(
@@ -243,18 +258,20 @@ class DINOv2(Method):
             t_ibot_probs_flat = L.sinkhorn_knopp_teacher(
                 t_ibot_logits.reshape(-1, a.output_dim),
                 float(a.teacher_temp_start),
-                sample_weights=mask.reshape(-1).astype(jnp.float32),
+                sample_weights=sel_mask.reshape(-1).astype(jnp.float32),
             )
             new_dino_center = method_state["dino_center"]
             new_ibot_center = method_state["ibot_center"]
-        t_ibot_probs = t_ibot_probs_flat.reshape(2 * B, n_tokens, a.output_dim)
+        t_ibot_probs = t_ibot_probs_flat.reshape(2 * B, budget, a.output_dim)
 
         # ---- student forward ----
         s_out_g = self._apply_backbone(
             params["student"], model_state, globals_cat, mask, True, k_drop_g
         )
         s_cls_g = s_out_g["cls_token"]  # (2B, D)
-        s_patches = s_out_g["patch_tokens"]
+        s_patches = jnp.take_along_axis(
+            s_out_g["patch_tokens"], sel_idx[:, :, None], axis=1
+        )  # (2B, M, D)
         s_dino_g = self.dino_head.apply({"params": params["dino_head"]}, s_cls_g)
         s_ibot = self.ibot_head.apply({"params": params[ibot_key]}, s_patches)
 
@@ -285,7 +302,7 @@ class DINOv2(Method):
 
         # ---- iBOT masked-patch CE ----
         ibot_loss = L.ibot_patch_loss(
-            t_ibot_probs, s_ibot, mask, mask_weight, a.student_temp
+            t_ibot_probs, s_ibot, sel_mask, sel_weight, a.student_temp
         )
 
         # ---- KoLeo on student global CLS features ----

@@ -43,18 +43,21 @@ def convert_torch_vit_state_dict(
     sd = {k: _t(v) for k, v in state_dict.items()}
     params: Dict[str, Any] = {}
 
-    pos = sd["pos_embed"]  # (1, 1+N, D) or (1, N, D)
     cls = sd["cls_token"]  # (1, 1, D)
-    if pos.shape[1] % 2 == 1:  # has a CLS positional entry
-        cls = cls + pos[:, :1]
-        pos = pos[:, 1:]
+    if "pos_embed" in sd:  # DINOv2; DINOv3 is RoPE-only with no pos_embed
+        pos = sd["pos_embed"]  # (1, 1+N, D) or (1, N, D)
+        if pos.shape[1] % 2 == 1:  # has a CLS positional entry
+            cls = cls + pos[:, :1]
+            pos = pos[:, 1:]
+        params["pos_embed"] = pos
     params["cls_token"] = cls
-    params["pos_embed"] = pos
     params["mask_token"] = sd.get(
         "mask_token", np.zeros((1, cls.shape[-1]), np.float32)
     ).reshape(-1)
     if "register_tokens" in sd:
         params["register_tokens"] = sd["register_tokens"]
+    elif "storage_tokens" in sd:  # DINOv3 naming
+        params["register_tokens"] = sd["storage_tokens"]
 
     w = sd["patch_embed.proj.weight"]  # (D, 3, p, p)
     params["patch_embed"] = {
@@ -89,9 +92,17 @@ def convert_torch_vit_state_dict(
         }
         if f"{p}attn.qkv.bias" in sd:
             bqkv = sd[f"{p}attn.qkv.bias"]
-            block["attn"]["q"]["bias"] = bqkv[:d]
-            block["attn"]["k"]["bias"] = bqkv[d : 2 * d]
-            block["attn"]["v"]["bias"] = bqkv[2 * d :]
+            if f"{p}attn.qkv.bias_mask" in sd:
+                # DINOv3 LinearKMaskedBias (``attention.py:37-53``): the
+                # effective bias is bias*mask with the k section masked to
+                # zero — the Flax k projection has no bias parameter.
+                bqkv = bqkv * sd[f"{p}attn.qkv.bias_mask"]
+                block["attn"]["q"]["bias"] = bqkv[:d]
+                block["attn"]["v"]["bias"] = bqkv[2 * d :]
+            else:
+                block["attn"]["q"]["bias"] = bqkv[:d]
+                block["attn"]["k"]["bias"] = bqkv[d : 2 * d]
+                block["attn"]["v"]["bias"] = bqkv[2 * d :]
         if f"{p}ls1.gamma" in sd:
             block["ls1"] = {"gamma": sd[f"{p}ls1.gamma"]}
             block["ls2"] = {"gamma": sd[f"{p}ls2.gamma"]}
@@ -102,16 +113,79 @@ def convert_torch_vit_state_dict(
                 "fc2": {"kernel": sd[f"{p}mlp.fc2.weight"].T,
                         "bias": sd[f"{p}mlp.fc2.bias"]},
             }
-        else:  # SwiGLU FFN (DINOv3 large models)
+        elif f"{p}mlp.w12.weight" in sd:
+            # DINOv2 SwiGLUFFNFused: split the fused w12 rows into w1/w2
+            # (the Flax FFN uses separate projections, no strided split).
+            w12 = sd[f"{p}mlp.w12.weight"]  # (2h, D), rows [w1; w2]
+            h = w12.shape[0] // 2
+            b12 = sd[f"{p}mlp.w12.bias"]
             block["mlp"] = {
-                "w12": {"kernel": sd[f"{p}mlp.w12.weight"].T,
-                        "bias": sd[f"{p}mlp.w12.bias"]},
+                "w1": {"kernel": w12[:h].T, "bias": b12[:h]},
+                "w2": {"kernel": w12[h:].T, "bias": b12[h:]},
                 "w3": {"kernel": sd[f"{p}mlp.w3.weight"].T,
                        "bias": sd[f"{p}mlp.w3.bias"]},
             }
+        else:  # DINOv3 SwiGLUFFN: w1/w2/w3 map directly
+            block["mlp"] = {
+                "w1": {"kernel": sd[f"{p}mlp.w1.weight"].T},
+                "w2": {"kernel": sd[f"{p}mlp.w2.weight"].T},
+                "w3": {"kernel": sd[f"{p}mlp.w3.weight"].T},
+            }
+            for name in ("w1", "w2", "w3"):
+                if f"{p}mlp.{name}.bias" in sd:
+                    block["mlp"][name]["bias"] = sd[f"{p}mlp.{name}.bias"]
         params[f"block{i}"] = block
 
     params["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return params
+
+
+def convert_torch_convnext_state_dict(
+    state_dict: Mapping[str, Any], depths: Any
+) -> Dict[str, Any]:
+    """DINOv3 ConvNeXt torch state dict -> Flax params for models/convnext.py.
+
+    Torch naming (``dinov3_src/models/convnext.py:161-196``):
+    ``downsample_layers.0.{0,1}`` stem conv+LN, ``downsample_layers.i.{0,1}``
+    LN+conv, ``stages.i.j.{dwconv,norm,pwconv1,pwconv2,gamma}``, final
+    ``norm``. Conv kernels transpose (O,I,kh,kw) -> (kh,kw,I,O); the
+    depthwise kernel (C,1,7,7) -> (7,7,1,C).
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {
+        "stem_conv": {
+            "kernel": sd["downsample_layers.0.0.weight"].transpose(2, 3, 1, 0),
+            "bias": sd["downsample_layers.0.0.bias"],
+        },
+        "stem_norm": {"scale": sd["downsample_layers.0.1.weight"],
+                      "bias": sd["downsample_layers.0.1.bias"]},
+        "norm": {"scale": sd["norm.weight"], "bias": sd["norm.bias"]},
+    }
+    for i in range(1, 4):
+        params[f"down{i}_norm"] = {
+            "scale": sd[f"downsample_layers.{i}.0.weight"],
+            "bias": sd[f"downsample_layers.{i}.0.bias"],
+        }
+        params[f"down{i}_conv"] = {
+            "kernel": sd[f"downsample_layers.{i}.1.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"downsample_layers.{i}.1.bias"],
+        }
+    for stage, depth in enumerate(depths):
+        for b in range(depth):
+            p = f"stages.{stage}.{b}."
+            params[f"stage{stage}_block{b}"] = {
+                "dwconv": {
+                    "kernel": sd[f"{p}dwconv.weight"].transpose(2, 3, 1, 0),
+                    "bias": sd[f"{p}dwconv.bias"],
+                },
+                "norm": {"scale": sd[f"{p}norm.weight"],
+                         "bias": sd[f"{p}norm.bias"]},
+                "pwconv1": {"kernel": sd[f"{p}pwconv1.weight"].T,
+                            "bias": sd[f"{p}pwconv1.bias"]},
+                "pwconv2": {"kernel": sd[f"{p}pwconv2.weight"].T,
+                            "bias": sd[f"{p}pwconv2.bias"]},
+                "gamma": sd[f"{p}gamma"],
+            }
     return params
 
 
@@ -135,8 +209,11 @@ def load_torch_checkpoint_for_model(
         k.removeprefix("module.").removeprefix("backbone."): v.numpy()
         for k, v in ckpt.items()
     }
-    depth = wrapped.module.cfg.depth  # type: ignore[attr-defined]
-    params = convert_torch_vit_state_dict(sd, depth)
+    cfg = wrapped.module.cfg  # type: ignore[attr-defined]
+    if "convnext" in model_name:
+        params = convert_torch_convnext_state_dict(sd, cfg.depths)
+    else:
+        params = convert_torch_vit_state_dict(sd, cfg.depth)
     logger.info(
         "Converted %d torch tensors for %s", len(sd), model_name
     )

@@ -110,13 +110,19 @@ class ConvNeXt(nn.Module):
                 )(x, deterministic=not train)
                 block_idx += 1
             stage_feats.append(x)
-        pooled = jnp.mean(x, axis=(1, 2))
-        pooled = nn.LayerNorm(dtype=cfg.dtype, name="head_norm")(pooled)
+        # Final LayerNorm over [pooled-cls; patch tokens] with shared params
+        # (``convnext.py:246-248``: x_norm = self.norm(cat([x_pool, x]))).
         B, H, W, D = x.shape
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=False)
+        norm = nn.LayerNorm(dtype=cfg.dtype, name="norm")
+        tokens = jnp.concatenate([pooled[:, None, :], x.reshape(B, H * W, D)],
+                                 axis=1)
+        tokens = norm(tokens)
+        patch_tokens = tokens[:, 1:]
         return {
-            "features": x,
-            "cls_token": pooled,
-            "patch_tokens": x.reshape(B, H * W, D),
+            "features": patch_tokens.reshape(B, H, W, D),
+            "cls_token": tokens[:, 0],
+            "patch_tokens": patch_tokens,
             "stage_features": stage_feats,
         }
 

@@ -72,11 +72,12 @@ def get_wrapped_model(name: str, dtype: Any = jnp.float32, **kwargs: Any) -> Wra
 
 
 def _build_vit(
-    size: str, patch: int, flavor: str, dtype: Any, **kwargs: Any
+    size: str, patch: int, flavor: str, dtype: Any,
+    model_name: str = None, **kwargs: Any
 ) -> WrappedModel:
     cfg = vit_config(size, patch, flavor=flavor, dtype=dtype, **kwargs)
     return WrappedModel(
-        name=f"{flavor}/{size}{patch}",
+        name=model_name or f"{flavor}/{size}{patch}",
         module=VisionTransformer(cfg),
         feature_dim=cfg.embed_dim,
         patch_size=patch,
@@ -94,12 +95,21 @@ for _size in _SIZES:
         ))(_size),
         hidden=_hidden,
     )
+
+# DINOv3 hub naming (dinov3_vits16plus etc., ``hub/backbones.py``):
+# size key "vitsplus" -> model name "dinov3/vits16plus".
+from lightly_train_tpu.models.vit import _DINOV3_SIZES  # noqa: E402
+
+for _size in _DINOV3_SIZES:
+    _base = _size[:-4] if _size.endswith("plus") else _size
+    _suffix = "plus" if _size.endswith("plus") else ""
+    _name = f"dinov3/{_base}16{_suffix}"
     register_model(
-        f"dinov3/{_size}16",
-        (lambda size: lambda dtype=jnp.float32, **kw: _build_vit(
-            size, 16, "dinov3", dtype, **kw
-        ))(_size),
-        hidden=_hidden,
+        _name,
+        (lambda size, name: lambda dtype=jnp.float32, **kw: _build_vit(
+            size, 16, "dinov3", dtype, model_name=name, **kw
+        ))(_size, _name),
+        hidden=_size == "vittest",
     )
 
 # dinov3 vitt32 used by the fastest EoMT config (BASELINE.md)

@@ -45,9 +45,20 @@ class ViTConfig:
     use_rope: bool = False
     rope_base: float = 100.0
     use_swiglu: bool = False
+    # SwiGLU hidden = int(mlp_ratio*D*2/3) padded up to this multiple
+    # (DINOv3 ffn_layer "swiglu"=8, "swiglu64"=64; ``ffn_layers.py:71-72``).
+    swiglu_align: int = 8
     qkv_bias: bool = True
+    # DINOv3 masks the k-projection bias to zero (``attention.py:37-53``
+    # LinearKMaskedBias); here k simply has no bias parameter.
+    mask_k_bias: bool = False
     proj_bias: bool = True
     ffn_bias: bool = True
+    # DINOv3 has no learned position embedding (RoPE only).
+    use_pos_embed: bool = True
+    # LayerNorm epsilon: DINOv2 "layernorm" 1e-6; DINOv3 "layernormbf16" 1e-5
+    # (``dinov3_src/models/vision_transformer.py:43-46``).
+    norm_eps: float = 1e-6
     # Base grid the learned pos-embed is stored at (DINOv2: 518/14=37;
     # we store at 224/patch and interpolate).
     pos_embed_size: int = 16
@@ -81,13 +92,18 @@ def _rope_angles(
 ) -> Tuple[jax.Array, jax.Array]:
     """2-D axial RoPE cos/sin tables for a (gh, gw) patch grid.
 
-    Rebuild of DINOv3 RoPE (``dinov3_src/.../rope_position_encoding.py:19``):
-    half the head dim rotates with the y coordinate, half with x. Coordinates
-    are normalized to [-1, 1].
+    Rebuild of DINOv3 RoPE (``dinov3_src/.../rope_position_encoding.py:62-117``
+    with ``normalize_coords="separate"``): half the head dim rotates with the
+    y coordinate, half with x; coordinates normalized to [-1, 1]; angle =
+    2*pi*coord/period with periods base**(i/(D/4)). Train-time coordinate
+    shift/jitter/rescale augmentations are eval-irrelevant and omitted.
     """
     gh, gw = grid_hw
     dim_quarter = head_dim // 4
-    freqs = base ** (-jnp.arange(dim_quarter, dtype=jnp.float32) / dim_quarter)
+    two_pi = 2.0 * jnp.pi
+    freqs = two_pi * base ** (
+        -jnp.arange(dim_quarter, dtype=jnp.float32) / dim_quarter
+    )
     ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh * 2.0 - 1.0
     xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw * 2.0 - 1.0
     ang_y = ys[:, None] * freqs[None, :]  # (gh, dq)
@@ -162,7 +178,12 @@ class Attention(nn.Module):
         # the MXU busy with zero copies. Converter splits torch's fused qkv
         # weight rows accordingly (models/convert.py).
         q = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="q")(x)
-        k = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="k")(x)
+        k = nn.Dense(
+            D,
+            use_bias=cfg.qkv_bias and not cfg.mask_k_bias,
+            dtype=cfg.dtype,
+            name="k",
+        )(x)
         v = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="v")(x)
         q = q.reshape(B, N, H, head_dim)
         k = k.reshape(B, N, H, head_dim)
@@ -191,13 +212,18 @@ class Mlp(nn.Module):
         D = x.shape[-1]
         hidden = int(D * cfg.mlp_ratio)
         if cfg.use_swiglu:
-            # DINOv3 SwiGLU FFN: hidden sized to keep params comparable.
-            hidden = int(2 * hidden / 3)
-            hidden = (hidden + 127) // 128 * 128  # MXU-aligned
-            x12 = nn.Dense(
-                2 * hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w12"
+            # DINOv3 SwiGLU FFN sizing (``ffn_layers.py:71-72``): 2/3 of the
+            # MLP hidden, padded up to swiglu_align. Separate w1/w2 matmuls
+            # (not a fused w12 + strided split — same copy-avoidance as the
+            # q/k/v projections); converter splits DINOv2's fused w12.
+            d = int(2 * hidden / 3)
+            hidden = d + (-d % cfg.swiglu_align)
+            x1 = nn.Dense(
+                hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w1"
             )(x)
-            x1, x2 = jnp.split(x12, 2, axis=-1)
+            x2 = nn.Dense(
+                hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w2"
+            )(x)
             x = nn.silu(x1) * x2
             return nn.Dense(D, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w3")(x)
         x = nn.Dense(hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="fc1")(x)
@@ -220,12 +246,12 @@ class Block(nn.Module):
     ) -> jax.Array:
         cfg = self.cfg
         D = x.shape[-1]
-        h = nn.LayerNorm(dtype=cfg.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm1")(x)
         h = Attention(cfg, self.num_prefix_tokens, name="attn")(h, rope, attn_mask)
         if cfg.layerscale_init is not None:
             h = LayerScale(cfg.layerscale_init, D, name="ls1")(h)
         x = x + DropPath(self.drop_path, name="dp1")(h, deterministic)
-        h = nn.LayerNorm(dtype=cfg.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm2")(x)
         h = Mlp(cfg, name="mlp")(h)
         if cfg.layerscale_init is not None:
             h = LayerScale(cfg.layerscale_init, D, name="ls2")(h)
@@ -275,12 +301,13 @@ class VisionTransformer(nn.Module):
                 mask[:, :, None], mask_token.astype(x.dtype)[None, None, :], x
             )
 
-        pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.normal(stddev=0.02),
-            (1, cfg.pos_embed_size * cfg.pos_embed_size, cfg.embed_dim),
-        )
-        x = x + interpolate_pos_embed(pos_embed, (gh, gw)).astype(x.dtype)
+        if cfg.use_pos_embed:
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (1, cfg.pos_embed_size * cfg.pos_embed_size, cfg.embed_dim),
+            )
+            x = x + interpolate_pos_embed(pos_embed, (gh, gw)).astype(x.dtype)
 
         cls_token = self.param(
             "cls_token", nn.initializers.normal(stddev=0.02), (1, 1, cfg.embed_dim)
@@ -324,7 +351,7 @@ class VisionTransformer(nn.Module):
             intermediates.append(x)
         self.sow("intermediates", "blocks", intermediates)
 
-        x = nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm")(x)
         p = self.num_prefix_tokens
         cls_out = x[:, 0]
         patch_tokens = x[:, p:]
@@ -342,7 +369,7 @@ class VisionTransformer(nn.Module):
 # ---------------------------------------------------------------------------
 
 _SIZES = {
-    # name: (embed_dim, depth, num_heads)
+    # name: (embed_dim, depth, num_heads)  — DINOv2 family
     "vitt": (192, 12, 3),
     "vits": (384, 12, 6),
     "vitb": (768, 12, 12),
@@ -353,6 +380,23 @@ _SIZES = {
     "vittest": (32, 2, 2),
 }
 
+# DINOv3 hub presets (``dinov3_src/hub/backbones.py:262-646``):
+# size: (embed_dim, depth, num_heads, ffn_ratio, use_swiglu, swiglu_align,
+#        qkv_bias). All use 4 storage tokens, masked k bias, LayerNorm
+# eps 1e-5 ("layernormbf16"), LayerScale 1e-5, RoPE base 100.
+_DINOV3_SIZES = {
+    "vitt": (192, 12, 3, 4.0, False, 8, True),
+    "vittplus": (192, 12, 3, 6.0, False, 8, True),
+    "vits": (384, 12, 6, 4.0, False, 8, True),
+    "vitsplus": (384, 12, 6, 6.0, True, 8, True),
+    "vitb": (768, 12, 12, 4.0, False, 8, True),
+    "vitl": (1024, 24, 16, 4.0, False, 8, True),
+    "vitlplus": (1024, 24, 16, 6.0, True, 8, True),
+    "vithplus": (1280, 32, 20, 6.0, True, 8, True),
+    "vit7b": (4096, 40, 32, 3.0, True, 64, False),
+    "vittest": (32, 2, 2, 4.0, False, 8, True),
+}
+
 
 def vit_config(
     size: str,
@@ -361,25 +405,53 @@ def vit_config(
     flavor: str = "dinov2",
     dtype: Any = jnp.float32,
     drop_path_rate: float = 0.0,
+    remat_every: int = 0,
 ) -> ViTConfig:
     """Build a ViTConfig for a reference-parity model name.
 
-    flavor "dinov2": learned pos-embed, no registers, MLP FFN.
-    flavor "dinov3": 4 register tokens, axial RoPE, SwiGLU for >=vitl.
+    flavor "dinov2": learned pos-embed, no registers, MLP FFN, LN eps 1e-6.
+    flavor "dinov3": 4 storage/register tokens, axial RoPE (no learned
+    pos-embed), masked k bias, LN eps 1e-5, SwiGLU on the "plus"/7b sizes —
+    exactly the hub presets (``dinov3_src/hub/backbones.py``).
     """
+    if flavor == "dinov3":
+        if size not in _DINOV3_SIZES:
+            raise ValueError(
+                f"Unknown DINOv3 size '{size}'. Options: {sorted(_DINOV3_SIZES)}"
+            )
+        embed_dim, depth, num_heads, ratio, swiglu, align, qkv_bias = (
+            _DINOV3_SIZES[size]
+        )
+        return ViTConfig(
+            patch_size=patch_size,
+            embed_dim=embed_dim,
+            depth=depth,
+            num_heads=num_heads,
+            mlp_ratio=ratio,
+            num_register_tokens=4,
+            use_rope=True,
+            use_swiglu=swiglu,
+            swiglu_align=align,
+            qkv_bias=qkv_bias,
+            mask_k_bias=True,
+            use_pos_embed=False,
+            norm_eps=1e-5,
+            pos_embed_size=224 // patch_size,
+            drop_path_rate=drop_path_rate,
+            remat_every=remat_every,
+            dtype=dtype,
+        )
     if size not in _SIZES:
         raise ValueError(f"Unknown ViT size '{size}'. Options: {sorted(_SIZES)}")
     embed_dim, depth, num_heads = _SIZES[size]
-    dinov3 = flavor == "dinov3"
     return ViTConfig(
         patch_size=patch_size,
         embed_dim=embed_dim,
         depth=depth,
         num_heads=num_heads,
-        num_register_tokens=4 if dinov3 else 0,
-        use_rope=dinov3,
-        use_swiglu=dinov3 and size in ("vitl", "vitg", "vit7b"),
+        use_swiglu=size == "vitg",  # DINOv2 giant2 uses SwiGLUFFNFused (align 8)
         pos_embed_size=224 // patch_size,
         drop_path_rate=drop_path_rate,
+        remat_every=remat_every,
         dtype=dtype,
     )

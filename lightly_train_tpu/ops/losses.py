@@ -42,7 +42,10 @@ def softmax_center_teacher(
 
 
 def update_center(
-    center: jax.Array, teacher_logits: jax.Array, momentum: float = 0.9
+    center: jax.Array,
+    teacher_logits: jax.Array,
+    momentum: float = 0.9,
+    sample_weights: jax.Array | None = None,
 ) -> jax.Array:
     """EMA update of the teacher center from the *global* batch mean.
 
@@ -50,10 +53,18 @@ def update_center(
     (``dinov2_loss.py:140-160``); here the mean over the sharded batch axis IS
     the global mean, and XLA overlaps the psum with surrounding compute.
     ``teacher_logits``: (..., K) — all leading axes are averaged.
+    ``sample_weights``: optional 0/1 validity over the leading axes (the iBOT
+    center averages masked tokens only, ``dinov2_loss.py:250-260``).
     """
     t = teacher_logits.astype(jnp.float32)
     reduce_axes = tuple(range(t.ndim - 1))
-    batch_center = jnp.mean(t, axis=reduce_axes)
+    if sample_weights is not None:
+        w = sample_weights.astype(jnp.float32)
+        batch_center = jnp.sum(t * w[..., None], axis=reduce_axes) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+    else:
+        batch_center = jnp.mean(t, axis=reduce_axes)
     return center * momentum + batch_center * (1.0 - momentum)
 
 

@@ -30,6 +30,7 @@ from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
     EoMTSemanticSegmentationArgs,
     EoMTSemanticSegmentationTrainModel,
     mask_classification_loss,
+    point_sampled_mask_loss,
 )
 
 NO_SEGMENT = 255
@@ -68,10 +69,28 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
             batch["images"].astype(self.cfg.dtype),
             mask_probs, rng, True, rngs={"droppath": rng},
         )
+        total = 0.0
+        if a.use_point_sampling:
+            # seg_map already IS the slot-id map (NO_SEGMENT -> background).
+            id_map = batch["seg_map"].astype(jnp.int32)
+            valid = batch["seg_valid"]
+            for li, (cls_logits, mask_logits) in enumerate(outputs):
+                total = total + point_sampled_mask_loss(
+                    cls_logits, mask_logits, grid_hw, id_map, valid,
+                    batch["seg_labels"], jax.random.fold_in(rng, li),
+                    num_classes=a.num_classes,
+                    class_weight=a.class_weight,
+                    mask_weight=a.mask_weight,
+                    dice_weight=a.dice_weight,
+                    no_object_weight=a.no_object_weight,
+                    num_points=a.num_points,
+                    oversample_ratio=a.oversample_ratio,
+                    importance_sample_ratio=a.importance_sample_ratio,
+                )
+            return total / len(outputs), (model_state, {})
         targets, valid = self._targets_from_ids(
             batch["seg_map"], batch["seg_labels"], batch["seg_valid"], grid_hw
         )
-        total = 0.0
         for cls_logits, mask_logits in outputs:
             total = total + mask_classification_loss(
                 cls_logits, mask_logits, targets, valid, batch["seg_labels"],

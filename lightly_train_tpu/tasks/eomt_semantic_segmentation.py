@@ -47,6 +47,12 @@ class EoMTSemanticSegmentationArgs(TaskArgs):
     dice_weight: float = 5.0
     no_object_weight: float = 0.1
     attn_mask_annealing: bool = True
+    # Point-sampled loss (reference ``train_model.py:81-83``): CE+dice at
+    # num_points sampled label-resolution coordinates instead of full masks.
+    use_point_sampling: bool = True
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
     default_steps: int = 40_000
     default_batch_size: int = 16
 
@@ -378,6 +384,148 @@ def mask_classification_loss(
     )
 
 
+def _slot_chunk_size(K: int, limit: int = 16) -> int:
+    for c in range(min(limit, K), 0, -1):
+        if K % c == 0:
+            return c
+    return 1
+
+
+def point_sampled_mask_loss(
+    cls_logits: jax.Array,  # (B, Q, C+1)
+    mask_logits: jax.Array,  # (B, Q, n) at patch grid
+    grid_hw: Tuple[int, int],
+    id_map: jax.Array,  # (B, H, W) int32 slot ids (out-of-range = background)
+    valid: jax.Array,  # (B, K)
+    tgt_classes: jax.Array,  # (B, K)
+    rng: jax.Array,
+    *,
+    num_classes: int,
+    class_weight: float,
+    mask_weight: float,
+    dice_weight: float,
+    no_object_weight: float,
+    num_points: int = 12544,
+    oversample_ratio: float = 3.0,
+    importance_sample_ratio: float = 0.75,
+) -> jax.Array:
+    """Point-sampled Mask2Former loss (reference ``mask_loss.py:28-54``).
+
+    Matching costs use ``num_points`` shared uniform samples; the matched
+    CE+dice use importance(uncertainty)+uniform samples per mask — both at
+    the LABEL resolution (targets sampled bilinearly from the id map, pred
+    logits sampled bilinearly from the patch grid), so high-resolution
+    supervision never materializes (B, Q, H, W) upsampled masks. Static
+    shapes throughout: fixed point budgets, per-slot chunked ``lax.scan``.
+    """
+    from lightly_train_tpu.ops.point_sampling import (
+        bilinear_point_sample,
+        sample_id_indicator,
+        sample_slot_indicator,
+        uncertainty_point_coords,
+    )
+
+    B, Q, n = mask_logits.shape
+    gh, gw = grid_hw
+    K = valid.shape[1]
+    P = num_points
+    k_match, k_loss = jax.random.split(rng)
+    pred_grid = mask_logits.reshape(B, Q, gh, gw)
+
+    # ---- matching costs at shared uniform points ----
+    coords_m = jax.random.uniform(k_match, (B, P, 2))
+    pred_pts = bilinear_point_sample(pred_grid, coords_m)  # (B, Q, P)
+    tgt_pts = sample_id_indicator(id_map, coords_m, K)  # (B, K, P)
+
+    cls_prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+    cost_class = -jnp.take_along_axis(
+        cls_prob[:, :, None, :],
+        tgt_classes[:, None, :, None].repeat(Q, 1),
+        axis=-1,
+    )[..., 0]
+    pp = pred_pts.astype(jnp.float32)
+    pos = jax.nn.softplus(-pp)
+    neg = jax.nn.softplus(pp)
+    cost_bce = (
+        jnp.einsum("bqp,bkp->bqk", pos, tgt_pts)
+        + jnp.einsum("bqp,bkp->bqk", neg, 1.0 - tgt_pts)
+    ) / P
+    pred_sig = jax.nn.sigmoid(pp)
+    inter = jnp.einsum("bqp,bkp->bqk", pred_sig, tgt_pts)
+    sums = pred_sig.sum(-1)[:, :, None] + tgt_pts.sum(-1)[:, None, :]
+    cost_dice = 1.0 - (2 * inter + 1.0) / (sums + 1.0)
+    cost = (
+        class_weight * cost_class
+        + mask_weight * cost_bce
+        + dice_weight * cost_dice
+    )
+    assignment = hungarian_match(jax.lax.stop_gradient(cost), valid)
+    assigned = assignment >= 0
+    safe_idx = jnp.maximum(assignment, 0)
+
+    # ---- class CE over queries ----
+    matched_q = jnp.full((B, Q), num_classes, dtype=jnp.int32)
+    matched_q = jax.vmap(
+        lambda mq, idx, cls, ok: mq.at[jnp.where(ok, idx, Q)].set(
+            jnp.where(ok, cls, num_classes), mode="drop"
+        )
+    )(matched_q, safe_idx, tgt_classes, assigned)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, matched_q[..., None], axis=-1)[..., 0]
+    w = jnp.where(matched_q == num_classes, no_object_weight, 1.0)
+    loss_class = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    # ---- point-sampled CE + dice per matched slot, chunked over K ----
+    pred_matched = jnp.take_along_axis(
+        mask_logits, safe_idx[..., None], axis=1
+    ).reshape(B, K, gh, gw)
+    kc = _slot_chunk_size(K)
+    nk = K // kc
+    pred_chunks = pred_matched.reshape(B, nk, kc, gh, gw).transpose(
+        1, 0, 2, 3, 4
+    )  # (nk, B, kc, gh, gw)
+    slot_chunks = jnp.arange(K, dtype=id_map.dtype).reshape(nk, kc)
+    keys = jax.random.split(k_loss, nk)
+
+    def chunk_losses(xs):
+        pred_c, slots_c, key = xs  # (B, kc, gh, gw), (kc,), key
+        flat_pred = pred_c.reshape(B * kc, gh, gw)
+        coords = uncertainty_point_coords(
+            key, jax.lax.stop_gradient(flat_pred).astype(jnp.float32),
+            P, oversample_ratio, importance_sample_ratio,
+        ).reshape(B, kc, P, 2)
+        tgt = sample_slot_indicator(id_map, coords, slots_c)  # (B, kc, P)
+        pred_p = bilinear_point_sample(
+            flat_pred[:, None, :, :], coords.reshape(B * kc, P, 2)
+        ).reshape(B, kc, P).astype(jnp.float32)
+        bce = jnp.mean(
+            tgt * jax.nn.softplus(-pred_p)
+            + (1.0 - tgt) * jax.nn.softplus(pred_p),
+            axis=-1,
+        )  # (B, kc)
+        sig = jax.nn.sigmoid(pred_p)
+        num = 2.0 * jnp.sum(sig * tgt, axis=-1)
+        den = jnp.sum(sig, axis=-1) + jnp.sum(tgt, axis=-1)
+        dice = 1.0 - (num + 1.0) / (den + 1.0)
+        return bce, dice
+
+    bce_chunks, dice_chunks = jax.lax.map(
+        chunk_losses, (pred_chunks, slot_chunks, keys)
+    )  # (nk, B, kc)
+    bce = bce_chunks.transpose(1, 0, 2).reshape(B, K)
+    dice = dice_chunks.transpose(1, 0, 2).reshape(B, K)
+
+    use = (assigned & valid).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(use), 1.0)  # global num_masks (GSPMD psum)
+    loss_mask = jnp.sum(bce * use) / denom
+    loss_dice = jnp.sum(dice * use) / denom
+    return (
+        class_weight * loss_class
+        + mask_weight * loss_mask
+        + dice_weight * loss_dice
+    )
+
+
 class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
     task = "semantic_segmentation"
 
@@ -440,6 +588,17 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
         )  # (B, K) class present in image
         return t, valid
 
+    def _class_presence(self, masks: jax.Array) -> jax.Array:
+        """(B, H, W) labels -> (B, K) presence flags without one-hot blowup."""
+        K = self.args.num_classes
+        safe = jnp.where(
+            masks == self.args.ignore_index, K, masks
+        ).astype(jnp.int32)
+        counts = jax.vmap(
+            lambda m: jnp.bincount(m.reshape(-1), length=K + 1)
+        )(safe)
+        return counts[:, :K] > 0
+
     def loss_fn(self, params, model_state, batch, rng, step):
         a = self.args
         images = batch["images"]
@@ -454,17 +613,41 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             True,
             rngs={"droppath": rng},
         )
-        targets, valid = self._targets_from_mask(masks, grid_hw)
         tgt_classes = jnp.arange(a.num_classes)[None, :].repeat(
             images.shape[0], 0
         )  # semantic: target k IS class k
 
+        if a.use_point_sampling:
+            # Labels double as the slot-id map (class k == slot k); ignore
+            # pixels map to an out-of-range id -> background for every slot.
+            id_map = jnp.where(
+                masks == a.ignore_index, -1, masks
+            ).astype(jnp.int32)
+            valid = self._class_presence(masks)
+            targets = None
+        else:
+            targets, valid = self._targets_from_mask(masks, grid_hw)
+
         total = 0.0
         metrics: Dict[str, jax.Array] = {}
         for li, (cls_logits, mask_logits) in enumerate(outputs):
-            loss_l = self._single_level_loss(
-                cls_logits, mask_logits, targets, valid, tgt_classes
-            )
+            if a.use_point_sampling:
+                loss_l = point_sampled_mask_loss(
+                    cls_logits, mask_logits, grid_hw, id_map, valid,
+                    tgt_classes, jax.random.fold_in(rng, li),
+                    num_classes=a.num_classes,
+                    class_weight=a.class_weight,
+                    mask_weight=a.mask_weight,
+                    dice_weight=a.dice_weight,
+                    no_object_weight=a.no_object_weight,
+                    num_points=a.num_points,
+                    oversample_ratio=a.oversample_ratio,
+                    importance_sample_ratio=a.importance_sample_ratio,
+                )
+            else:
+                loss_l = self._single_level_loss(
+                    cls_logits, mask_logits, targets, valid, tgt_classes
+                )
             total = total + loss_l
             if li == len(outputs) - 1:
                 metrics["loss_final"] = loss_l

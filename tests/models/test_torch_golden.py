@@ -131,6 +131,118 @@ def test_dinov2_vit_small_with_registers_outputs_match():
     np.testing.assert_allclose(t["patch"], f["patch"], atol=2e-4, rtol=1e-4)
 
 
+def _load_reference_dinov3():
+    _load_reference_vit()  # mounts the stub parent package
+    import importlib
+
+    return importlib.import_module(
+        "lightly_train._models.dinov3.dinov3_src.models.vision_transformer"
+    )
+
+
+def _dinov3_pair(ffn_layer, ffn_ratio, use_swiglu, seed=0):
+    """Construct matched torch/flax DINOv3 models (random weights)."""
+    import torch
+
+    from lightly_train_tpu.models.vit import ViTConfig
+
+    vt3 = _load_reference_dinov3()
+    torch_model = vt3.DinoVisionTransformer(
+        img_size=224, patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        ffn_ratio=ffn_ratio, qkv_bias=True, layerscale_init=1e-5,
+        norm_layer="layernormbf16", ffn_layer=ffn_layer,
+        n_storage_tokens=4, mask_k_bias=True,
+        pos_embed_rope_base=100.0, pos_embed_rope_dtype="fp32",
+    )
+    torch_model.init_weights()
+    with torch.no_grad():
+        # Random weights: init_weights leaves some params zero; randomize for
+        # a discriminating comparison. bias_mask is NaN at construction
+        # (checkpoints carry it): set the DINOv3 mask (k section zeroed).
+        for p in torch_model.parameters():
+            if p.ndim >= 1:
+                p.add_(torch.randn_like(p) * 0.02)
+        for blk in torch_model.blocks:
+            m = blk.attn.qkv.bias_mask
+            d = m.shape[0] // 3
+            m.fill_(1.0)
+            m[d : 2 * d] = 0.0
+    cfg = ViTConfig(
+        patch_size=16, embed_dim=64, depth=2, num_heads=2,
+        mlp_ratio=ffn_ratio, layerscale_init=1e-5, num_register_tokens=4,
+        use_rope=True, rope_base=100.0, use_swiglu=use_swiglu,
+        swiglu_align=8, qkv_bias=True, mask_k_bias=True,
+        use_pos_embed=False, norm_eps=1e-5,
+    )
+    return torch_model, cfg
+
+
+def test_dinov3_mlp_outputs_match():
+    torch_model, cfg = _dinov3_pair("mlp", 4.0, use_swiglu=False)
+    t, f = _forward_pair(torch_model, cfg, (224, 224))
+    np.testing.assert_allclose(t["cls"], f["cls"], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t["patch"], f["patch"], atol=1e-4, rtol=1e-4)
+
+
+def test_dinov3_swiglu_outputs_match():
+    torch_model, cfg = _dinov3_pair("swiglu", 6.0, use_swiglu=True)
+    t, f = _forward_pair(torch_model, cfg, (224, 224))
+    np.testing.assert_allclose(t["cls"], f["cls"], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(t["patch"], f["patch"], atol=1e-4, rtol=1e-4)
+
+
+def test_dinov3_non_square_grid_matches():
+    """RoPE separate-axis coordinate normalization on a non-square grid."""
+    torch_model, cfg = _dinov3_pair("mlp", 4.0, use_swiglu=False)
+    t, f = _forward_pair(torch_model, cfg, (96, 160))
+    np.testing.assert_allclose(t["patch"], f["patch"], atol=1e-4, rtol=1e-4)
+
+
+def test_dinov3_convnext_outputs_match():
+    """ConvNeXt converter golden test against the vendored torch model
+    (``dinov3_src/models/convnext.py:126``)."""
+    import importlib
+
+    import torch
+
+    from lightly_train_tpu.models.convert import convert_torch_convnext_state_dict
+    from lightly_train_tpu.models.convnext import ConvNeXt, ConvNeXtConfig
+
+    _load_reference_vit()
+    cn = importlib.import_module(
+        "lightly_train._models.dinov3.dinov3_src.models.convnext"
+    )
+    depths, dims = (2, 1, 1, 2), (8, 16, 32, 64)
+    torch_model = cn.ConvNeXt(depths=list(depths), dims=list(dims))
+    torch_model.init_weights()
+    with torch.no_grad():
+        for p in torch_model.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    torch_model.eval()
+
+    sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+    params = convert_torch_convnext_state_dict(sd, depths)
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_out = torch_model.forward_features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+    flax_model = ConvNeXt(ConvNeXtConfig(depths=depths, dims=dims))
+    f_out = flax_model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        t_out["x_norm_clstoken"].numpy(),
+        np.asarray(f_out["cls_token"], np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        t_out["x_norm_patchtokens"].numpy(),
+        np.asarray(f_out["patch_tokens"], np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
 def test_dinov2_masked_forward_matches():
     """iBOT mask-token substitution follows the same semantics (mask before
     pos-add, ``vision_transformer.py:307-316``)."""
