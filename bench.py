@@ -97,19 +97,20 @@ def main() -> None:
     )
     key = jax.random.key(1)
 
-    # Compile + warmup.
-    state, metrics = train_step(state, imgs, key)
-    jax.block_until_ready(metrics["train_loss"])
-
-    # FLOPs of the compiled step for MFU.
+    # FLOPs of the compiled step for MFU — lower the SAME donated jit before
+    # the first call (a separate non-donated lowering needs two copies of the
+    # train state and OOMs at batch >= 64).
     flops = 0.0
     try:
-        lowered = jax.jit(train_step, donate_argnums=()).lower(state, imgs, key)
-        cost = lowered.compile().cost_analysis()
+        cost = train_step.lower(state, imgs, key).compile().cost_analysis()
         if cost:
             flops = float(cost.get("flops", 0.0))
     except Exception:
         pass
+
+    # Compile (cached from the lowering above) + warmup.
+    state, metrics = train_step(state, imgs, key)
+    jax.block_until_ready(metrics["train_loss"])
 
     # Secondary metric: augmentation-stage throughput (BASELINE "aug GB/s").
     aug_gbps = 0.0

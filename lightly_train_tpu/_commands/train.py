@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Literal, Optional, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from pydantic import field_validator
 
 from lightly_train_tpu._checkpoint.checkpoint import (
     CheckpointManager,
@@ -59,8 +60,22 @@ class TrainConfig(PydanticConfig):
     out: str
     data: Optional[str] = None
     model: str = "dinov2/vitb14"
+
+    @field_validator("model", mode="before")
+    @classmethod
+    def _resolve_model(cls, v: Any) -> str:
+        # Custom package: a WrappedModel or bare Flax module is registered
+        # and replaced by its name (reference custom_package.py:1-66).
+        from lightly_train_tpu.models.package_registry import resolve_model_name
+
+        return resolve_model_name(v)
     method: str = "distillation"
     method_args: Dict[str, Any] = {}
+    # Reference-style transform overrides applied to every view (plus
+    # optional "global_view"/"local_view" sub-dicts) — the user-facing
+    # ``transform_args`` of ``lightly_train.pretrain``
+    # (``_transforms/transform.py:306-387``).
+    transform_args: Dict[str, Any] = {}
     optim: str = "auto"
     optim_args: Dict[str, Any] = {}
     batch_size: Union[int, Auto] = AUTO
@@ -300,6 +315,7 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
     train_step = make_train_step(
         method, optimizer, total_steps, aug_dtype=dtype,
         grad_accum_steps=config.grad_accum_steps,
+        transform_args=config.transform_args or None,
     )
     logger.info(
         "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",
@@ -310,12 +326,17 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
         if not (config.log_augmentations and is_main_process()):
             return
         from lightly_train_tpu._visualize.grids import save_augmentation_grid
-        from lightly_train_tpu.ops.augment import augment_view
+        from lightly_train_tpu.ops.augment import (
+            augment_view,
+            override_view_specs,
+        )
 
         images = batch["images"] if isinstance(batch, dict) else batch
         views = []
         key = jax.random.key(config.seed + 1)
-        for spec in method.view_specs():
+        for spec in override_view_specs(
+            method.view_specs(), config.transform_args or None
+        ):
             views.append(
                 np.asarray(
                     augment_view(key, images[:8], spec.config, jnp.float32)

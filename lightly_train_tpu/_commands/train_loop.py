@@ -30,6 +30,7 @@ def make_train_step(
     total_steps: int,
     aug_dtype: Any = jnp.float32,
     grad_accum_steps: int = 1,
+    transform_args: Any = None,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
     """Build the fused step: augment + loss + update in one program.
 
@@ -40,7 +41,9 @@ def make_train_step(
     program (the HLO stays microbatch-sized, so effective batch can exceed
     the per-program compile/memory ceiling).
     """
-    view_specs = method.view_specs()
+    from lightly_train_tpu.ops.augment import override_view_specs
+
+    view_specs = override_view_specs(method.view_specs(), transform_args)
     n_views = sum(s.count for s in view_specs)
     # Methods with dense-geometric losses (DINOv31 PaKA) receive the per-view
     # crop geometry arrays appended after the view arrays; mask-conditioned

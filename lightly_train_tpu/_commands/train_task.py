@@ -19,6 +19,7 @@ from typing import Any, Callable, Dict, Literal, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from pydantic import field_validator
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -55,6 +56,15 @@ class TrainTaskConfig(PydanticConfig):
     out: str
     model: str
     task_args: Dict[str, Any] = {}
+
+    @field_validator("model", mode="before")
+    @classmethod
+    def _resolve_model(cls, v: Any) -> str:
+        # Custom package: a WrappedModel or bare Flax module is registered
+        # and replaced by its name (reference custom_package.py:1-66).
+        from lightly_train_tpu.models.package_registry import resolve_model_name
+
+        return resolve_model_name(v)
     checkpoint: Optional[str] = None  # pretrained backbone artifact
     steps: Union[int, Auto] = AUTO
     batch_size: Union[int, Auto] = AUTO
@@ -105,27 +115,44 @@ def _device_val_transform(
     return out
 
 
-def _merge_pretrained(init_params: Any, pretrained: Any) -> Any:
+def _merge_pretrained(
+    init_params: Any, pretrained: Any, _path: str = ""
+) -> Any:
     """Key-wise overlay of pretrained trunk params onto an initialized tree.
 
     Task heads (queries, prediction heads) keep their fresh init; trunk keys
-    present in the pretrained artifact are taken from it. Shape mismatches
-    keep the fresh init with a warning (e.g. patch-size change).
+    present in the pretrained artifact are taken from it. A shape mismatch is
+    an ERROR (a wrong checkpoint must not silently fine-tune from scratch) —
+    except resolution-dependent tables (``pos_embed``, interpolated at
+    runtime), and ``LIGHTLY_TRAIN_ALLOW_SHAPE_MISMATCH=1`` downgrades all
+    mismatches to warnings.
     """
     if not isinstance(init_params, dict) or not isinstance(pretrained, dict):
         init_shape = getattr(init_params, "shape", None)
         pre_shape = getattr(pretrained, "shape", None)
         if init_shape is not None and init_shape != pre_shape:
-            logger.warning(
-                "Pretrained param shape %s != model shape %s; keeping fresh "
-                "init for this leaf", pre_shape, init_shape,
+            import os
+
+            if "pos_embed" in _path or os.environ.get(
+                "LIGHTLY_TRAIN_ALLOW_SHAPE_MISMATCH"
+            ) == "1":
+                logger.warning(
+                    "Pretrained param %s shape %s != model shape %s; keeping "
+                    "fresh init for this leaf", _path, pre_shape, init_shape,
+                )
+                return init_params
+            raise ConfigError(
+                f"Pretrained checkpoint param '{_path}' has shape "
+                f"{pre_shape} but the model expects {init_shape}. This "
+                "checkpoint does not match the model. Set "
+                "LIGHTLY_TRAIN_ALLOW_SHAPE_MISMATCH=1 to keep the fresh "
+                "init for mismatched leaves instead."
             )
-            return init_params
         return pretrained
     out = dict(init_params)
     for k, v in pretrained.items():
         if k in out:
-            out[k] = _merge_pretrained(out[k], v)
+            out[k] = _merge_pretrained(out[k], v, f"{_path}/{k}")
     return out
 
 

@@ -306,8 +306,12 @@ class DINOv2(Method):
         )
 
         # ---- KoLeo on student global CLS features ----
+        # Per-device nearest-neighbor semantics like the reference (KoLeo is
+        # not all-gathered there): group blocks align with the batch shards.
+        n_groups = jax.device_count()
         koleo = 0.5 * (
-            L.koleo_loss(s_cls_g[:B]) + L.koleo_loss(s_cls_g[B:])
+            L.koleo_loss(s_cls_g[:B], groups=n_groups)
+            + L.koleo_loss(s_cls_g[B:], groups=n_groups)
         )
 
         loss = (

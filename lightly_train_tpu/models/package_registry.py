@@ -51,9 +51,47 @@ def list_models() -> List[str]:
     return sorted(n for n, e in _REGISTRY.items() if not e.hidden)
 
 
-def get_wrapped_model(name: str, dtype: Any = jnp.float32, **kwargs: Any) -> WrappedModel:
-    """Build a backbone by its ``pkg/model`` name."""
+def resolve_model_name(model: Any) -> str:
+    """Normalize a user model argument to a registry name.
+
+    Strings pass through; a ``WrappedModel`` or bare Flax module (the custom
+    package, reference ``custom_package.py:1-66``) is wrapped, registered
+    under its name, and that name returned — so configs stay serializable.
+    """
+    if isinstance(model, str):
+        return model
+    wrapped = get_wrapped_model(model)
+    if wrapped.name not in _REGISTRY:
+        register_model(wrapped.name, lambda dtype=None, **kw: wrapped,
+                       hidden=True)
+    return wrapped.name
+
+
+def get_wrapped_model(name: Any, dtype: Any = jnp.float32, **kwargs: Any) -> WrappedModel:
+    """Build a backbone by its ``pkg/model`` name, or wrap a custom module.
+
+    Accepts a registry name string, a ready ``WrappedModel`` (returned
+    as-is), or any user Flax module implementing the feature protocol
+    (wrapped via the custom package, reference ``custom_package.py:1-66``).
+    """
+    if isinstance(name, WrappedModel):
+        return name
+    if not isinstance(name, str):
+        import flax.linen as nn
+
+        if isinstance(name, nn.Module):
+            from lightly_train_tpu.models.custom import wrap_custom_module
+
+            return wrap_custom_module(name)
+        raise UnknownModelError(
+            f"Model must be a name string, WrappedModel, or Flax module; "
+            f"got {type(name)!r}."
+        )
     entry = _REGISTRY.get(name)
+    if entry is None and name.startswith("timm/"):
+        resolved = _resolve_timm(name, dtype)
+        if resolved is not None:
+            return resolved
     if entry is None:
         import difflib
 
@@ -205,10 +243,71 @@ for _name in _RESNET_SIZES:
 
 
 # ---------------------------------------------------------------------------
-# timm-style convenience aliases onto the native families (the reference's
-# timm package wraps arbitrary timm models; here the architecturally
-# equivalent native modules answer to the common names).
+# torchvision ShuffleNetV2 family (reference: _models/torchvision/)
 # ---------------------------------------------------------------------------
+
+from lightly_train_tpu.models.shufflenet import (  # noqa: E402
+    _SHUFFLENET_SIZES,
+    ShuffleNetV2,
+    shufflenet_config,
+)
+
+
+def _build_shufflenet(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    cfg = shufflenet_config(name, dtype=dtype)
+    return WrappedModel(
+        name=f"torchvision/{name}",
+        module=ShuffleNetV2(cfg),
+        feature_dim=cfg.out_channels,
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _name in _SHUFFLENET_SIZES:
+    register_model(
+        f"torchvision/{_name}",
+        (lambda n: lambda dtype=jnp.float32, **kw: _build_shufflenet(
+            n, dtype, **kw
+        ))(_name),
+        hidden=_name == "shufflenettest",
+    )
+
+
+# ---------------------------------------------------------------------------
+# timm package: pattern-driven names onto the native families (the
+# reference's timm package wraps arbitrary timm torch models; here the
+# architecturally equivalent native modules answer to the standard names —
+# vit_{size}_patch{P}_{res}, resnet{depth}, convnext_{size},
+# shufflenet_v2_x*).
+# ---------------------------------------------------------------------------
+
+_TIMM_VIT_SIZES = {
+    "tiny": "vitt", "small": "vits", "base": "vitb",
+    "large": "vitl", "giant": "vitg",
+}
+
+
+def _resolve_timm(name: str, dtype: Any = jnp.float32) -> Optional[WrappedModel]:
+    """Map a ``timm/<model>`` name onto a native builder (None if unknown)."""
+    import re
+
+    model = name.removeprefix("timm/")
+    m = re.fullmatch(r"vit_(\w+?)_patch(\d+)(?:_\d+)?", model)
+    if m and m.group(1) in _TIMM_VIT_SIZES:
+        size = _TIMM_VIT_SIZES[m.group(1)]
+        patch = int(m.group(2))
+        return _build_vit(size, patch, "dinov2", dtype, model_name=name)
+    if model in _RESNET_SIZES:
+        return _build_resnet(model, dtype)
+    m = re.fullmatch(r"convnext_(\w+)", model)
+    if m and m.group(1) in _CONVNEXT_SIZES:
+        return _build_convnext(m.group(1), dtype)
+    if model in _SHUFFLENET_SIZES:
+        return _build_shufflenet(model, dtype)
+    return None
+
 
 for _alias, _target in {
     "timm/resnet18": "torchvision/resnet18",

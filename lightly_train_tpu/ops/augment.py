@@ -62,9 +62,128 @@ class ViewAugmentConfig:
     # solarize
     solarize_prob: float = 0.0
     solarize_threshold: float = 0.5
+    # channel drop (``transform.py:31-33`` ChannelDropArgs): keep
+    # num_channels_keep channels, dropping others with probability weights.
+    # None = off (output keeps all input channels).
+    channel_drop_keep: Optional[int] = None
+    channel_drop_weights: Optional[Tuple[float, ...]] = None
+    # random rotation (``transform.py:126-138`` RandomRotationArgs): arbitrary
+    # angle in [-degrees, degrees], reflect-101 border, applied after flips
+    # at the view resolution (``view_transform.py:177-192``).
+    rotation_prob: float = 0.0
+    rotation_degrees: float = 0.0
     # normalize
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
+
+
+def view_config_with_overrides(
+    cfg: ViewAugmentConfig, args: dict
+) -> ViewAugmentConfig:
+    """Apply reference-style ``transform_args`` keys onto a view config.
+
+    Accepts the reference ``MethodTransformArgs`` vocabulary
+    (``_transforms/transform.py:306-387``): image_size, random_resize,
+    random_flip, color_jitter, random_gray_scale, gaussian_blur, solarize,
+    channel_drop, random_rotation, normalize. A key explicitly set to None
+    disables that op (reference semantics).
+    """
+    u: dict = {}
+    if "image_size" in args:
+        s = args["image_size"]
+        u["out_size"] = (s, s) if isinstance(s, int) else tuple(s)
+    if "random_resize" in args:
+        rr = args["random_resize"]
+        if rr is None:
+            u["crop_scale"] = (1.0, 1.0)
+        else:
+            u["crop_scale"] = (
+                rr.get("min_scale", cfg.crop_scale[0]),
+                rr.get("max_scale", cfg.crop_scale[1]),
+            )
+    if "random_flip" in args:
+        rf = args["random_flip"]
+        u["hflip_prob"] = 0.0 if rf is None else rf.get("horizontal_prob", 0.5)
+        u["vflip_prob"] = 0.0 if rf is None else rf.get("vertical_prob", 0.0)
+    if "color_jitter" in args:
+        cj = args["color_jitter"]
+        if cj is None:
+            u["cj_prob"] = 0.0
+        else:
+            u["cj_prob"] = cj.get("prob", cfg.cj_prob)
+            u["cj_strength"] = cj.get("strength", cfg.cj_strength)
+            u["cj_bright"] = cj.get("brightness", cfg.cj_bright)
+            u["cj_contrast"] = cj.get("contrast", cfg.cj_contrast)
+            u["cj_sat"] = cj.get("saturation", cfg.cj_sat)
+            u["cj_hue"] = cj.get("hue", cfg.cj_hue)
+    if "random_gray_scale" in args:
+        g = args["random_gray_scale"]
+        u["gray_prob"] = 0.0 if g is None else float(g)
+    if "gaussian_blur" in args:
+        gb = args["gaussian_blur"]
+        if gb is None:
+            u["blur_prob"] = 0.0
+        else:
+            u["blur_prob"] = gb.get("prob", cfg.blur_prob)
+            if "sigmas" in gb:
+                u["blur_sigma"] = tuple(gb["sigmas"])
+    if "solarize" in args:
+        so = args["solarize"]
+        if so is None:
+            u["solarize_prob"] = 0.0
+        else:
+            u["solarize_prob"] = so.get("prob", cfg.solarize_prob)
+            u["solarize_threshold"] = so.get(
+                "threshold", cfg.solarize_threshold)
+    if "channel_drop" in args:
+        cd = args["channel_drop"]
+        if cd is None:
+            u["channel_drop_keep"] = None
+        else:
+            u["channel_drop_keep"] = int(cd["num_channels_keep"])
+            u["channel_drop_weights"] = tuple(cd["weight_drop"])
+    if "random_rotation" in args:
+        rot = args["random_rotation"]
+        if rot is None:
+            u["rotation_prob"] = 0.0
+        else:
+            u["rotation_prob"] = rot.get("prob", 1.0)
+            deg = rot.get("degrees", 0.0)
+            u["rotation_degrees"] = float(
+                deg if not isinstance(deg, (tuple, list)) else max(
+                    abs(deg[0]), abs(deg[1]))
+            )
+    if "normalize" in args and args["normalize"] is not None:
+        u["mean"] = tuple(args["normalize"]["mean"])
+        u["std"] = tuple(args["normalize"]["std"])
+    return dataclasses.replace(cfg, **u)
+
+
+def override_view_specs(specs: list, transform_args: Optional[dict]) -> list:
+    """Apply ``transform_args`` to a method's view specs.
+
+    Top-level keys apply to every view; optional ``global_view`` /
+    ``local_view`` sub-dicts apply only to the largest-resolution views /
+    the rest (the reference's per-view-group args,
+    ``transform.py:306-387``).
+    """
+    if not transform_args:
+        return specs
+    common = {
+        k: v for k, v in transform_args.items()
+        if k not in ("global_view", "local_view")
+    }
+    max_size = max(s.config.out_size[0] for s in specs)
+    out = []
+    for s in specs:
+        cfg = view_config_with_overrides(s.config, common)
+        group = (
+            "global_view" if s.config.out_size[0] == max_size else "local_view"
+        )
+        if group in transform_args and transform_args[group]:
+            cfg = view_config_with_overrides(cfg, transform_args[group])
+        out.append(dataclasses.replace(s, config=cfg))
+    return out
 
 
 def _sample_crop_boxes(
@@ -408,6 +527,105 @@ def normalize(
     return (images - mean_a) / std_a
 
 
+def channel_drop(
+    key: jax.Array,
+    images: jax.Array,
+    num_keep: int,
+    weights: Optional[Sequence[float]] = None,
+) -> jax.Array:
+    """Keep ``num_keep`` channels per image, dropping the rest.
+
+    Device rebuild of the reference ``ChannelDrop``
+    (``_transforms/channel_drop.py:21-61``): channels are REMOVED (static
+    output shape (B, H, W, num_keep)), not zeroed. ``weights`` are per-channel
+    drop propensities (0 = never dropped). Selection uses a per-image Gumbel
+    top-k over -log(weight) noise — a static-shape weighted sample without
+    replacement.
+    """
+    B, H, W, C = images.shape
+    if num_keep >= C:
+        return images
+    w = jnp.asarray(
+        weights if weights is not None else [1.0] * C, jnp.float32
+    )
+    # Weighted sampling without replacement (Gumbel-max over drop weights):
+    # channels with the LOWEST drop score are kept; zero-weight channels get
+    # -inf drop score (never dropped).
+    gumbel = -jnp.log(
+        -jnp.log(jax.random.uniform(key, (B, C), minval=1e-9, maxval=1.0))
+    )
+    drop_score = jnp.where(w > 0, jnp.log(jnp.maximum(w, 1e-9)) + gumbel,
+                           -jnp.inf)
+    order = jnp.argsort(drop_score, axis=1)  # ascending: keep first num_keep
+    keep_idx = jnp.sort(order[:, :num_keep], axis=1)  # preserve channel order
+    return jnp.take_along_axis(
+        images, keep_idx[:, None, None, :], axis=3
+    )
+
+
+def random_rotate(
+    key: jax.Array,
+    images: jax.Array,
+    prob: float,
+    degrees: float,
+) -> jax.Array:
+    """Per-image random rotation with reflect-101 border (albumentations
+    ``Rotate`` as configured in ``view_transform.py:177-192``).
+
+    Bilinear sampling on a rotated grid; runs at the (small) view resolution
+    after cropping, so the 4-corner gathers stay cheap.
+    """
+    if prob <= 0.0 or degrees == 0.0:
+        return images
+    B, H, W, C = images.shape
+    k_apply, k_angle = jax.random.split(key)
+    apply = jax.random.uniform(k_apply, (B,)) < prob
+    angle = jax.random.uniform(
+        k_angle, (B,), minval=-degrees, maxval=degrees
+    ) * (jnp.pi / 180.0)
+    angle = jnp.where(apply, angle, 0.0)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    ys = jnp.arange(H, dtype=jnp.float32) - cy
+    xs = jnp.arange(W, dtype=jnp.float32) - cx
+    yy = jnp.broadcast_to(ys[:, None], (H, W))
+    xx = jnp.broadcast_to(xs[None, :], (H, W))
+    # Source coords for each output pixel (inverse rotation).
+    sy = cos[:, None, None] * yy[None] - sin[:, None, None] * xx[None] + cy
+    sx = sin[:, None, None] * yy[None] + cos[:, None, None] * xx[None] + cx
+
+    def reflect101(v, n):
+        # OpenCV BORDER_REFLECT_101: ... 2 1 | 0 1 2 ... n-1 | n-2 n-3 ...
+        period = 2.0 * (n - 1)
+        v = jnp.abs(v) % period
+        return jnp.minimum(v, period - v)
+
+    sy = reflect101(sy, H)
+    sx = reflect101(sx, W)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None]
+    fx = (sx - x0)[..., None]
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    flat = images.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        lin = (yi * W + xi).reshape(B, H * W)
+        g = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        return g.reshape(B, H, W, C)
+
+    out = (
+        gather(y0i, x0i) * (1 - fy) * (1 - fx)
+        + gather(y0i, x1i) * (1 - fy) * fx
+        + gather(y1i, x0i) * fy * (1 - fx)
+        + gather(y1i, x1i) * fy * fx
+    )
+    return jnp.where(apply[:, None, None, None], out, images)
+
+
 def augment_view(
     key: jax.Array,
     images: jax.Array,
@@ -434,9 +652,22 @@ def augment_view_with_geometry(
     Geometry: (B, 5) float32 ``[y0, x0, h, w, hflipped]`` in source pixels —
     the reference's geometry recording for PaKA (``view_transform.py:215-256``).
     """
-    keys = jax.random.split(key, 7)
+    keys = jax.random.split(key, 9)
     B = images.shape[0]
     in_hw = (images.shape[1], images.shape[2])
+    mean, std = cfg.mean, cfg.std
+    if (
+        cfg.channel_drop_keep is not None
+        and cfg.channel_drop_keep < images.shape[3]
+    ):
+        # ChannelDrop runs first (``view_transform.py:155-161``); normalize
+        # stats follow the kept channels when lengths line up.
+        images = channel_drop(
+            keys[7], images, cfg.channel_drop_keep, cfg.channel_drop_weights
+        )
+        if len(mean) != images.shape[3]:
+            mean = tuple(mean[: images.shape[3]])
+            std = tuple(std[: images.shape[3]])
     y0, x0, h, w = _sample_crop_boxes(
         keys[0], B, in_hw, cfg.crop_scale, cfg.crop_ratio
     )
@@ -456,6 +687,13 @@ def augment_view_with_geometry(
     geometry = jnp.stack(
         [y0, x0, h, w, hflip.astype(jnp.float32)], axis=1
     )
+    if cfg.rotation_prob > 0 and cfg.rotation_degrees != 0.0:
+        # After flips, before photometrics (``view_transform.py:177-192``).
+        # Note: rotation invalidates the crop geometry for dense-geometric
+        # methods, mirroring the reference's record_geometry exclusion.
+        out = random_rotate(
+            keys[8], out, cfg.rotation_prob, cfg.rotation_degrees
+        )
     if cfg.cj_prob > 0:
         out = color_jitter(
             keys[2],
@@ -472,7 +710,7 @@ def augment_view_with_geometry(
         keys[4], out, cfg.blur_prob, cfg.blur_sigma, cfg.blur_kernel_size
     )
     out = random_solarize(keys[5], out, cfg.solarize_prob, cfg.solarize_threshold)
-    out = normalize(out, cfg.mean, cfg.std)
+    out = normalize(out, mean, std)
     return out.astype(out_dtype), geometry
 
 

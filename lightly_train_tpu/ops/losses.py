@@ -148,23 +148,31 @@ def ibot_patch_loss(
     return jnp.sum(weighted) / n_masked_samples
 
 
-def koleo_loss(embeddings: jax.Array, eps: float = 1e-8) -> jax.Array:
+def koleo_loss(
+    embeddings: jax.Array, eps: float = 1e-8, groups: int = 1
+) -> jax.Array:
     """Kozachenko-Leonenko entropy regularizer (``dinov2_loss.py`` KoLeo).
 
     embeddings: (B, D) student CLS embeddings. L2-normalize, find the nearest
     *other* sample, and penalize small nearest-neighbor distances:
-    ``-mean(log(||x_i - x_nn(i)||))``. The (B, B) similarity matmul rides the
-    MXU. NOTE: per-device batch semantics in the reference (KoLeo is NOT
-    all-gathered there either) — apply per shard via shard_map if exactness
-    matters; global matmul under GSPMD is the default here.
+    ``-mean(log(||x_i - x_nn(i)||))``.
+
+    ``groups`` reproduces the reference's PER-DEVICE semantics (KoLeo is not
+    all-gathered there): with groups = device_count, nearest neighbors are
+    searched within contiguous B/groups blocks, which align exactly with the
+    GSPMD batch shards — so each (B/g, B/g) similarity matmul stays local to
+    its device and no collective is inserted.
     """
     x = l2_normalize(embeddings.astype(jnp.float32), eps)
-    sim = x @ x.T  # (B, B)
     B = x.shape[0]
-    sim = sim - 2.0 * jnp.eye(B, dtype=sim.dtype)  # exclude self
-    nn_idx = jnp.argmax(sim, axis=1)
-    nn = x[nn_idx]
-    dist = jnp.sqrt(jnp.maximum(jnp.sum((x - nn) ** 2, axis=-1), eps))
+    g = groups if groups > 1 and B % groups == 0 and B // groups >= 2 else 1
+    xg = x.reshape(g, B // g, -1)
+    sim = jnp.einsum("gid,gjd->gij", xg, xg)
+    n = B // g
+    sim = sim - 2.0 * jnp.eye(n, dtype=sim.dtype)[None]  # exclude self
+    nn_idx = jnp.argmax(sim, axis=2)  # (g, n)
+    nn = jnp.take_along_axis(xg, nn_idx[..., None], axis=1)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum((xg - nn) ** 2, axis=-1), eps))
     return -jnp.mean(jnp.log(dist + eps))
 
 

@@ -40,7 +40,9 @@ from lightly_train_tpu.tasks.base import TaskArgs, TaskTrainModel
 class EoMTSemanticSegmentationArgs(TaskArgs):
     num_classes: int = 150
     num_queries: int = 100
-    num_joint_blocks: int = 3
+    # None = auto by backbone size: 3 for 12-block ViTs (t/s/b), 4 for
+    # ViT-L (24), 5 for ViT-H/g/7b (reference ``train_model.py:136-146``).
+    num_joint_blocks: Optional[int] = None
     ignore_index: int = 255
     class_weight: float = 2.0
     mask_weight: float = 5.0
@@ -534,6 +536,15 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
         self.args: EoMTSemanticSegmentationArgs = args
         cfg: ViTConfig = wrapped.module.cfg  # type: ignore[attr-defined]
         self.cfg = cfg
+        if args.num_joint_blocks is None:
+            # Scale with ViT size (reference ``train_model.py:136-146``:
+            # vitt/s/b -> 3, vitl -> 4, vith/g/7b -> 5), keyed by depth.
+            depth = cfg.depth
+            auto = 3 if depth <= 12 else (4 if depth <= 24 else 5)
+            args = args.model_copy(update={
+                "num_joint_blocks": min(auto, depth)
+            })
+            self.args = args
         self.trunk = _EoMTTrunk(
             cfg,
             num_queries=args.num_queries,
