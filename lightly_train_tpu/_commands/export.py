@@ -67,13 +67,33 @@ def export_from_config(config: ExportConfig) -> Path:
                         if k not in ("params", "model_name")},
         )
         return out_path
-    flat = flatten_params(artifact["params"])
     out_path.parent.mkdir(parents=True, exist_ok=True)
     if config.format == "numpy_state_dict":
+        flat = flatten_params(artifact["params"])
         np.savez(out_path, **flat)
     else:
         import torch
 
+        model_name = str(artifact.get("model_name", ""))
+        params = artifact["params"]
+        if (
+            model_name.startswith(("dinov2/", "dinov3/"))
+            and "convnext" not in model_name
+            and "block0" in params
+        ):
+            # ViT backbones export with Meta torch naming so the state dict
+            # loads directly into the reference's vendored modules
+            # (reverse of the import converter).
+            from lightly_train_tpu.models.convert import (
+                convert_flax_vit_to_torch_state_dict,
+            )
+
+            depth = sum(
+                1 for k in params if k.startswith("block") and k[5:].isdigit()
+            )
+            flat = convert_flax_vit_to_torch_state_dict(params, depth)
+        else:
+            flat = flatten_params(params)
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in flat.items()},
                    out_path)
     logger.info("Exported %s (%d tensors) to %s", config.format, len(flat),

@@ -85,11 +85,28 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
     out_path = Path(config.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exported.serialize())
+    # Raw StableHLO module + serialized xla.CompileOptionsProto for the
+    # native C++ PJRT runner (``native/src/lt_runner.cpp`` — the analog of
+    # the reference's ONNX Runtime / TensorRT C++ examples,
+    # ``examples/cpp/onnxruntime/main.cpp``): the runner dlopens a PJRT
+    # plugin, compiles this module, and executes it without Python.
+    mlir_path = out_path.with_suffix(out_path.suffix + ".mlir")
+    mlir_path.write_text(exported.mlir_module())
+    try:
+        from jax._src.lib import xla_client as _xc
+
+        out_path.with_suffix(out_path.suffix + ".compile_options.pb").write_bytes(
+            _xc.CompileOptions().SerializeAsString()
+        )
+    except Exception:  # pragma: no cover - older jaxlib layouts
+        logger.warning("Could not serialize CompileOptions for the C++ runner")
     meta = {
         "task": task,
         "input_shape": list(spec.shape),
+        "input_dtype": "float32",
         "precision": config.precision,
         "format": "stablehlo",
+        "mlir": mlir_path.name,
     }
     out_path.with_suffix(out_path.suffix + ".json").write_text(
         json.dumps(meta, indent=2)

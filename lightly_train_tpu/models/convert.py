@@ -140,6 +140,79 @@ def convert_torch_vit_state_dict(
     return params
 
 
+def convert_flax_vit_to_torch_state_dict(
+    params: Mapping[str, Any], depth: int
+) -> Dict[str, np.ndarray]:
+    """Reverse converter: Flax VisionTransformer params -> Meta torch naming.
+
+    Inverse of :func:`convert_torch_vit_state_dict`, used by
+    ``export(format="torch_state_dict")`` so exported backbones load directly
+    into the reference's vendored ``DinoVisionTransformer`` / DINOv3 modules.
+    The CLS positional entry was folded into ``cls_token`` at import; a zero
+    row is emitted in its place (mathematically identical forward).
+    """
+    p = jax_to_np(params)
+    sd: Dict[str, np.ndarray] = {}
+    d_model = p["cls_token"].shape[-1]
+    sd["cls_token"] = p["cls_token"]
+    sd["mask_token"] = p["mask_token"].reshape(1, d_model)
+    if "pos_embed" in p:
+        pos = p["pos_embed"]  # (1, N, D)
+        sd["pos_embed"] = np.concatenate(
+            [np.zeros((1, 1, d_model), np.float32), pos], axis=1
+        )
+    if "register_tokens" in p:
+        key = "register_tokens" if "pos_embed" in p else "storage_tokens"
+        sd[key] = p["register_tokens"]
+    sd["patch_embed.proj.weight"] = p["patch_embed"]["kernel"].transpose(
+        3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = p["patch_embed"]["bias"]
+    for i in range(depth):
+        b = p[f"block{i}"]
+        o = f"blocks.{i}."
+        sd[f"{o}norm1.weight"] = b["norm1"]["scale"]
+        sd[f"{o}norm1.bias"] = b["norm1"]["bias"]
+        sd[f"{o}norm2.weight"] = b["norm2"]["scale"]
+        sd[f"{o}norm2.bias"] = b["norm2"]["bias"]
+        attn = b["attn"]
+        sd[f"{o}attn.qkv.weight"] = np.concatenate(
+            [attn["q"]["kernel"].T, attn["k"]["kernel"].T,
+             attn["v"]["kernel"].T], axis=0)
+        if "bias" in attn["q"]:
+            k_bias = attn.get("k", {}).get(
+                "bias", np.zeros((d_model,), np.float32))
+            sd[f"{o}attn.qkv.bias"] = np.concatenate(
+                [attn["q"]["bias"], k_bias, attn["v"]["bias"]], axis=0)
+        sd[f"{o}attn.proj.weight"] = attn["proj"]["kernel"].T
+        sd[f"{o}attn.proj.bias"] = attn["proj"]["bias"]
+        if "ls1" in b:
+            sd[f"{o}ls1.gamma"] = b["ls1"]["gamma"]
+            sd[f"{o}ls2.gamma"] = b["ls2"]["gamma"]
+        mlp = b["mlp"]
+        if "fc1" in mlp:
+            sd[f"{o}mlp.fc1.weight"] = mlp["fc1"]["kernel"].T
+            sd[f"{o}mlp.fc1.bias"] = mlp["fc1"]["bias"]
+            sd[f"{o}mlp.fc2.weight"] = mlp["fc2"]["kernel"].T
+            sd[f"{o}mlp.fc2.bias"] = mlp["fc2"]["bias"]
+        else:  # SwiGLU
+            sd[f"{o}mlp.w1.weight"] = mlp["w1"]["kernel"].T
+            sd[f"{o}mlp.w2.weight"] = mlp["w2"]["kernel"].T
+            sd[f"{o}mlp.w3.weight"] = mlp["w3"]["kernel"].T
+            for name in ("w1", "w2", "w3"):
+                if "bias" in mlp[name]:
+                    sd[f"{o}mlp.{name}.bias"] = mlp[name]["bias"]
+    sd["norm.weight"] = p["norm"]["scale"]
+    sd["norm.bias"] = p["norm"]["bias"]
+    return sd
+
+
+def jax_to_np(tree: Any) -> Any:
+    """Convert (nested) jax arrays to float32 numpy."""
+    if isinstance(tree, Mapping):
+        return {k: jax_to_np(v) for k, v in tree.items()}
+    return np.asarray(tree, dtype=np.float32)
+
+
 def convert_torch_convnext_state_dict(
     state_dict: Mapping[str, Any], depths: Any
 ) -> Dict[str, Any]:

@@ -198,6 +198,63 @@ def test_dinov3_non_square_grid_matches():
     np.testing.assert_allclose(t["patch"], f["patch"], atol=1e-4, rtol=1e-4)
 
 
+def test_reverse_converter_roundtrip_into_torch():
+    """Flax params -> Meta torch naming -> vendored torch module: the torch
+    forward must match the Flax forward (export format=torch_state_dict)."""
+    import torch
+
+    from lightly_train_tpu.models.convert import (
+        convert_flax_vit_to_torch_state_dict,
+    )
+    from lightly_train_tpu.models.vit import ViTConfig, VisionTransformer
+
+    vt = _load_reference_vit()
+    cfg = ViTConfig(
+        patch_size=16, embed_dim=8, depth=3, num_heads=2, mlp_ratio=1.0,
+        layerscale_init=1e-5, pos_embed_size=14,
+    )
+    flax_model = VisionTransformer(cfg)
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2, 224, 224, 3)).astype(np.float32)
+    variables = flax_model.init(
+        {"params": jax.random.key(5), "droppath": jax.random.key(6)},
+        jnp.asarray(x),
+    )
+    # Randomize (init leaves LayerScale constant etc.)
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 * np.random.default_rng(1).normal(
+            size=a.shape
+        ).astype(np.float32),
+        variables["params"],
+    )
+    sd = convert_flax_vit_to_torch_state_dict(params, depth=cfg.depth)
+
+    torch_model = vt._vit_test(
+        patch_size=16, init_values=1e-5, img_size=224, block_chunks=0
+    )
+    missing, unexpected = torch_model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    assert not unexpected, unexpected
+    torch_model.eval()
+    with torch.no_grad():
+        t_out = torch_model.forward_features(
+            torch.from_numpy(x.transpose(0, 3, 1, 2))
+        )
+    f_out = flax_model.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(
+        t_out["x_norm_clstoken"].numpy(),
+        np.asarray(f_out["cls_token"], np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        t_out["x_norm_patchtokens"].numpy(),
+        np.asarray(f_out["patch_tokens"], np.float32),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
 def test_dinov3_convnext_outputs_match():
     """ConvNeXt converter golden test against the vendored torch model
     (``dinov3_src/models/convnext.py:126``)."""
