@@ -715,9 +715,11 @@ def train_instance_segmentation(
     model: str,
     **kwargs: Any,
 ) -> Tuple[TaskTrainState, Dict[str, float]]:
-    """Instance segmentation (COCO polygon JSON).
+    """Instance segmentation (COCO polygon JSON or YOLO-seg labels).
 
-    data: {"train": {"images": dir, "annotations": json}, "val": {...}}.
+    data (COCO): {"train": {"images": dir, "annotations": json}, "val": ...}
+    data (YOLO): {"format": "yolo", "num_classes": int,
+                  "train": {"images": dir, "labels": dir}, "val": {...}}
     ``model`` names ending in ``-ltdetr`` train the LT-DETR detector + mask
     head; otherwise (or with ``-eomt``) the EoMT mask transformer.
     """
@@ -725,6 +727,7 @@ def train_instance_segmentation(
         COCOInstanceSegmentationDataset,
         EoMTInstanceSegmentationArgs,
         EoMTInstanceSegmentationTrainModel,
+        YOLOInstanceSegmentationDataset,
     )
 
     config = pydantic_model_validate(
@@ -735,15 +738,18 @@ def train_instance_segmentation(
     config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)
     max_inst = int(config.task_args.get("max_instances", 50))
-    train_ds = COCOInstanceSegmentationDataset(
-        Path(data["train"]["images"]), Path(data["train"]["annotations"]),
-        hw, max_inst,
-    )
-    val_ds = (
-        COCOInstanceSegmentationDataset(
-            Path(data["val"]["images"]), Path(data["val"]["annotations"]),
-            hw, max_inst,
+    if data.get("format") == "yolo":
+        n_cls = int(data["num_classes"])
+        _mk = lambda split: YOLOInstanceSegmentationDataset(
+            Path(split["images"]), Path(split["labels"]), n_cls, hw, max_inst
         )
+    else:
+        _mk = lambda split: COCOInstanceSegmentationDataset(
+            Path(split["images"]), Path(split["annotations"]), hw, max_inst
+        )
+    train_ds = _mk(data["train"])
+    val_ds = (
+        _mk(data["val"])
         if "val" in data
         else None
     )

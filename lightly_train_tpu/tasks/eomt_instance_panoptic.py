@@ -351,8 +351,93 @@ def _rasterize_polygons(polys: List[List[float]], hw: Tuple[int, int],
     return np.asarray(mask, dtype=bool)
 
 
+class YOLOInstanceSegmentationDataset:
+    """YOLO segmentation format -> compact slot-id map targets.
+
+    Rebuild of the reference's YOLO instance-segmentation dataset
+    (``_data/instance_segmentation_dataset.py:400-470``): per-image ``.txt``
+    label files where each line is ``class x1 y1 x2 y2 ...`` with polygon
+    coordinates normalized to [0, 1]. Polygons with < 3 points are skipped
+    (``:58-66``). Emits the same batch dict as the COCO dataset.
+    """
+
+    def __init__(
+        self,
+        images_dir: Path,
+        labels_dir: Path,
+        num_classes: int,
+        image_hw: Tuple[int, int] = (640, 640),
+        max_instances: int = 50,
+    ):
+        images_dir, labels_dir = Path(images_dir), Path(labels_dir)
+        exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+        self.items = []
+        for p in sorted(images_dir.rglob("*")):
+            if p.suffix.lower() not in exts:
+                continue
+            label = labels_dir / p.relative_to(images_dir).with_suffix(".txt")
+            self.items.append((str(p), str(label) if label.exists() else None))
+        if not self.items:
+            raise DatasetError(f"No images under {images_dir}")
+        self.num_classes = num_classes
+        self.image_hw = image_hw
+        self.max_instances = max_instances
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, index: int) -> Dict[str, Any]:
+        path, label_path = self.items[index]
+        image = decode_image(path, self.image_hw)
+        hw = self.image_hw
+        seg_map = np.full(hw, NO_SEGMENT, np.int32)
+        labels = np.zeros((self.max_instances,), np.int32)
+        valid = np.zeros((self.max_instances,), bool)
+        boxes = np.zeros((self.max_instances, 4), np.float32)
+        slot = 0
+        if label_path is not None:
+            for line in Path(label_path).read_text().splitlines():
+                parts = line.split()
+                if len(parts) < 7:  # class + >= 3 (x, y) points
+                    continue
+                if slot >= self.max_instances:
+                    break
+                cls = int(float(parts[0]))
+                coords = [float(v) for v in parts[1:]]
+                if len(coords) % 2 == 1:
+                    coords = coords[:-1]
+                # Normalized [0,1] coords -> view pixels.
+                poly = [
+                    c * (hw[1] if i % 2 == 0 else hw[0])
+                    for i, c in enumerate(coords)
+                ]
+                m = _rasterize_polygons([poly], hw, (1.0, 1.0))
+                if not m.any():
+                    continue
+                seg_map[m] = slot
+                labels[slot] = cls
+                valid[slot] = True
+                xs, ys = coords[0::2], coords[1::2]
+                x0, x1 = min(xs), max(xs)
+                y0, y1 = min(ys), max(ys)
+                boxes[slot] = [(x0 + x1) / 2, (y0 + y1) / 2, x1 - x0, y1 - y0]
+                slot += 1
+        return {
+            "images": image,
+            "seg_map": seg_map,
+            "seg_labels": labels,
+            "seg_valid": valid,
+            "boxes": boxes,
+        }
+
+
 class COCOInstanceSegmentationDataset:
-    """COCO JSON with polygon segmentations -> compact slot-id map targets."""
+    """COCO JSON with polygon segmentations -> compact slot-id map targets.
+
+    iscrowd annotations are excluded from target slots (never Hungarian-
+    matched); their pixels stay NO_SEGMENT (reference crowd handling,
+    ``mask_panoptic_segmentation_dataset.py:218-258``).
+    """
 
     def __init__(
         self,
@@ -368,7 +453,7 @@ class COCOInstanceSegmentationDataset:
         self.num_classes = len(cat_ids)
         by_image: Dict[int, List[dict]] = {}
         for a in ann.get("annotations", []):
-            if a.get("segmentation"):
+            if a.get("segmentation") and not a.get("iscrowd", 0):
                 by_image.setdefault(a["image_id"], []).append(a)
         self.items = []
         for im in ann.get("images", []):
@@ -475,10 +560,19 @@ class COCOPanopticSegmentationDataset:
         seg_map = np.full(self.image_hw, NO_SEGMENT, np.int32)
         labels = np.zeros((self.max_segments,), np.int32)
         valid = np.zeros((self.max_segments,), bool)
-        for slot, s in enumerate(segments[: self.max_segments]):
+        slot = 0
+        for s in segments:
+            if s.get("iscrowd", 0):
+                # Crowd regions are never target slots; pixels stay at the
+                # ignore id (reference: PQ ignores crowd,
+                # ``mask_panoptic_segmentation_dataset.py:218-258``).
+                continue
+            if slot >= self.max_segments:
+                break
             seg_map[ids == s["id"]] = slot
             labels[slot] = self.cat_to_idx.get(s["category_id"], 0)
             valid[slot] = True
+            slot += 1
         return {
             "images": image,
             "seg_map": seg_map,

@@ -189,3 +189,100 @@ def test_decode_rle_compressed_roundtrip():
     assert _decode_rle_counts(encode(counts)) == counts
     m = decode_rle({"size": [9, 3], "counts": encode(counts)})
     assert m.sum() == 4 + 5 + 12  # odd-index runs are foreground
+
+
+@pytest.fixture
+def yolo_instance(tmp_path):
+    """YOLO-seg layout: images/ + labels/*.txt with normalized polygons."""
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path / "yolo"
+    (root / "images").mkdir(parents=True)
+    (root / "labels").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 256, size=(60, 80, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "images" / f"im_{i}.png")
+        # Two instances: a triangle (class 0) and a square (class 1).
+        lines = [
+            "0 0.1 0.1 0.5 0.1 0.3 0.5",
+            "1 0.6 0.6 0.9 0.6 0.9 0.9 0.6 0.9",
+        ]
+        if i == 3:  # degenerate polygon (< 3 points) must be skipped
+            lines.append("0 0.2 0.2 0.3 0.3")
+        (root / "labels" / f"im_{i}.txt").write_text("\n".join(lines))
+    return root
+
+
+def test_yolo_instance_dataset(yolo_instance):
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        NO_SEGMENT,
+        YOLOInstanceSegmentationDataset,
+    )
+
+    ds = YOLOInstanceSegmentationDataset(
+        yolo_instance / "images", yolo_instance / "labels",
+        num_classes=2, image_hw=(64, 64), max_instances=8,
+    )
+    assert len(ds) == 6
+    item = ds[0]
+    assert item["images"].shape == (64, 64, 3)
+    assert item["seg_valid"][:2].all() and not item["seg_valid"][2:].any()
+    assert set(np.unique(item["seg_map"])) <= {0, 1, NO_SEGMENT}
+    assert item["seg_labels"][0] == 0 and item["seg_labels"][1] == 1
+    # Slot 1 (the square) covers roughly (0.3*0.3) of the image.
+    frac = (item["seg_map"] == 1).mean()
+    assert 0.05 < frac < 0.15
+    # Degenerate polygon skipped: image 3 still has exactly 2 valid slots.
+    assert ds[3]["seg_valid"].sum() == 2
+
+
+def test_yolo_instance_end_to_end(tmp_path, yolo_instance):
+    import lightly_train_tpu as lt
+
+    state, metrics = lt.train_instance_segmentation(
+        out=str(tmp_path / "out"),
+        data={
+            "format": "yolo",
+            "num_classes": 2,
+            "train": {"images": str(yolo_instance / "images"),
+                      "labels": str(yolo_instance / "labels")},
+        },
+        model="dinov3/vittest16-eomt",
+        steps=2,
+        batch_size=2,
+        image_size=32,
+        task_args={"num_queries": 8, "max_instances": 8, "num_points": 256},
+        precision="fp32",
+        log_every=1,
+    )
+    assert int(state.step) == 2
+
+
+def test_coco_instance_iscrowd_excluded(tmp_path, coco_instance):
+    import json as _json
+    from pathlib import Path
+
+    from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+        COCOInstanceSegmentationDataset,
+    )
+
+    images_dir = coco_instance / "train"
+    ann_path = images_dir / "ann.json"
+    ann = _json.loads(Path(ann_path).read_text())
+    n_before = len(ann["annotations"])
+    ann["annotations"][0]["iscrowd"] = 1
+    crowd_path = tmp_path / "crowd.json"
+    crowd_path.write_text(_json.dumps(ann))
+    ds = COCOInstanceSegmentationDataset(
+        images_dir, crowd_path, image_hw=(32, 32), max_instances=8
+    )
+    total_valid = sum(int(ds[i]["seg_valid"].sum()) for i in range(len(ds)))
+    ds_all = COCOInstanceSegmentationDataset(
+        images_dir, ann_path, image_hw=(32, 32), max_instances=8
+    )
+    total_all = sum(
+        int(ds_all[i]["seg_valid"].sum()) for i in range(len(ds_all))
+    )
+    assert total_valid == total_all - 1
