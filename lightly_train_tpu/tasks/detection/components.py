@@ -438,6 +438,12 @@ class DETRDecoder(nn.Module):
                     ),
                     1e-4, 1.0,
                 )
+                # Expose the distributions + their reference boxes for the
+                # FGL distribution focal loss (criterion.dfine_fgl_loss).
+                self.sow(
+                    "intermediates", "dfine_dists",
+                    (dist.astype(jnp.float32), boxes.astype(jnp.float32)),
+                )
                 # LQE (``dfine_decoder.py:369``): class-logit refinement from
                 # distribution statistics (top-k bin probs per edge).
                 k_stat = min(4, nb)

@@ -68,6 +68,59 @@ def detection_loss_single(
     )
 
 
+def dfine_fgl_loss(
+    dist: jax.Array,  # (B, Q, 4, nb) per-edge offset-bin logits
+    base_boxes: jax.Array,  # (B, Q, 4) cxcywh BEFORE this layer's refinement
+    refined_boxes: jax.Array,  # (B, Q, 4) cxcywh after refinement
+    tgt_boxes: jax.Array,  # (B, K, 4)
+    assignment: jax.Array,  # (B, K)
+    scale: float,
+) -> jax.Array:
+    """Fine-Grained Localization loss (D-FINE ``dfine_criterion.py`` fgl):
+    distribution focal loss pushing each edge's bin distribution toward the
+    matched target edge, IoU-weighted. The target bin coordinate is the
+    exact inverse of the decoder's Integral refinement
+    (``components.py`` use_dfine branch)."""
+    B, Q, _, nb = dist.shape
+    assigned = assignment >= 0
+    safe_q = jnp.maximum(assignment, 0)
+    d = jnp.take_along_axis(
+        dist, safe_q[:, :, None, None].repeat(4, 2).repeat(nb, 3), axis=1
+    )  # (B, K, 4, nb)
+    b0 = jnp.take_along_axis(base_boxes, safe_q[..., None], axis=1)
+    br = jnp.take_along_axis(refined_boxes, safe_q[..., None], axis=1)
+
+    def edges(b):
+        return jnp.stack(
+            [b[..., 0] - b[..., 2] / 2, b[..., 1] - b[..., 3] / 2,
+             b[..., 0] + b[..., 2] / 2, b[..., 1] + b[..., 3] / 2], axis=-1)
+
+    e0 = edges(b0)
+    et = edges(tgt_boxes)
+    denom = jnp.stack(
+        [b0[..., 2], b0[..., 3], b0[..., 2], b0[..., 3]], axis=-1
+    ) * scale
+    off = jnp.clip((et - e0) / jnp.maximum(denom, 1e-6), -1.0, 1.0)
+    y = jnp.clip((off + 1.0) / 2.0 * (nb - 1), 0.0, nb - 1 - 1e-4)
+    yl = jnp.floor(y)
+    w_r = y - yl
+    w_l = 1.0 - w_r
+    yl_i = yl.astype(jnp.int32)
+    logp = jax.nn.log_softmax(d.astype(jnp.float32), axis=-1)
+    pl = jnp.take_along_axis(logp, yl_i[..., None], axis=-1)[..., 0]
+    pr = jnp.take_along_axis(
+        logp, jnp.clip(yl_i + 1, 0, nb - 1)[..., None], axis=-1
+    )[..., 0]
+    dfl = -(w_l * pl + w_r * pr)  # (B, K, 4)
+    iou = jnp.diagonal(
+        jax.vmap(
+            lambda a, b: box_iou(cxcywh_to_xyxy(a), cxcywh_to_xyxy(b))
+        )(br, tgt_boxes), axis1=1, axis2=2)
+    w = jax.lax.stop_gradient(iou) * assigned
+    n = jnp.maximum(jnp.sum(assigned), 1.0)
+    return jnp.sum(jnp.mean(dfl, axis=-1) * w) / n
+
+
 def detection_loss_from_assignment(
     logits: jax.Array,
     boxes: jax.Array,
@@ -137,17 +190,36 @@ def detection_criterion(
     tgt_boxes: jax.Array,
     tgt_valid: jax.Array,
     weights: Dict[str, float] = None,
+    dists: List = None,
+    fgl_weight: float = 0.15,
+    dfine_scale: float = 0.5,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-    """Aux losses over all decoder levels + encoder level (outputs[0])."""
+    """Aux losses over all decoder levels + encoder level (outputs[0]).
+
+    ``dists`` (optional): per-level D-FINE tuples ``(dist_logits,
+    base_boxes)`` aligned with ``outputs`` (None entries for levels without
+    distributions, e.g. the encoder level) — adds the IoU-weighted
+    distribution focal loss (``dfine_criterion.py`` fgl).
+    """
     if weights is None:
         weights = {"loss_vfl": 1.0, "loss_l1": 5.0, "loss_giou": 2.0}
     total = 0.0
     metrics: Dict[str, jax.Array] = {}
     for li, (logits, boxes) in enumerate(outputs):
-        losses = detection_loss_single(
-            logits, boxes, tgt_labels, tgt_boxes, tgt_valid
+        cost = detection_matching_cost(logits, boxes, tgt_labels, tgt_boxes)
+        assignment = hungarian_match(jax.lax.stop_gradient(cost), tgt_valid)
+        losses = detection_loss_from_assignment(
+            logits, boxes, tgt_labels, tgt_boxes, assignment
         )
         level_total = sum(weights[k] * v for k, v in losses.items())
+        if dists is not None and li < len(dists) and dists[li] is not None:
+            dist_logits, base_boxes = dists[li]
+            fgl = dfine_fgl_loss(
+                dist_logits, base_boxes, boxes, tgt_boxes, assignment,
+                dfine_scale,
+            )
+            level_total = level_total + fgl_weight * fgl
+            losses = {**losses, "loss_fgl": fgl}
         total = total + level_total
         if li == len(outputs) - 1:
             metrics.update({k: v for k, v in losses.items()})

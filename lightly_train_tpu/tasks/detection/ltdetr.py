@@ -211,16 +211,26 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         model_state = {k: v for k, v in variables.items() if k != "params"}
         return {"backbone": params}, model_state
 
-    def _apply(self, params, model_state, images, train, rng=None, **kwargs):
+    def _apply(self, params, model_state, images, train, rng=None,
+               want_intermediates=False, **kwargs):
         variables = {"params": params["backbone"], **model_state}
-        mutable = [k for k in model_state] if (model_state and train) else False
+        mutable = [k for k in model_state] if (model_state and train) else []
+        if want_intermediates:
+            mutable = list(mutable) + ["intermediates"]
         rngs = {"droppath": rng} if (train and rng is not None) else None
         out = self.module.apply(
-            variables, images, train=train, rngs=rngs, mutable=mutable,
-            **kwargs,
+            variables, images, train=train, rngs=rngs,
+            mutable=mutable or False, **kwargs,
         )
         if mutable:
-            return out
+            outputs, new_vars = out
+            new_vars = dict(new_vars)
+            inter = new_vars.pop("intermediates", None)
+            if want_intermediates:
+                return outputs, new_vars, inter
+            return outputs, new_vars
+        if want_intermediates:
+            return out, model_state, None
         return out, model_state
 
     def _make_dn_queries(self, key, labels, boxes, valid):
@@ -271,9 +281,26 @@ class ObjectDetectionTrainModel(TaskTrainModel):
                 dn_labels=dn_labels, dn_boxes=dn_boxes,
                 dn_group_size=batch["labels"].shape[1],
             )
-        outputs, new_model_state = self._apply(
-            params, model_state, batch["images"], True, rng, **dn_kwargs
+        outputs, new_model_state, inter = self._apply(
+            params, model_state, batch["images"], True, rng,
+            want_intermediates=True, **dn_kwargs,
         )
+        # D-FINE distributions (sown per decoder layer) for the FGL loss;
+        # aligned with outputs: encoder level (index 0) has none.
+        dfine_dists = None
+        if inter is not None:
+            # Walk to the sown tuple list regardless of module nesting.
+            stack = [inter]
+            raw = None
+            while stack:
+                node = stack.pop()
+                if isinstance(node, dict):
+                    if "dfine_dists" in node:
+                        raw = node["dfine_dists"]
+                        break
+                    stack.extend(node.values())
+            if raw:
+                dfine_dists = [None] + list(raw)
         if use_dn:
             n_dn = dn_kwargs["dn_labels"].shape[1]
             # Level 0 (encoder) has no dn slots; decoder levels carry them.
@@ -281,11 +308,17 @@ class ObjectDetectionTrainModel(TaskTrainModel):
                 (l[:, n_dn:], b[:, n_dn:]) for l, b in outputs[1:]
             ]
             dn_outputs = [(l[:, :n_dn], b[:, :n_dn]) for l, b in outputs[1:]]
+            if dfine_dists is not None:
+                dfine_dists = [None] + [
+                    (d[:, n_dn:], b[:, n_dn:])
+                    for d, b in dfine_dists[1:]
+                ]
         else:
             match_outputs = outputs
             dn_outputs = []
         loss, metrics = detection_criterion(
-            match_outputs, batch["labels"], batch["boxes"], batch["box_valid"]
+            match_outputs, batch["labels"], batch["boxes"], batch["box_valid"],
+            dists=dfine_dists,
         )
         if dn_outputs:
             from lightly_train_tpu.tasks.detection.criterion import (
