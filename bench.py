@@ -136,6 +136,49 @@ def main() -> None:
     except Exception:
         pass
 
+    # Host input pipeline: decode->collate img/s from disk (real JPEGs via
+    # the persistent-pool PretrainLoader), proving the host feeds the device
+    # rate (SURVEY §7 "host pipeline feeding >=45% MFU").
+    host_img_s = 0.0
+    try:
+        import tempfile
+
+        from PIL import Image
+
+        from lightly_train_tpu._data import (
+            ImageDataset,
+            MemoryMappedSequence,
+            PretrainLoader,
+            list_image_files,
+            write_items_to_file,
+        )
+        from lightly_train_tpu.parallel.mesh import MeshConfig
+
+        with tempfile.TemporaryDirectory() as tmp:
+            rng_h = np.random.default_rng(0)
+            n_files = 256 if on_tpu else 32
+            for i in range(n_files):
+                Image.fromarray(
+                    rng_h.integers(0, 256, (480, 640, 3), dtype=np.uint8)
+                ).save(f"{tmp}/{i}.jpg", quality=90)
+            flist = f"{tmp}/files.arrow"
+            write_items_to_file(list_image_files(tmp), flist)
+            ds = ImageDataset(
+                MemoryMappedSequence(flist), (canonical, canonical)
+            )
+            loader = iter(PretrainLoader(
+                ds, global_batch_size=batch,
+                mesh=MeshConfig().build(), num_workers=8,
+            ))
+            next(loader)  # warm the pool
+            t0 = time.perf_counter()
+            n_batches = 12
+            for _ in range(n_batches):
+                jax.block_until_ready(next(loader))
+            host_img_s = batch * n_batches / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     # Best-of-3 windows: the timing environment (shared chip / relay) is
     # noisy; the fastest window is the closest to the hardware's capability.
     n_iters = 10 if on_tpu else 3
@@ -167,6 +210,7 @@ def main() -> None:
                     "mfu": round(mfu, 4),
                     "step_time_s": round(dt / n_iters, 4),
                     "aug_gbps": round(aug_gbps, 2),
+                    "host_img_s": round(host_img_s, 1),
                     "device": str(getattr(jax.devices()[0], "device_kind", "?")),
                     "n_chips": n_chips,
                 },

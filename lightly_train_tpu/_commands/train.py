@@ -133,7 +133,22 @@ def pretrain(
 
 
 def pretrain_from_config(config: TrainConfig) -> TrainState:
+    """Entry: wraps the run in the mmap file lifecycle (filelock + refcount
+    + reuse + concurrent-run detection, reference
+    ``common_helpers.py:395-523``)."""
     initialize_distributed()
+    if config.data is not None:
+        from lightly_train_tpu._data.mmap_lifecycle import dataset_mmap_path
+
+        with dataset_mmap_path(
+            config.data, config.out, config.resume_interrupted,
+            config.overwrite,
+        ) as mmap_path:
+            return _pretrain_body(config, mmap_path)
+    return _pretrain_body(config, None)
+
+
+def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState:
     out_dir = Path(config.out)
     if out_dir.exists() and any(out_dir.iterdir()):
         if not (config.overwrite or config.resume_interrupted):
@@ -153,7 +168,6 @@ def pretrain_from_config(config: TrainConfig) -> TrainState:
     # ---- data -------------------------------------------------------------
     canonical_hw = (config.canonical_size, config.canonical_size)
     if config.data is not None:
-        mmap_path = out_dir / ".file_list.arrow"
         if is_main_process() and not mmap_path.exists():
             files = list_image_files(Path(config.data))
             write_items_to_file(files, mmap_path)

@@ -183,3 +183,64 @@ class DetConB(Method):
 
     def default_optimizer_args(self):
         return LARSArgs(lr=0.3, momentum=0.9, weight_decay=1e-6)
+
+
+class DetConS(DetConB):
+    """DetConS (``detcon.py:147-245``): SimCLR-style mask-pooled contrast.
+
+    No EMA teacher and no predictor — both views run through the live
+    encoder + projector and the mask-level NT-Xent is symmetrized (the
+    reference's DetConSLoss), in contrast to DetConB's BYOL-style
+    teacher/predictor asymmetry.
+    """
+
+    name = "detcons"
+
+    def init(self, rng, sample_images):
+        ks, kp = jax.random.split(rng)
+        student_vars = self.wrapped.init(ks, sample_images)
+        student_params = student_vars.pop("params")
+        model_state = dict(student_vars)
+        d = self.wrapped.feature_dim
+        params = {
+            "student": student_params,
+            "projector": self.projector.init(kp, jnp.zeros((1, d)))["params"],
+        }
+        return params, model_state, {}
+
+    def loss_fn(self, params, model_state, method_state, views, rng, step,
+                total_steps):
+        del step, total_steps
+        a = self.args
+        if a.use_dataset_masks and len(views) >= 4:
+            v0, v1, m0, m1 = views[:4]
+        else:
+            v0, v1 = views[:2]
+            m0 = m1 = None
+        k0, k1 = jax.random.split(rng)
+        z0, new_model_state = self._mask_pooled(
+            params, model_state, v0, True, k0, use_predictor=False,
+            region_masks=m0,
+        )
+        z1, new_model_state = self._mask_pooled(
+            params, new_model_state, v1, True, k1, use_predictor=False,
+            region_masks=m1,
+        )
+        B, M, D = z0.shape
+        za = l2_normalize(z0)
+        zb = l2_normalize(z1)
+
+        def direction(x, y):
+            logits = jnp.einsum("bmd,cnd->bmcn", x, y) / a.temperature
+            logits = logits.reshape(B, M, B * M)
+            labels = jnp.arange(B)[:, None] * M + jnp.arange(M)[None, :]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, labels[..., None], axis=-1)
+            )
+
+        loss = 0.5 * (direction(za, zb) + direction(zb, za))
+        return loss, (new_model_state, method_state, {"detcon_loss": loss})
+
+    def post_update(self, params, method_state, step, total_steps):
+        return method_state

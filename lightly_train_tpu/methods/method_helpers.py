@@ -11,7 +11,7 @@ from typing import Dict, List, Tuple, Type
 from lightly_train_tpu.errors import UnknownMethodError
 from lightly_train_tpu.methods.base import Method, MethodArgs
 from lightly_train_tpu.methods.densecl import DenseCL, DenseCLArgs
-from lightly_train_tpu.methods.detcon import DetConB, DetConBArgs
+from lightly_train_tpu.methods.detcon import DetConB, DetConBArgs, DetConS
 from lightly_train_tpu.methods.dino import DINO, DINOArgs
 from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
 from lightly_train_tpu.methods.dinov31 import DINOv31, DINOv31Args
@@ -37,6 +37,7 @@ _METHODS: Dict[str, Tuple[Type[Method], Type[MethodArgs]]] = {
     "simclr": (SimCLR, SimCLRArgs),
     "densecl": (DenseCL, DenseCLArgs),
     "detconb": (DetConB, DetConBArgs),
+    "detcons": (DetConS, DetConBArgs),
 }
 
 _ALIASES: Dict[str, str] = {
@@ -44,7 +45,7 @@ _ALIASES: Dict[str, str] = {
 }
 
 # Hidden methods (reference hides densecl/detcon from list_methods).
-_HIDDEN: set = {"densecl", "detconb"}
+_HIDDEN: set = {"densecl", "detconb", "detcons"}
 
 
 def get_method_cls(name: str) -> Tuple[Type[Method], Type[MethodArgs]]:

@@ -29,6 +29,8 @@ TINY_ARGS = {
                 "output_dim": 8},
     "detconb": {"image_size": 32, "num_masks": 4, "hidden_dim": 16,
                 "output_dim": 8},
+    "detcons": {"image_size": 32, "num_masks": 4, "hidden_dim": 16,
+                "output_dim": 8},
 }
 
 
