@@ -34,7 +34,12 @@ class BenchmarkConfig(PydanticConfig):
     image_size: int = 640
     num_warmup: int = 5
     num_runs: int = 30
-    backend: Literal["jax", "stablehlo"] = "jax"
+    # "all" sweeps every available backend and returns a comparison table
+    # (reference benchmark_backends.py:71-266 multi-backend sweep);
+    # "native" measures the C++ PJRT runner (no-Python serving path).
+    backend: Literal["jax", "stablehlo", "native", "all"] = "jax"
+    # PJRT plugin for the native backend (defaults to the env's TPU plugin).
+    pjrt_plugin: str = "/opt/axon/libaxon_pjrt.so"
 
 
 def benchmark_object_detection(checkpoint: str, **kwargs: Any) -> Dict[str, Any]:
@@ -42,6 +47,74 @@ def benchmark_object_detection(checkpoint: str, **kwargs: Any) -> Dict[str, Any]
         BenchmarkConfig, {"checkpoint": checkpoint, **kwargs}
     )
     set_up_console_logging()
+    if config.backend == "all":
+        results: Dict[str, Any] = {"backends": {}}
+        for be in ("jax", "stablehlo", "native"):
+            try:
+                sub = config.model_copy(update={"backend": be})
+                results["backends"][be] = benchmark_from_config(sub)
+            except Exception as e:  # backend unavailable on this machine
+                results["backends"][be] = {"error": f"{type(e).__name__}: {e}"}
+                logger.warning("Backend %s unavailable: %s", be, e)
+        logger.info("Benchmark sweep: %s", results)
+        return results
+    return benchmark_from_config(config)
+
+
+def _benchmark_native(config: BenchmarkConfig) -> Dict[str, Any]:
+    """Latency of the C++ PJRT runner (subprocess, timed repeats inside)."""
+    import re
+    import subprocess
+    import tempfile
+
+    from lightly_train_tpu._commands.export_task import export_stablehlo
+
+    repo = Path(__file__).resolve().parents[2]
+    runner = repo / "native" / "lt_runner"
+    if not runner.exists():
+        subprocess.run(["make", "runner"], cwd=repo / "native", check=True)
+    if not Path(config.pjrt_plugin).exists():
+        raise FileNotFoundError(f"PJRT plugin {config.pjrt_plugin} not found")
+    with tempfile.TemporaryDirectory() as tmp:
+        shlo = f"{tmp}/m.shlo"
+        export_stablehlo(
+            out=shlo, checkpoint=config.checkpoint,
+            image_size=config.image_size, batch_size=1, verify=False,
+        )
+        shape = (1, config.image_size, config.image_size, 3)
+        np.random.default_rng(0).normal(size=shape).astype(np.float32).tofile(
+            f"{tmp}/input.bin"
+        )
+        proc = subprocess.run(
+            [str(runner), config.pjrt_plugin, f"{shlo}.mlir",
+             f"{shlo}.compile_options.pb", f"{tmp}/input.bin",
+             ",".join(map(str, shape)), f"{tmp}/out",
+             str(config.num_warmup + config.num_runs)],
+            capture_output=True, text=True, check=True,
+        )
+        m = re.search(
+            r"latency_ms mean=([\d.]+) p50=([\d.]+) p90=([\d.]+) "
+            r"min=([\d.]+) max=([\d.]+)",
+            proc.stdout,
+        )
+        if m is None:
+            raise RuntimeError(f"runner output unparsable: {proc.stdout}")
+        return {
+            "backend": "native",
+            "image_size": config.image_size,
+            "latency_ms": {
+                "mean": float(m.group(1)), "median": float(m.group(2)),
+                "p90": float(m.group(3)), "min": float(m.group(4)),
+                "max": float(m.group(5)),
+            },
+        }
+
+
+def benchmark_from_config(config: BenchmarkConfig) -> Dict[str, Any]:
+    if config.backend == "native":
+        result = _benchmark_native(config)
+        logger.info("Benchmark: %s", result)
+        return result
     model = load_model(Path(config.checkpoint), image_size=config.image_size)
     spec_shape = (1, config.image_size, config.image_size, 3)
     sample = jnp.asarray(

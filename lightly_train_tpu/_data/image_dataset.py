@@ -55,6 +55,18 @@ def decode_image(
     from PIL import Image
 
     with Image.open(path) as im:
+        # JPEG draft mode: decode directly at a reduced DCT scale (1/2, 1/4,
+        # 1/8) — 2-4x faster decode for big photos. Only engaged at >= 2x
+        # downscale (draft is a no-op with ~1ms overhead below that).
+        if (
+            mode == "RGB"
+            and im.size[0] >= 2 * canonical_hw[1]
+            and im.size[1] >= 2 * canonical_hw[0]
+        ):
+            try:
+                im.draft("RGB", (canonical_hw[1], canonical_hw[0]))
+            except Exception:
+                pass
         im = im.convert(mode)
         im = im.resize((canonical_hw[1], canonical_hw[0]), Image.BILINEAR)
         arr = np.asarray(im, dtype=np.uint8)

@@ -150,7 +150,10 @@ class PretrainLoader:
                     )
         finally:
             stop.set()
-            pool.shutdown(wait=False, cancel_futures=True)
+            try:
+                pool.shutdown(wait=False, cancel_futures=True)
+            except Exception:  # interpreter teardown: modules may be gone
+                pass
 
 
 class SyntheticLoader:

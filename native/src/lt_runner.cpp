@@ -22,6 +22,8 @@
 #include <dlfcn.h>
 #include <unistd.h>
 
+#include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstdlib>
 #include <cstdio>
@@ -108,14 +110,15 @@ size_t DTypeBytes(PJRT_Buffer_Type t) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 7) {
+  if (argc != 7 && argc != 8) {
     std::fprintf(
         stderr,
         "usage: %s <plugin.so> <model.mlir> <compile_options.pb> "
-        "<input.bin> <B,H,W,C> <output_prefix>\n",
+        "<input.bin> <B,H,W,C> <output_prefix> [repeat]\n",
         argv[0]);
     return 1;
   }
+  const int repeat = argc == 8 ? std::atoi(argv[7]) : 1;
   const std::string plugin_path = argv[1];
   const std::string mlir = ReadFile(argv[2]);
   const std::string compile_opts = ReadFile(argv[3]);
@@ -301,6 +304,42 @@ int main(int argc, char** argv) {
              "PJRT_LoadedExecutable_Execute");
   if (device_complete != nullptr) {
     AwaitEvent(api, device_complete, "execute");
+  }
+
+  // Timed repeats (latency benchmarking; prior outputs destroyed each
+  // round, the last round's outputs are written below).
+  if (repeat > 1) {
+    std::vector<double> times_ms;
+    for (int r = 1; r < repeat; ++r) {
+      for (size_t i = 0; i < n_outputs; ++i) {
+        if (outputs[i] == nullptr) continue;
+        PJRT_Buffer_Destroy_Args dargs;
+        std::memset(&dargs, 0, sizeof(dargs));
+        dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+        dargs.buffer = outputs[i];
+        api->PJRT_Buffer_Destroy(&dargs);
+        outputs[i] = nullptr;
+      }
+      auto t0 = std::chrono::steady_clock::now();
+      device_complete = nullptr;
+      CheckError(api, api->PJRT_LoadedExecutable_Execute(&exec_args),
+                 "PJRT_LoadedExecutable_Execute (repeat)");
+      if (device_complete != nullptr) {
+        AwaitEvent(api, device_complete, "execute (repeat)");
+      }
+      double ms = std::chrono::duration<double, std::milli>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+      times_ms.push_back(ms);
+    }
+    std::sort(times_ms.begin(), times_ms.end());
+    double sum = 0;
+    for (double t : times_ms) sum += t;
+    std::printf(
+        "latency_ms mean=%.3f p50=%.3f p90=%.3f min=%.3f max=%.3f n=%zu\n",
+        sum / times_ms.size(), times_ms[times_ms.size() / 2],
+        times_ms[static_cast<size_t>(0.9 * times_ms.size())],
+        times_ms.front(), times_ms.back(), times_ms.size());
   }
 
   // ---- read back outputs ----
