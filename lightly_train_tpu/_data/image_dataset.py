@@ -88,13 +88,20 @@ class ImageDataset:
         self,
         filenames: Sequence[str],
         canonical_hw: Tuple[int, int] = (256, 256),
-        mode: str = "RGB",
+        mode: Optional[str] = None,
         mask_dir: Optional[Path] = None,
     ):
         if len(filenames) == 0:
             raise DatasetError("Empty dataset.")
         self.filenames = filenames
         self.canonical_hw = canonical_hw
+        if mode is None:
+            # LIGHTLY_TRAIN_IMAGE_MODE: "RGB" (default) or "UNCHANGED"
+            # (multispectral/alpha channels kept — pair with the
+            # channel_drop transform), reference file_helpers ImageMode.
+            from lightly_train_tpu._env import Env
+
+            mode = Env.LIGHTLY_TRAIN_IMAGE_MODE.value
         self.mode = mode
         self.mask_by_stem = None
         if mask_dir is not None:
@@ -111,7 +118,19 @@ class ImageDataset:
         return len(self.filenames)
 
     def __getitem__(self, index: int):
-        image = decode_image(self.filenames[index], self.canonical_hw, self.mode)
+        if self.mode == "UNCHANGED":
+            from lightly_train_tpu._data.file_helpers import (
+                ImageMode,
+                open_image_numpy_resized,
+            )
+
+            image = open_image_numpy_resized(
+                self.filenames[index], self.canonical_hw, ImageMode.UNCHANGED
+            )
+        else:
+            image = decode_image(
+                self.filenames[index], self.canonical_hw, self.mode
+            )
         if self.mask_by_stem is None:
             return image
         from PIL import Image
