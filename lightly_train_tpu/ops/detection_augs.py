@@ -321,6 +321,52 @@ def copy_blend(
     return out_images, out_boxes, out_labels, out_valid
 
 
+def random_rotate90(
+    key: jax.Array,
+    images: jax.Array,
+    boxes: jax.Array,
+    prob: jax.Array | float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-image random k*90-degree rotation with exact box remapping.
+
+    Rebuild of the reference LTDETR RandomRotate90
+    (``ltdetr_transforms/utils.py:253-256``). Square views only (the LTDETR
+    training resolution is square). boxes: (B, K, 4) normalized cxcywh.
+    """
+    assert images.shape[1] == images.shape[2], "rotate90 needs square views"
+    B = images.shape[0]
+    k_apply, k_k = jax.random.split(key)
+    apply = jax.random.uniform(k_apply, (B,)) < prob
+    k = jnp.where(apply, jax.random.randint(k_k, (B,), 0, 4), 0)  # 0..3
+
+    imgs_f = images
+    rot1 = jnp.rot90(imgs_f, 1, axes=(1, 2))
+    rot2 = jnp.rot90(imgs_f, 2, axes=(1, 2))
+    rot3 = jnp.rot90(imgs_f, 3, axes=(1, 2))
+    sel = k[:, None, None, None]
+    out_images = jnp.where(
+        sel == 1, rot1, jnp.where(sel == 2, rot2,
+                                  jnp.where(sel == 3, rot3, imgs_f))
+    )
+
+    cx, cy, w, h = (boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3])
+    # np.rot90(axes=(1,2)) is counter-clockwise: (y, x) -> (1-x, y).
+    variants = jnp.stack(
+        [
+            jnp.stack([cx, cy, w, h], -1),
+            jnp.stack([cy, 1.0 - cx, h, w], -1),
+            jnp.stack([1.0 - cx, 1.0 - cy, w, h], -1),
+            jnp.stack([1.0 - cy, cx, h, w], -1),
+        ],
+        axis=0,
+    )  # (4, B, K, 4)
+    out_boxes = jnp.take_along_axis(
+        variants, k[None, :, None, None].repeat(boxes.shape[1], 2)
+        .repeat(4, 3), axis=0
+    )[0]
+    return out_images, out_boxes
+
+
 def window_gate(step: jax.Array, start: int, stop: int) -> jax.Array:
     """Traced activation-window gate (``ActivationPolicyArgs`` step_start/
     step_stop): 1.0 inside [start, stop), else 0.0 — multiplied into the

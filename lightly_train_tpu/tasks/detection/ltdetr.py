@@ -50,6 +50,9 @@ class ObjectDetectionArgs(TaskArgs):
     mixup_prob: float = 0.5
     zoom_out_window: Optional[Tuple[int, int]] = None
     zoom_out_prob: float = 0.3
+    # RandomRotate90 (reference ``ltdetr_transforms/utils.py:253-256``):
+    # per-image k*90-degree rotations with exact box remapping. 0 = off.
+    rotate90_prob: float = 0.0
     # Denoising query training (reference ``denoising.py``): number of noised
     # GT groups prepended to the decoder (0 disables).
     dn_groups: int = 2
@@ -138,11 +141,13 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         mosaic_w = getattr(a, "mosaic_window", None)
         mixup_w = getattr(a, "mixup_window", None)
         zoom_w = getattr(a, "zoom_out_window", None)
-        if not (mosaic_w or mixup_w or zoom_w):
+        rot90_p = getattr(a, "rotate90_prob", 0.0)
+        if not (mosaic_w or mixup_w or zoom_w or rot90_p):
             return batch
         from lightly_train_tpu.ops.detection_augs import (
             detection_mixup,
             mosaic,
+            random_rotate90,
             random_zoom_out,
             window_gate,
         )
@@ -162,7 +167,11 @@ class ObjectDetectionTrainModel(TaskTrainModel):
 
         def aug(images, boxes, labels, valid, key, g_mosaic=g_mosaic,
                 g_mixup=g_mixup, g_zoom=g_zoom):
-            k1, k2, k3 = jax.random.split(key[0], 3)
+            k1, k2, k3, k4 = jax.random.split(key[0], 4)
+            if rot90_p > 0:
+                images, boxes = random_rotate90(
+                    k4, images, boxes, prob=rot90_p
+                )
             if g_zoom is not None:
                 images, boxes = random_zoom_out(k1, images, boxes, prob=g_zoom)
             if g_mosaic is not None:

@@ -148,3 +148,30 @@ def test_copy_blend_unions_targets():
     assert out_b.shape == (4, 6, 4)
     assert int(out_v.sum()) == 8
     assert not np.allclose(np.asarray(out_i), np.asarray(images))
+
+
+def test_random_rotate90_box_follows_content():
+    import numpy as np
+
+    from lightly_train_tpu.ops.detection_augs import random_rotate90
+
+    # Bright square at a known off-center location.
+    img = np.zeros((1, 32, 32, 3), np.float32)
+    img[0, 4:12, 20:28] = 1.0  # rows 4-12, cols 20-28
+    boxes = np.array([[[(20 + 28) / 2 / 32, (4 + 12) / 2 / 32,
+                        8 / 32, 8 / 32]]], np.float32)
+    found_rotation = False
+    for seed in range(8):
+        out_img, out_boxes = random_rotate90(
+            jax.random.key(seed), jnp.asarray(img), jnp.asarray(boxes),
+            prob=1.0,
+        )
+        oi, ob = np.asarray(out_img), np.asarray(out_boxes)[0, 0]
+        ys, xs = np.where(oi[0, :, :, 0] > 0.5)
+        cy = (ys.min() + ys.max() + 1) / 2 / 32
+        cx = (xs.min() + xs.max() + 1) / 2 / 32
+        np.testing.assert_allclose(ob[0], cx, atol=0.04)
+        np.testing.assert_allclose(ob[1], cy, atol=0.04)
+        if not np.allclose(oi, img):
+            found_rotation = True
+    assert found_rotation
