@@ -1,33 +1,43 @@
-"""PicoDet: ESNet backbone + CSP-PAN neck + anchor-free point head.
+"""PicoDet: ESNet backbone + CSP-PAN neck + GFL head with SimOTA assignment.
 
 Rebuild of ``src/lightly_train/_task_models/picodet_object_detection/``
-(4,336 LoC: ``esnet.py``, ``csp_pan.py:196``, PicoDet head; sizes s-416 /
-l-640, ``config.py:53-70``): an embedded-friendly detector. The TPU rebuild
-keeps the architecture (channel-shuffle inverted-residual ESNet with SE,
-CSP-PAN fusion, shared point head over 3 strides) with an FCOS-style
-center-sampled assignment + focal/GIoU criterion; the reference's GFL
-distribution head + SimOTA assignment are round-2 refinements (noted for
-parity review).
+(``esnet.py``, ``csp_pan.py:196``, ``pico_head.py:188``,
+``sim_ota_assigner.py:136``, ``train_model.py:493-668``; sizes s-416 / l-640,
+``config.py:53-76``): an embedded-friendly detector trained with
+Generalized Focal Loss — a shared-branch head emitting class logits plus a
+discrete distance distribution per box side (DFL, ``Integral``
+``pico_head.py:66``), supervised by VarifocalLoss + weighted GIoU + DFL under
+SimOTA dynamic-k assignment.
+
+TPU-native design notes (not a translation):
+- SimOTA is data-dependent in the reference (per-image Python loop over gts
+  with ``topk(k)`` for a *dynamic* k, ``sim_ota_assigner.py:352-420``). Here
+  it is one fixed-shape vectorized program: per-gt candidate costs are
+  ranked by a static ``top_k(candidate_topk)``, and "the dynamic_k cheapest"
+  becomes a per-column cost threshold (the value at rank ``dynamic_k-1``),
+  so matching is an elementwise compare — no scatter, no host callback,
+  vmapped over the batch.
+- Loss normalizers (num_pos / score-weight sums) are plain sums over the
+  batch axis; under GSPMD with the batch sharded they become global psums,
+  reproducing the reference's ``dist.all_reduce`` normalization
+  (``train_model.py:643-655``) with zero collective code.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from lightly_train_tpu.models.wrapper import WrappedModel
 from lightly_train_tpu.tasks.base import TaskArgs
-from lightly_train_tpu.tasks.detection.box_utils import (
-    cxcywh_to_xyxy,
-    generalized_box_iou,
-)
-from lightly_train_tpu.tasks.detection.components import ConvBNAct, FuseBlock
+from lightly_train_tpu.tasks.detection.box_utils import cxcywh_to_xyxy
+from lightly_train_tpu.tasks.detection.components import ConvBNAct
 from lightly_train_tpu.tasks.detection.ltdetr import ObjectDetectionTrainModel
+
+_INF = 1e8
 
 
 class PicoDetArgs(TaskArgs):
@@ -35,7 +45,14 @@ class PicoDetArgs(TaskArgs):
     widths: Tuple[int, ...] = (96, 192, 384)
     neck_dim: int = 96
     head_convs: int = 2
+    reg_max: int = 7
     center_radius: float = 2.5
+    candidate_topk: int = 10
+    iou_cost_weight: float = 6.0
+    cls_cost_weight: float = 1.0
+    loss_vfl_weight: float = 1.0
+    loss_giou_weight: float = 2.0
+    loss_dfl_weight: float = 0.25
     max_detections: int = 100
     score_threshold: float = 0.0
     default_steps: int = 60_000
@@ -61,6 +78,34 @@ def _channel_shuffle(x: jax.Array, groups: int = 2) -> jax.Array:
         .transpose(0, 1, 2, 4, 3)
         .reshape(B, H, W, C)
     )
+
+
+class DWConvBNAct(nn.Module):
+    """Depthwise-separable conv (k×k dw + 1×1 pw) + BN + ReLU.
+
+    Matches ``pico_head.py:29-64`` / ``csp_pan.py`` DepthwiseSeparableConv.
+    """
+
+    filters: int
+    kernel: int = 5
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(
+            x.shape[-1], (self.kernel, self.kernel),
+            strides=(self.strides, self.strides), padding="SAME",
+            feature_group_count=x.shape[-1], use_bias=False,
+            dtype=self.dtype, name="dw",
+        )(x)
+        x = nn.Conv(
+            self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="pw"
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.relu(x)
 
 
 class _ESBlock(nn.Module):
@@ -129,7 +174,29 @@ class ESNet(nn.Module):
         return feats  # strides 8, 16, 32
 
 
+class _CSPBlock(nn.Module):
+    """CSP fusion with depthwise 5×5 convs (``csp_pan.py`` CSPLayer)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        a = ConvBNAct(self.dim // 2, 1, dtype=self.dtype, name="a")(x, train)
+        b = ConvBNAct(self.dim // 2, 1, dtype=self.dtype, name="b")(x, train)
+        b = DWConvBNAct(self.dim // 2, 5, dtype=self.dtype, name="m")(b, train)
+        return ConvBNAct(self.dim, 1, dtype=self.dtype, name="out")(
+            jnp.concatenate([a, b], axis=-1), train
+        )
+
+
 class CSPPAN(nn.Module):
+    """4-level CSP-PAN: P3..P5 top-down/bottom-up + extra P6.
+
+    ``csp_pan.py:196-336``: P6 = dw-conv(stride 2)(transformed C5) +
+    dw-conv(stride 2)(P5 out).
+    """
+
     dim: int
     dtype: Any = jnp.float32
 
@@ -139,30 +206,43 @@ class CSPPAN(nn.Module):
             ConvBNAct(self.dim, 1, dtype=self.dtype, name=f"lat{i}")(f, train)
             for i, f in enumerate(feats)
         ]
+        c5_t = levels[-1]
         B = levels[0].shape[0]
         for i in range(len(levels) - 1, 0, -1):
             up = jax.image.resize(
                 levels[i], (B,) + levels[i - 1].shape[1:3] + (self.dim,),
                 "nearest",
             )
-            levels[i - 1] = FuseBlock(self.dim, self.dtype, name=f"td{i}")(
+            levels[i - 1] = _CSPBlock(self.dim, self.dtype, name=f"td{i}")(
                 jnp.concatenate([up, levels[i - 1]], axis=-1), train
             )
         for i in range(len(levels) - 1):
-            down = ConvBNAct(self.dim, 3, 2, self.dtype, name=f"bu{i}")(
+            down = DWConvBNAct(self.dim, 5, 2, self.dtype, name=f"bu{i}")(
                 levels[i], train
             )
-            levels[i + 1] = FuseBlock(self.dim, self.dtype, name=f"pan{i}")(
+            levels[i + 1] = _CSPBlock(self.dim, self.dtype, name=f"pan{i}")(
                 jnp.concatenate([down, levels[i + 1]], axis=-1), train
             )
-        return levels
+        p6 = DWConvBNAct(self.dim, 5, 2, self.dtype, name="p6_first")(
+            c5_t, train
+        ) + DWConvBNAct(self.dim, 5, 2, self.dtype, name="p6_second")(
+            levels[-1], train
+        )
+        return levels + [p6]
 
 
 class PicoDetHead(nn.Module):
+    """GFL head: per-level shared conv stack → class + DFL distribution.
+
+    ``pico_head.py:188-370`` with ``share_cls_reg=True``: stacked 5×5
+    depthwise-separable convs, one 1×1 conv emitting
+    ``num_classes + 4*(reg_max+1)`` channels per level.
+    """
+
     num_classes: int
     dim: int
     num_convs: int
-    strides: Tuple[int, ...] = (8, 16, 32)
+    reg_max: int
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -171,22 +251,16 @@ class PicoDetHead(nn.Module):
         for li, f in enumerate(levels):
             h = f
             for i in range(self.num_convs):
-                h = ConvBNAct(
-                    self.dim, 3, dtype=self.dtype, name=f"l{li}_conv{i}"
+                h = DWConvBNAct(
+                    self.dim, 5, dtype=self.dtype, name=f"l{li}_conv{i}"
                 )(h, train)
-            cls = nn.Conv(
-                self.num_classes, (1, 1), dtype=self.dtype,
-                name=f"l{li}_cls",
+            out = nn.Conv(
+                self.num_classes + 4 * (self.reg_max + 1), (1, 1),
+                dtype=self.dtype, name=f"l{li}_gfl",
             )(h)
-            reg = nn.Conv(4, (1, 1), dtype=self.dtype, name=f"l{li}_reg")(h)
-            B, H, W, _ = cls.shape
-            cls_outs.append(cls.reshape(B, H * W, self.num_classes))
-            # ltrb distances in stride units, softplus-positive.
-            reg_outs.append(
-                jax.nn.softplus(reg.reshape(B, H * W, 4))
-                * self.strides[li]
-            )
-        return cls_outs, reg_outs
+            cls_outs.append(out[..., : self.num_classes])
+            reg_outs.append(out[..., self.num_classes:])
+        return cls_outs, reg_outs  # (B, H, W, C) / (B, H, W, 4*(reg_max+1))
 
 
 class _PicoDetModule(nn.Module):
@@ -200,20 +274,160 @@ class _PicoDetModule(nn.Module):
         levels = CSPPAN(self.args.neck_dim, name="neck")(feats, train)
         return PicoDetHead(
             self.args.num_classes, self.args.neck_dim, self.args.head_convs,
-            name="head",
+            self.args.reg_max, name="head",
         )(levels, train)
 
 
-def _level_points(shapes: List[Tuple[int, int]], strides=(8, 16, 32)):
-    """Pixel-space center points per level, concatenated (N, 2) + strides."""
-    pts, sts = [], []
-    for (h, w), s in zip(shapes, strides):
-        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) * s
-        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) * s
-        g = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1).reshape(-1, 2)
-        pts.append(g)
-        sts.append(jnp.full((h * w,), s, jnp.float32))
-    return jnp.concatenate(pts), jnp.concatenate(sts)
+_STRIDES = (8, 16, 32, 64)
+
+
+def integral_decode(reg: jax.Array, reg_max: int) -> jax.Array:
+    """Distribution → expected distance (``Integral``, ``pico_head.py:66``).
+
+    reg: (..., 4*(reg_max+1)) logits → (..., 4) expectations in [0, reg_max].
+    """
+    bins = reg.reshape(*reg.shape[:-1], 4, reg_max + 1)
+    probs = jax.nn.softmax(bins.astype(jnp.float32), axis=-1)
+    project = jnp.arange(reg_max + 1, dtype=jnp.float32)
+    return jnp.einsum("...kb,b->...k", probs, project)
+
+
+def _iou_xyxy(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Pairwise IoU between (N,4) and (K,4) xyxy boxes → (N,K)."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.clip(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def _giou_pair(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Aligned GIoU between (N,4) and (N,4) xyxy boxes → (N,)."""
+    area_a = jnp.clip(a[:, 2] - a[:, 0], 0) * jnp.clip(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.clip(b[:, 2] - b[:, 0], 0) * jnp.clip(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, :2], b[:, :2])
+    rb = jnp.minimum(a[:, 2:], b[:, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[:, 0] * wh[:, 1]
+    union = jnp.clip(area_a + area_b - inter, 1e-9)
+    iou = inter / union
+    elt = jnp.minimum(a[:, :2], b[:, :2])
+    erb = jnp.maximum(a[:, 2:], b[:, 2:])
+    ewh = jnp.clip(erb - elt, 0)
+    enclose = jnp.clip(ewh[:, 0] * ewh[:, 1], 1e-9)
+    return iou - (enclose - union) / enclose
+
+
+def simota_assign(
+    scores: jax.Array,       # (N, C) sigmoid scores (stop-gradded)
+    points: jax.Array,       # (N, 2) prior centers, px
+    strides: jax.Array,      # (N,)
+    decoded: jax.Array,      # (N, 4) decoded boxes xyxy px (stop-gradded)
+    gt_boxes: jax.Array,     # (K, 4) xyxy px
+    gt_labels: jax.Array,    # (K,)
+    gt_valid: jax.Array,     # (K,) bool
+    center_radius: float,
+    candidate_topk: int,
+    iou_weight: float,
+    cls_weight: float,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Static-shape SimOTA (``sim_ota_assigner.py:136-420``).
+
+    Returns (is_pos (N,), assigned_gt (N,), pair_iou (N,)): for positives,
+    the matched gt index and the prior-gt IoU used as the VFL target basis.
+    """
+    N = points.shape[0]
+    K = gt_boxes.shape[0]
+    px, py = points[:, 0], points[:, 1]
+
+    in_gt = (
+        (px[:, None] > gt_boxes[None, :, 0])
+        & (px[:, None] < gt_boxes[None, :, 2])
+        & (py[:, None] > gt_boxes[None, :, 1])
+        & (py[:, None] < gt_boxes[None, :, 3])
+    )
+    cxg = (gt_boxes[:, 0] + gt_boxes[:, 2]) / 2
+    cyg = (gt_boxes[:, 1] + gt_boxes[:, 3]) / 2
+    r = center_radius * strides[:, None]
+    in_center = (
+        (px[:, None] > cxg[None, :] - r)
+        & (px[:, None] < cxg[None, :] + r)
+        & (py[:, None] > cyg[None, :] - r)
+        & (py[:, None] < cyg[None, :] + r)
+    )
+    gv = gt_valid[None, :]
+    candidate = (in_gt | in_center) & gv          # reference valid rows
+    strong = in_gt & in_center & gv               # finite-cost pairs
+    valid_prior = jnp.any(candidate, axis=1)      # (N,)
+
+    iou = _iou_xyxy(decoded, gt_boxes)            # (N, K)
+    iou_valid = jnp.where(valid_prior[:, None] & gv, iou, 0.0)
+
+    # GIoU cost (pairwise): expand aligned formula.
+    area_p = jnp.clip(decoded[:, 2] - decoded[:, 0], 0) * jnp.clip(
+        decoded[:, 3] - decoded[:, 1], 0
+    )
+    area_g = jnp.clip(gt_boxes[:, 2] - gt_boxes[:, 0], 0) * jnp.clip(
+        gt_boxes[:, 3] - gt_boxes[:, 1], 0
+    )
+    lt = jnp.maximum(decoded[:, None, :2], gt_boxes[None, :, :2])
+    rb = jnp.minimum(decoded[:, None, 2:], gt_boxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = jnp.clip(area_p[:, None] + area_g[None, :] - inter, 1e-9)
+    elt = jnp.minimum(decoded[:, None, :2], gt_boxes[None, :, :2])
+    erb = jnp.maximum(decoded[:, None, 2:], gt_boxes[None, :, 2:])
+    ewh = jnp.clip(erb - elt, 0)
+    enclose = jnp.clip(ewh[..., 0] * ewh[..., 1], 1e-9)
+    giou = inter / union - (enclose - union) / enclose
+    giou_cost = 1.0 - giou
+
+    # VFL cost (``sim_ota_assigner.py:295-350``): per (prior, gt) pair, a
+    # varifocal BCE between sigmoid scores and a target that is the pair IoU
+    # at the gt class, 0 elsewhere. Computed without materializing
+    # (N, K, C): split the per-class sum into the gt-class term plus the
+    # all-negative background sum minus the gt-class background term.
+    alpha, gamma = 0.75, 2.0
+    p = jnp.clip(scores, 1e-7, 1 - 1e-7)          # (N, C)
+    t = iou                                        # (N, K) target at gt class
+    p_at = p[:, gt_labels]                         # (N, K) score at gt class
+    pos_term = (
+        -(t * jnp.log(p_at) + (1 - t) * jnp.log(1 - p_at))
+        * jnp.where(t > 0, t, alpha * jnp.abs(p_at - t) ** gamma)
+    )
+    neg_all = (alpha * p**gamma) * (-jnp.log(1 - p))   # (N, C)
+    neg_sum = jnp.sum(neg_all, axis=1)                  # (N,)
+    neg_at = neg_all[:, gt_labels]                      # (N, K)
+    vfl_cost = pos_term + (neg_sum[:, None] - neg_at)
+
+    cost = (
+        cls_weight * vfl_cost
+        + iou_weight * giou_cost
+        + jnp.where(strong, 0.0, _INF)
+        + jnp.where(valid_prior[:, None], 0.0, _INF)
+    )
+
+    # Dynamic k per gt: floor(sum of top-candidate_topk IoUs), min 1.
+    k_cand = min(candidate_topk, N)
+    top_ious = jax.lax.top_k(iou_valid.T, k_cand)[0]        # (K, k_cand)
+    dynamic_k = jnp.clip(
+        jnp.floor(jnp.sum(top_ious, axis=1)).astype(jnp.int32), 1, k_cand
+    )
+    # "dynamic_k cheapest priors" == cost <= value at rank dynamic_k-1.
+    neg_top_cost = jax.lax.top_k(-cost.T, k_cand)[0]        # (K, k_cand) desc
+    sorted_cost = -neg_top_cost                              # asc per gt
+    thresh = jnp.take_along_axis(
+        sorted_cost, (dynamic_k - 1)[:, None], axis=1
+    )[:, 0]                                                  # (K,)
+    matched = (cost <= thresh[None, :]) & (cost < _INF / 2)  # (N, K)
+
+    # Conflict resolution: a prior matched to several gts keeps the cheapest.
+    best_gt = jnp.argmin(jnp.where(matched, cost, jnp.inf), axis=1)  # (N,)
+    is_pos = jnp.any(matched, axis=1)
+    pair_iou = jnp.take_along_axis(iou, best_gt[:, None], axis=1)[:, 0]
+    return is_pos, best_gt, jnp.where(is_pos, pair_iou, 0.0)
 
 
 class PicoDetTrainModel(ObjectDetectionTrainModel):
@@ -247,23 +461,40 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
             new_state = model_state
         return cls_outs, reg_outs, new_state
 
-    def _flatten(self, cls_outs, reg_outs, image_hw):
-        cls = jnp.concatenate(cls_outs, axis=1)  # (B, N, C)
-        reg = jnp.concatenate(reg_outs, axis=1)  # (B, N, 4) ltrb px
-        shapes = [
-            (image_hw[0] // s, image_hw[1] // s) for s in (8, 16, 32)
-        ]
-        pts, strides = _level_points(shapes)
-        boxes = jnp.stack(
+    def _flatten(self, cls_outs, reg_outs):
+        """Flatten levels → (B,N,C) logits, (B,N,4R) reg, points/strides."""
+        a = self.args
+        cls_flat, reg_flat, pts, sts = [], [], [], []
+        for lvl, (c, rg) in enumerate(zip(cls_outs, reg_outs)):
+            B, H, W, C = c.shape
+            s = float(_STRIDES[lvl])
+            cls_flat.append(c.reshape(B, H * W, C))
+            reg_flat.append(rg.reshape(B, H * W, 4 * (a.reg_max + 1)))
+            ys = (jnp.arange(H, dtype=jnp.float32) + 0.5) * s
+            xs = (jnp.arange(W, dtype=jnp.float32) + 0.5) * s
+            g = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), -1)
+            pts.append(g.reshape(-1, 2))
+            sts.append(jnp.full((H * W,), s, jnp.float32))
+        return (
+            jnp.concatenate(cls_flat, axis=1),
+            jnp.concatenate(reg_flat, axis=1),
+            jnp.concatenate(pts),
+            jnp.concatenate(sts),
+        )
+
+    def _decode_boxes(self, reg, pts, strides):
+        """(B,N,4R) distribution → (B,N,4) xyxy px via Integral decode."""
+        dist = integral_decode(reg, self.args.reg_max)  # (B, N, 4) feat units
+        dist = dist * strides[None, :, None]
+        return jnp.stack(
             [
-                pts[None, :, 0] - reg[..., 0],
-                pts[None, :, 1] - reg[..., 1],
-                pts[None, :, 0] + reg[..., 2],
-                pts[None, :, 1] + reg[..., 3],
+                pts[None, :, 0] - dist[..., 0],
+                pts[None, :, 1] - dist[..., 1],
+                pts[None, :, 0] + dist[..., 2],
+                pts[None, :, 1] + dist[..., 3],
             ],
             axis=-1,
-        )  # (B, N, 4) xyxy px
-        return cls, boxes, pts, strides
+        )
 
     def loss_fn(self, params, model_state, batch, rng, step):
         del step
@@ -273,61 +504,110 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
         cls_outs, reg_outs, new_state = self._forward(
             params, model_state, images, True, rng
         )
-        cls, boxes, pts, strides = self._flatten(cls_outs, reg_outs, (H, W))
+        cls, reg, pts, strides = self._flatten(cls_outs, reg_outs)
+        cls = cls.astype(jnp.float32)
+        reg = reg.astype(jnp.float32)
+        boxes_px = self._decode_boxes(reg, pts, strides)  # (B, N, 4)
         B, N, C = cls.shape
         scale = jnp.asarray([W, H, W, H], jnp.float32)
         gt_xyxy = cxcywh_to_xyxy(batch["boxes"]) * scale  # (B, K, 4)
         gt_valid = batch["box_valid"]
         gt_labels = batch["labels"]
-        K = gt_labels.shape[1]
 
-        # FCOS center-sampled assignment: point inside gt AND within
-        # center_radius * stride of the gt center; ties -> smallest area.
-        px, py = pts[:, 0], pts[:, 1]
-        inside = (
-            (px[None, :, None] >= gt_xyxy[:, None, :, 0])
-            & (px[None, :, None] <= gt_xyxy[:, None, :, 2])
-            & (py[None, :, None] >= gt_xyxy[:, None, :, 1])
-            & (py[None, :, None] <= gt_xyxy[:, None, :, 3])
-        )  # (B, N, K)
-        cxg = (gt_xyxy[..., 0] + gt_xyxy[..., 2]) / 2
-        cyg = (gt_xyxy[..., 1] + gt_xyxy[..., 3]) / 2
-        near = (
-            jnp.abs(px[None, :, None] - cxg[:, None, :])
-            <= a.center_radius * strides[None, :, None]
-        ) & (
-            jnp.abs(py[None, :, None] - cyg[:, None, :])
-            <= a.center_radius * strides[None, :, None]
+        assign = jax.vmap(
+            lambda sc, dec, gb, gl, gv: simota_assign(
+                sc, pts, strides, dec, gb, gl, gv,
+                a.center_radius, a.candidate_topk,
+                a.iou_cost_weight, a.cls_cost_weight,
+            )
         )
-        cand = inside & near & gt_valid[:, None, :]
-        area = (gt_xyxy[..., 2] - gt_xyxy[..., 0]) * (
-            gt_xyxy[..., 3] - gt_xyxy[..., 1]
-        )
-        area_m = jnp.where(cand, area[:, None, :], jnp.inf)
-        assigned_gt = jnp.argmin(area_m, axis=-1)  # (B, N)
-        is_pos = jnp.any(cand, axis=-1)  # (B, N)
-        tgt_cls = jnp.take_along_axis(gt_labels, assigned_gt, axis=1)  # (B, N)
+        scores_sg = jax.lax.stop_gradient(jax.nn.sigmoid(cls))
+        boxes_sg = jax.lax.stop_gradient(boxes_px)
+        is_pos, assigned_gt, _ = assign(
+            scores_sg, boxes_sg, gt_xyxy, gt_labels, gt_valid
+        )  # (B, N) each
 
-        # Focal classification loss.
-        onehot = jax.nn.one_hot(tgt_cls, C) * is_pos[..., None]
-        p = jax.nn.sigmoid(cls.astype(jnp.float32))
-        alpha, gamma = 0.25, 2.0
-        pt = p * onehot + (1 - p) * (1 - onehot)
-        w = alpha * onehot + (1 - alpha) * (1 - onehot)
-        focal = -w * ((1 - pt) ** gamma) * jnp.log(jnp.clip(pt, 1e-8))
-        n_pos = jnp.maximum(jnp.sum(is_pos), 1.0)
-        loss_cls = jnp.sum(focal) / n_pos
-
-        # GIoU on positives.
         tgt_boxes = jnp.take_along_axis(
             gt_xyxy, assigned_gt[..., None], axis=1
-        )  # (B, N, 4)
-        giou = jax.vmap(generalized_box_iou)(boxes, tgt_boxes)
-        giou_pair = jnp.diagonal(giou, axis1=1, axis2=2)
-        loss_box = jnp.sum((1.0 - giou_pair) * is_pos) / n_pos
+        )  # (B, N, 4) px
+        tgt_cls = jnp.take_along_axis(gt_labels, assigned_gt, axis=1)
 
-        loss = loss_cls + 2.0 * loss_box
-        return loss, (new_state, {"loss_cls": loss_cls, "loss_box": loss_box})
+        # Feature-unit boxes for GIoU/DFL (``train_model.py:596-634``).
+        su = strides[None, :, None]
+        pred_feat = boxes_px / su
+        gt_feat = tgt_boxes / su
+        pos_iou = jnp.clip(
+            jax.vmap(lambda p_, g_: _iou_xyxy(p_, g_).diagonal())(
+                jax.lax.stop_gradient(pred_feat), gt_feat
+            ),
+            1e-6,
+        )  # (B, N)
+
+        # VFL over all priors; target = aligned IoU at the gt class.
+        vfl_target = (
+            jax.nn.one_hot(tgt_cls, C) * (pos_iou * is_pos)[..., None]
+        )
+        p = jax.nn.sigmoid(cls)
+        focal_w = jnp.where(
+            vfl_target > 0,
+            vfl_target,
+            0.75 * jnp.abs(p - vfl_target) ** 2.0,
+        )
+        bce = optax_sigmoid_bce(cls, vfl_target)
+        vfl = jnp.sum(bce * focal_w, axis=-1)  # (B, N)
+
+        weight_t = jnp.max(scores_sg, axis=-1) * is_pos  # (B, N)
+        n_pos = jnp.sum(is_pos, axis=1)  # (B,)
+        num_pos_avg = jnp.clip(jnp.sum(jnp.maximum(n_pos, 1)), 1)
+        weight_sum_avg = jnp.clip(jnp.sum(weight_t), 1)
+
+        loss_vfl = jnp.sum(vfl) / num_pos_avg
+
+        giou = jax.vmap(_giou_pair)(
+            pred_feat, jax.lax.stop_gradient(gt_feat)
+        )
+        loss_giou = jnp.sum((1.0 - giou) * weight_t) / weight_sum_avg
+
+        # DFL: CE to the two bins bracketing the target distance.
+        centers_feat = pts[None] / strides[None, :, None]  # (1, N, 2)
+        gt_dist = jnp.stack(
+            [
+                centers_feat[..., 0] - gt_feat[..., 0],
+                centers_feat[..., 1] - gt_feat[..., 1],
+                gt_feat[..., 2] - centers_feat[..., 0],
+                gt_feat[..., 3] - centers_feat[..., 1],
+            ],
+            axis=-1,
+        )
+        gt_dist = jnp.clip(gt_dist, 0.0, a.reg_max - 0.01)  # (B, N, 4)
+        lo = jnp.floor(gt_dist).astype(jnp.int32)
+        hi = lo + 1
+        w_lo = hi.astype(jnp.float32) - gt_dist
+        w_hi = gt_dist - lo.astype(jnp.float32)
+        logp = jax.nn.log_softmax(
+            reg.reshape(B, N, 4, a.reg_max + 1), axis=-1
+        )
+        ce = -(
+            jnp.take_along_axis(logp, lo[..., None], axis=-1)[..., 0] * w_lo
+            + jnp.take_along_axis(logp, hi[..., None], axis=-1)[..., 0] * w_hi
+        )  # (B, N, 4)
+        dfl = jnp.sum(ce, axis=-1) / 4.0  # (B, N)
+        loss_dfl = jnp.sum(dfl * weight_t) / weight_sum_avg
+
+        loss = (
+            a.loss_vfl_weight * loss_vfl
+            + a.loss_giou_weight * loss_giou
+            + a.loss_dfl_weight * loss_dfl
+        )
+        return loss, (
+            new_state,
+            {
+                "loss_vfl": loss_vfl,
+                "loss_giou": loss_giou,
+                "loss_dfl": loss_dfl,
+                "num_pos": jnp.sum(n_pos).astype(jnp.float32),
+            },
+        )
 
     def _decode_flat(self, cls, boxes, image_hw):
         C = cls.shape[-1]
@@ -350,7 +630,8 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
         cls_outs, reg_outs, _ = self._forward(
             params, model_state, images, False
         )
-        cls, boxes, _, _ = self._flatten(cls_outs, reg_outs, (H, W))
+        cls, reg, pts, strides = self._flatten(cls_outs, reg_outs)
+        boxes = self._decode_boxes(reg.astype(jnp.float32), pts, strides)
         sel_boxes, scores, labels = self._decode_flat(cls, boxes, (H, W))
         return {
             "pred_boxes": sel_boxes,
@@ -371,7 +652,8 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
         cls_outs, reg_outs, _ = self._forward(
             {"backbone": params["backbone"]}, model_state, images, False
         )
-        cls, boxes, _, _ = self._flatten(cls_outs, reg_outs, (H, W))
+        cls, reg, pts, strides = self._flatten(cls_outs, reg_outs)
+        boxes = self._decode_boxes(reg.astype(jnp.float32), pts, strides)
         return self._decode_flat(cls, boxes, (H, W))
 
     def wrap_pretrained(self, variables):
@@ -386,3 +668,10 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
         from lightly_train_tpu._optim import SGDArgs
 
         return SGDArgs(lr=0.1, momentum=0.9, weight_decay=4e-5)
+
+
+def optax_sigmoid_bce(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Elementwise BCE-with-logits (stable log-sum-exp form)."""
+    return jnp.clip(logits, 0) - logits * targets + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )

@@ -212,3 +212,116 @@ def test_dfine_and_rtdetrv2_decoders(tmp_path, yolo_dataset):
             num_workers=2,
         )
         assert int(state.step) == 1
+
+
+def test_simota_assignment_matches_reference_semantics():
+    """simota_assign == a direct numpy port of the reference's per-gt
+    dynamic-k matching (``sim_ota_assigner.py:136-420``), up to cost ties."""
+    import numpy as np
+    from lightly_train_tpu.tasks.detection.picodet import (
+        _iou_xyxy, simota_assign,
+    )
+
+    rng = np.random.default_rng(0)
+    N, K, C = 60, 5, 7
+    pts = rng.uniform(4, 60, (N, 2)).astype(np.float32)
+    strides = np.full((N,), 8.0, np.float32)
+    scores = rng.uniform(0.01, 0.99, (N, C)).astype(np.float32)
+    cxy = rng.uniform(10, 54, (K, 2))
+    wh = rng.uniform(12, 40, (K, 2))
+    gt = np.concatenate([cxy - wh / 2, cxy + wh / 2], 1).astype(np.float32)
+    gt_labels = rng.integers(0, C, (K,))
+    gt_valid = np.array([True, True, True, True, False])
+    # Predicted boxes: jittered copies of gts assigned round-robin.
+    dec = gt[np.arange(N) % K] + rng.normal(0, 3, (N, 4)).astype(np.float32)
+    dec = np.stack([
+        np.minimum(dec[:, 0], dec[:, 2] - 1), np.minimum(dec[:, 1], dec[:, 3] - 1),
+        np.maximum(dec[:, 2], dec[:, 0] + 1), np.maximum(dec[:, 3], dec[:, 1] + 1),
+    ], 1)
+
+    is_pos, assigned, pair_iou = jax.tree.map(
+        np.asarray,
+        simota_assign(
+            jnp.asarray(scores), jnp.asarray(pts), jnp.asarray(strides),
+            jnp.asarray(dec), jnp.asarray(gt), jnp.asarray(gt_labels),
+            jnp.asarray(gt_valid), 2.5, 10, 6.0, 1.0,
+        ),
+    )
+
+    # --- numpy reference port (loops, dynamic shapes) ---
+    INF = 1e8
+    px, py = pts[:, 0], pts[:, 1]
+    in_gt = ((px[:, None] > gt[None, :, 0]) & (px[:, None] < gt[None, :, 2])
+             & (py[:, None] > gt[None, :, 1]) & (py[:, None] < gt[None, :, 3]))
+    cxg, cyg = (gt[:, 0] + gt[:, 2]) / 2, (gt[:, 1] + gt[:, 3]) / 2
+    r = 2.5 * strides[:, None]
+    in_c = ((px[:, None] > cxg[None] - r) & (px[:, None] < cxg[None] + r)
+            & (py[:, None] > cyg[None] - r) & (py[:, None] < cyg[None] + r))
+    gv = gt_valid[None, :]
+    cand = (in_gt | in_c) & gv
+    strong = in_gt & in_c & gv
+    valid = cand.any(1)
+    iou = np.asarray(_iou_xyxy(jnp.asarray(dec), jnp.asarray(gt)))
+
+    def giou_cost(d, g):
+        ap = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1])
+        ag = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+        lt = np.maximum(d[:, None, :2], g[None, :, :2])
+        rb = np.minimum(d[:, None, 2:], g[None, :, 2:])
+        whp = np.clip(rb - lt, 0, None)
+        inter = whp[..., 0] * whp[..., 1]
+        union = ap[:, None] + ag[None] - inter
+        elt = np.minimum(d[:, None, :2], g[None, :, :2])
+        erb = np.maximum(d[:, None, 2:], g[None, :, 2:])
+        ew = np.clip(erb - elt, 0, None)
+        enc = ew[..., 0] * ew[..., 1]
+        return 1 - (inter / union - (enc - union) / enc)
+
+    # VFL cost: full (N, K, C) materialization, reference formula.
+    alpha, gamma = 0.75, 2.0
+    p = np.clip(scores, 1e-7, 1 - 1e-7)
+    vflc = np.zeros((N, K))
+    for k in range(K):
+        tgt = np.zeros((N, C))
+        tgt[:, gt_labels[k]] = iou[:, k]
+        fw = tgt * (tgt > 0) + alpha * np.abs(p - tgt) ** gamma * (tgt <= 0)
+        bce = -(tgt * np.log(p) + (1 - tgt) * np.log(1 - p))
+        vflc[:, k] = (bce * fw).sum(1)
+    cost = vflc + 6.0 * giou_cost(dec, gt) + (~strong) * INF + (~valid)[:, None] * INF
+
+    iou_v = np.where(valid[:, None] & gv, iou, 0.0)
+    dyn = np.clip(np.floor(np.sort(iou_v, 0)[::-1][:10].sum(0)).astype(int), 1, 10)
+    M = np.zeros((N, K), bool)
+    for k in range(K):
+        order = np.argsort(cost[:, k])[: dyn[k]]
+        ok = cost[order, k] < INF / 2
+        M[order[ok], k] = True
+    # conflicts -> cheapest gt
+    for n in np.where(M.sum(1) > 1)[0]:
+        best = np.argmin(np.where(M[n], cost[n], np.inf))
+        M[n] = False
+        M[n, best] = True
+    ref_pos = M.any(1)
+    ref_assigned = np.where(ref_pos, M.argmax(1), 0)
+
+    assert (is_pos == ref_pos).all()
+    assert (assigned[is_pos] == ref_assigned[ref_pos]).all()
+    # no positives on the invalid gt slot
+    assert not np.any(assigned[is_pos] == 4)
+    np.testing.assert_allclose(
+        pair_iou[is_pos], iou[np.where(is_pos)[0], assigned[is_pos]], rtol=1e-5
+    )
+
+
+def test_integral_decode_expectation():
+    from lightly_train_tpu.tasks.detection.picodet import integral_decode
+
+    # A peaked one-hot distribution decodes to its bin index.
+    reg_max = 7
+    logits = jnp.full((3, 4 * (reg_max + 1)), -20.0)
+    logits = logits.at[:, 2].set(20.0)        # side 0 -> bin 2
+    logits = logits.at[:, (reg_max + 1) + 5].set(20.0)   # side 1 -> bin 5
+    logits = logits.at[:, 2 * (reg_max + 1) + 0].set(20.0)
+    logits = logits.at[:, 3 * (reg_max + 1) + 7].set(20.0)
+    out = integral_decode(logits, reg_max)
+    np.testing.assert_allclose(out, np.tile([2, 5, 0, 7], (3, 1)), atol=1e-4)
