@@ -39,6 +39,10 @@ class ExportStableHLOConfig(PydanticConfig):
     batch_size: int = 1
     precision: Literal["fp32", "bf16"] = "fp32"
     verify: bool = True
+    # Deploy-mode graph rewrites before export (RepVgg branch fusion,
+    # ``hybrid_encoder.py:76-108`` convert_to_deploy) when the task model
+    # supports them.
+    deploy: bool = True
 
 
 def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
@@ -54,11 +58,13 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
     if "task" in artifact:
         model = load_model(Path(config.checkpoint), image_size=config.image_size)
         task = model.task
+        train_model, variables_ = model.train_model, model.variables
+        if config.deploy and hasattr(train_model, "convert_to_deploy"):
+            train_model, variables_ = train_model.convert_to_deploy(variables_)
+            logger.info("Applied deploy-mode rewrites (RepVgg fusion)")
 
         def predict_fn(images: jax.Array) -> Any:
-            return model.train_model.predict(
-                model.variables, images.astype(dtype)
-            )
+            return train_model.predict(variables_, images.astype(dtype))
     else:
         # Pretraining artifact: export the backbone feature extractor
         # (pooled embedding + feature map), the `embed` graph.

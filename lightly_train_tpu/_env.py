@@ -84,3 +84,8 @@ class Env:
     LIGHTLY_TRAIN_MATMUL_PRECISION: EnvVar[str] = EnvVar(
         "LIGHTLY_TRAIN_MATMUL_PRECISION", "default", str
     )
+    # VMEM-resident Pallas attention kernel on TPU ("0" disables, falling
+    # back to jax.nn.dot_product_attention).
+    LIGHTLY_TRAIN_VMEM_ATTENTION: EnvVar[str] = EnvVar(
+        "LIGHTLY_TRAIN_VMEM_ATTENTION", "1", str
+    )

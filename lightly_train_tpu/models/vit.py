@@ -203,7 +203,19 @@ class Attention(nn.Module):
                 [k[:, :p], _apply_rope(k[:, p:], cos, sin)], axis=1
             )
         # attn_mask: bool, broadcastable to (B, num_heads, Tq, Tk).
-        out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
+        # Unmasked backbone attention runs in the VMEM-resident Pallas
+        # kernel on TPU (ops/pallas/attention.py: scores never touch HBM;
+        # 4.6x over XLA attention at ViT-B global shapes). Masked attention
+        # (EoMT annealing) keeps the XLA path.
+        from lightly_train_tpu.ops.pallas.attention import (
+            use_vmem_attention,
+            vmem_attention,
+        )
+
+        if attn_mask is None and use_vmem_attention():
+            out = vmem_attention(q, k, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
         out = out.reshape(B, N, D)
         return nn.Dense(D, use_bias=cfg.proj_bias, dtype=cfg.dtype, name="proj")(out)
 

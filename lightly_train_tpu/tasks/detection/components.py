@@ -9,8 +9,11 @@ Rebuild of ``src/lightly_train/_task_models/object_detection_components/``
   MXU/VPU-friendly until the kernel lands).
 - ``HybridEncoder``: per-level input projections, a transformer (AIFI) layer
   on the lowest-resolution level with 2-D sincos positions, then top-down +
-  bottom-up conv fusion (the RepVgg CSP blocks become plain fused conv
-  blocks; deploy-time RepVgg folding is a torch-ism XLA does not need).
+  bottom-up CSPRep fusion. ``RepVggBlock`` trains the reference's structural
+  re-parameterization (3x3+BN plus 1x1+BN branches,
+  ``hybrid_encoder.py:58-107``) and ``fuse_repvgg`` folds both branches into
+  one biased 3x3 conv for deployment (``convert_to_deploy``
+  ``hybrid_encoder.py:76-108``) as a pure tree-to-tree function.
 - ``DETRDecoder``: top-k query selection from encoder logits, L layers of
   query self-attention + deformable cross-attention + FFN with iterative
   sigmoid box refinement (detached between layers like RT-DETRv2).
@@ -45,6 +48,10 @@ class DetrConfig:
     use_dfine: bool = False
     dfine_bins: int = 16
     dfine_scale: float = 0.5  # max edge offset as a fraction of box size
+    csp_blocks: int = 3  # RepVgg bottlenecks per CSPRep layer
+    # Deploy mode: RepVgg branches replaced by single fused 3x3 convs whose
+    # params come from ``fuse_repvgg`` (``hybrid_encoder.py:76-108``).
+    deploy: bool = False
     dtype: Any = jnp.float32
 
 
@@ -175,24 +182,157 @@ class ConvBNAct(nn.Module):
         return nn.silu(x)
 
 
-class FuseBlock(nn.Module):
-    """Simplified CSP fusion block (reference RepVgg CSP, fused form)."""
+class RepVggBlock(nn.Module):
+    """Structural re-parameterization block (``hybrid_encoder.py:58-107``).
+
+    Training: silu(bn(conv3x3(x)) + bn(conv1x1(x))). Deploy: silu(conv(x))
+    with the single biased 3x3 kernel produced by :func:`fuse_repvgg`.
+    """
 
     filters: int
+    deploy: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = ConvBNAct(self.filters // 2, 1, dtype=self.dtype, name="a")(x, train)
-        b = ConvBNAct(self.filters // 2, 3, dtype=self.dtype, name="b1")(
-            a, train
+        if self.deploy:
+            y = nn.Conv(
+                self.filters, (3, 3), padding="SAME", use_bias=True,
+                dtype=self.dtype, name="fused",
+            )(x)
+        else:
+            a = nn.Conv(
+                self.filters, (3, 3), padding="SAME", use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(x)
+            a = nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name="bn1"
+            )(a)
+            b = nn.Conv(
+                self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                name="conv2",
+            )(x)
+            b = nn.BatchNorm(
+                use_running_average=not train, dtype=self.dtype, name="bn2"
+            )(b)
+            y = a + b
+        return nn.silu(y)
+
+
+class FuseBlock(nn.Module):
+    """CSPRep layer (``hybrid_encoder.py:110-146``): two 1x1 branches, a
+    chain of RepVgg bottlenecks on one, summed (expansion 1.0 -> no conv3)."""
+
+    filters: int
+    dtype: Any = jnp.float32
+    num_blocks: int = 3
+    deploy: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        a = ConvBNAct(self.filters, 1, dtype=self.dtype, name="a")(x, train)
+        for i in range(self.num_blocks):
+            a = RepVggBlock(
+                self.filters, self.deploy, self.dtype, name=f"rep{i}"
+            )(a, train)
+        b = ConvBNAct(self.filters, 1, dtype=self.dtype, name="b")(x, train)
+        return a + b
+
+
+def _fuse_one_repvgg(p: dict, s: dict, eps: float = 1e-5) -> dict:
+    """Fold {conv1+bn1, conv2+bn2} params/stats into one biased 3x3 kernel.
+
+    Flax kernels are (kh, kw, in, out); BN fold scales the out axis. The 1x1
+    kernel is zero-padded to the 3x3 center (``hybrid_encoder.py:89-107``).
+    """
+
+    def branch(conv, bn, stats):
+        k = conv["kernel"].astype(jnp.float32)
+        gamma = bn["scale"].astype(jnp.float32)
+        beta = bn["bias"].astype(jnp.float32)
+        mean = stats["mean"].astype(jnp.float32)
+        var = stats["var"].astype(jnp.float32)
+        std = jnp.sqrt(var + eps)
+        return k * (gamma / std), beta - mean * gamma / std
+
+    k3, b3 = branch(p["conv1"], p["bn1"], s["bn1"])
+    k1, b1 = branch(p["conv2"], p["bn2"], s["bn2"])
+    k1 = jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    return {"fused": {"kernel": k3 + k1, "bias": b3 + b1}}
+
+
+def fuse_repvgg(params: Any, batch_stats: Any) -> Any:
+    """Return a deploy param tree: every RepVgg block subtree replaced by a
+    single fused conv (pure function; pair with ``DetrConfig(deploy=True)``).
+
+    Non-RepVgg leaves pass through unchanged; remaining ``batch_stats``
+    (ConvBNAct et al.) stay in model_state and keep working in deploy mode.
+    """
+
+    def is_repvgg(p: Any, s: Any) -> bool:
+        # Exactly the RepVgg subtree (a ResNet basic block shares the
+        # conv1/bn1 naming but both its kernels are 3x3 and it has more
+        # children), with running stats present for both branches.
+        if not (isinstance(p, dict) and isinstance(s, dict)):
+            return False
+        if set(p.keys()) != {"conv1", "bn1", "conv2", "bn2"}:
+            return False
+        try:
+            k3 = p["conv1"]["kernel"]
+            k1 = p["conv2"]["kernel"]
+        except (KeyError, TypeError):
+            return False
+        return (
+            k3.shape[:2] == (3, 3)
+            and k1.shape[:2] == (1, 1)
+            and {"bn1", "bn2"} <= set(s.keys())
         )
-        b = ConvBNAct(self.filters // 2, 3, dtype=self.dtype, name="b2")(
-            b, train
-        )
-        return ConvBNAct(self.filters, 1, dtype=self.dtype, name="out")(
-            jnp.concatenate([a, b], axis=-1), train
-        )
+
+    def walk(p: Any, s: Any) -> Any:
+        if not isinstance(p, dict):
+            return p
+        if is_repvgg(p, s):
+            return _fuse_one_repvgg(p, s)
+        return {
+            k: walk(v, s.get(k, {}) if isinstance(s, dict) else {})
+            for k, v in p.items()
+        }
+
+    return walk(params, batch_stats)
+
+
+def strip_fused_batch_stats(params: Any, batch_stats: Any) -> Any:
+    """Drop bn1/bn2 running stats for subtrees ``fuse_repvgg`` fused away.
+
+    Takes the ORIGINAL (pre-fuse) params so RepVgg positions are identified
+    the same way as in :func:`fuse_repvgg`.
+    """
+
+    def is_repvgg(p: Any, s: Any) -> bool:
+        if not (isinstance(p, dict) and isinstance(s, dict)):
+            return False
+        if set(p.keys()) != {"conv1", "bn1", "conv2", "bn2"}:
+            return False
+        try:
+            return (
+                p["conv1"]["kernel"].shape[:2] == (3, 3)
+                and p["conv2"]["kernel"].shape[:2] == (1, 1)
+                and {"bn1", "bn2"} <= set(s.keys())
+            )
+        except (KeyError, TypeError):
+            return False
+
+    def walk(p: Any, s: Any) -> Any:
+        if not isinstance(s, dict):
+            return s
+        if is_repvgg(p, s):
+            return {}
+        return {
+            k: walk(p.get(k, {}) if isinstance(p, dict) else {}, v)
+            for k, v in s.items()
+        }
+
+    return walk(params, batch_stats)
 
 
 class HybridEncoder(nn.Module):
@@ -247,7 +387,9 @@ class HybridEncoder(nn.Module):
                 (B,) + levels[i - 1].shape[1:3] + (D,),
                 "nearest",
             )
-            levels[i - 1] = FuseBlock(D, cfg.dtype, name=f"fpn{i}")(
+            levels[i - 1] = FuseBlock(
+                D, cfg.dtype, cfg.csp_blocks, cfg.deploy, name=f"fpn{i}"
+            )(
                 jnp.concatenate([up, levels[i - 1]], axis=-1), train
             )
         # Bottom-up (PAN).
@@ -255,7 +397,9 @@ class HybridEncoder(nn.Module):
             down = ConvBNAct(D, 3, 2, cfg.dtype, name=f"pan_down{i}")(
                 levels[i], train
             )
-            levels[i + 1] = FuseBlock(D, cfg.dtype, name=f"pan{i}")(
+            levels[i + 1] = FuseBlock(
+                D, cfg.dtype, cfg.csp_blocks, cfg.deploy, name=f"pan{i}"
+            )(
                 jnp.concatenate([down, levels[i + 1]], axis=-1), train
             )
         return levels

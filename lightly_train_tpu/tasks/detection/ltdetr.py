@@ -415,6 +415,42 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         outputs, _ = self._apply(params, model_state, images, False)
         return self._decode(outputs)
 
+    def convert_to_deploy(self, variables):
+        """RepVgg branch fusion for inference (``hybrid_encoder.py:76-108``).
+
+        Returns (deploy_model, deploy_variables): a model whose CSPRep
+        bottlenecks are single biased 3x3 convs and the matching fused
+        param tree. Eval-mode outputs are numerically identical (tested).
+        """
+        import copy
+        import dataclasses as _dc
+
+        from lightly_train_tpu.tasks.detection.components import (
+            fuse_repvgg,
+            strip_fused_batch_stats,
+        )
+
+        deploy = copy.copy(self)
+        deploy.cfg = _dc.replace(self.cfg, deploy=True)
+        deploy.module = _LTDETRModule(self.wrapped, deploy.cfg)
+        stats = variables.get("batch_stats", {})
+        new_vars = {
+            k: v
+            for k, v in variables.items()
+            if k not in ("params", "batch_stats")
+        }
+        # ``init`` wraps the module params under "backbone"
+        # (``_apply`` unwraps); batch_stats are unwrapped. Sibling param
+        # groups (e.g. the instance-seg "mask_head") pass through.
+        inner = variables["params"]["backbone"]
+        new_params = dict(variables["params"])
+        new_params["backbone"] = fuse_repvgg(inner, stats)
+        new_vars["params"] = new_params
+        stripped = strip_fused_batch_stats(inner, stats)
+        if stripped:
+            new_vars["batch_stats"] = stripped
+        return deploy, new_vars
+
     def default_optimizer_args(self):
         from lightly_train_tpu._optim import AdamWArgs
 

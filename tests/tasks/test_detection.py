@@ -325,3 +325,46 @@ def test_integral_decode_expectation():
     logits = logits.at[:, 3 * (reg_max + 1) + 7].set(20.0)
     out = integral_decode(logits, reg_max)
     np.testing.assert_allclose(out, np.tile([2, 5, 0, 7], (3, 1)), atol=1e-4)
+
+
+def test_repvgg_deploy_fusion_parity():
+    """fuse_repvgg deploy params reproduce the two-branch eval forward
+    exactly (``hybrid_encoder.py:76-108`` convert_to_deploy)."""
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.tasks.detection.ltdetr import (
+        ObjectDetectionArgs, ObjectDetectionTrainModel,
+    )
+
+    wrapped = get_wrapped_model("torchvision/resnettest")
+    args = ObjectDetectionArgs(
+        num_classes=3, num_queries=8, num_decoder_layers=1, d_model=32,
+        num_heads=2, dim_feedforward=64, max_detections=8,
+    )
+    model = ObjectDetectionTrainModel(wrapped, args)
+    rng = jax.random.key(0)
+    images = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    params, model_state = model.init(rng, {"images": images})
+    variables = {"params": params, **model_state}
+
+    # Perturb BN running stats so the fold is non-trivial.
+    import jax.numpy as _jnp
+    if "batch_stats" in variables:
+        variables["batch_stats"] = jax.tree.map(
+            lambda x: x + 0.05, variables["batch_stats"]
+        )
+
+    boxes, scores, labels = model.predict(variables, images)
+    deploy_model, deploy_vars = model.convert_to_deploy(variables)
+    dboxes, dscores, dlabels = deploy_model.predict(deploy_vars, images)
+
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(dscores),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(dboxes),
+                               atol=1e-5, rtol=1e-4)
+    assert (np.asarray(labels) == np.asarray(dlabels)).all()
+
+    # The deploy tree really is fused: no conv1/bn1 RepVgg leaves remain.
+    flat = jax.tree_util.tree_leaves_with_path(deploy_vars["params"])
+    paths = ["/".join(str(k) for k in p) for p, _ in flat]
+    assert not any("conv1" in p and "rep" in p for p in paths)
+    assert any("fused" in p for p in paths)
