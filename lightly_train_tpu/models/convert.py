@@ -291,3 +291,95 @@ def load_torch_checkpoint_for_model(
         "Converted %d torch tensors for %s", len(sd), model_name
     )
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# ultralytics YOLOv8 (models/yolo.py)
+# ---------------------------------------------------------------------------
+
+def _conv_unit_from_torch(
+    sd: Mapping[str, np.ndarray], prefix: str
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """One ultralytics ``Conv`` (conv+bn) -> flax params/batch_stats."""
+    params = {
+        "conv": {"kernel": sd[f"{prefix}.conv.weight"].transpose(2, 3, 1, 0)},
+        "bn": {"scale": sd[f"{prefix}.bn.weight"],
+               "bias": sd[f"{prefix}.bn.bias"]},
+    }
+    stats = {"bn": {"mean": sd[f"{prefix}.bn.running_mean"],
+                    "var": sd[f"{prefix}.bn.running_var"]}}
+    return params, stats
+
+
+def convert_ultralytics_state_dict(
+    state_dict: Mapping[str, Any], n_per_c2f: Mapping[int, int]
+) -> Dict[str, Any]:
+    """ultralytics YOLOv8 checkpoint -> Flax variables for models/yolo.py.
+
+    Accepts the ``model.model.{i}.*`` naming of ``YOLO("yolov8s.pt")``
+    checkpoints (the reference slices the same Sequential,
+    ``ultralytics.py:100-135``). ``n_per_c2f`` maps sequential index of each
+    C2f layer -> its bottleneck count (depends on the depth multiple).
+    Returns ``{"params": ..., "batch_stats": ...}``.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("model.model.").removeprefix("model.")
+        sd[k] = _t(v)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(layer: str, sub: tuple[str, ...], prefix: str) -> None:
+        p, s = _conv_unit_from_torch(sd, prefix)
+        dp, ds = params.setdefault(layer, {}), stats.setdefault(layer, {})
+        for part in sub[:-1]:
+            dp = dp.setdefault(part, {})
+            ds = ds.setdefault(part, {})
+        if sub:
+            dp[sub[-1]] = p
+            ds[sub[-1]] = s
+        else:
+            dp.update(p)
+            ds.update(s)
+
+    for i in (0, 1, 3, 5, 7):  # plain Conv layers
+        put(f"layer{i}", (), str(i))
+    for i in (2, 4, 6, 8):  # C2f layers
+        put(f"layer{i}", ("cv1",), f"{i}.cv1")
+        put(f"layer{i}", ("cv2",), f"{i}.cv2")
+        for j in range(n_per_c2f[i]):
+            put(f"layer{i}", (f"m{j}", "cv1"), f"{i}.m.{j}.cv1")
+            put(f"layer{i}", (f"m{j}", "cv2"), f"{i}.m.{j}.cv2")
+    put("layer9", ("cv1",), "9.cv1")
+    put("layer9", ("cv2",), "9.cv2")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_yolov8_to_ultralytics_state_dict(
+    variables: Mapping[str, Any]
+) -> Dict[str, np.ndarray]:
+    """Inverse of ``convert_ultralytics_state_dict`` (backbone layers 0-9).
+
+    Emits ``model.{i}.*`` keys loadable into an ultralytics ``DetectionModel``
+    with ``strict=False`` — the reference's export-back-to-ultralytics path
+    (``ultralytics_package.py`` export)."""
+    params = jax_to_np(variables["params"])
+    stats = jax_to_np(variables["batch_stats"])
+    sd: Dict[str, np.ndarray] = {}
+
+    def emit(prefix: str, p: Mapping[str, Any], s: Mapping[str, Any]) -> None:
+        if "conv" in p:  # a ConvBNSiLU leaf
+            sd[f"{prefix}.conv.weight"] = p["conv"]["kernel"].transpose(3, 2, 0, 1)
+            sd[f"{prefix}.bn.weight"] = p["bn"]["scale"]
+            sd[f"{prefix}.bn.bias"] = p["bn"]["bias"]
+            sd[f"{prefix}.bn.running_mean"] = s["bn"]["mean"]
+            sd[f"{prefix}.bn.running_var"] = s["bn"]["var"]
+            return
+        for name in p:
+            # flax m{j} -> torch m.{j}
+            tname = f"m.{name[1:]}" if name.startswith("m") and name[1:].isdigit() else name
+            emit(f"{prefix}.{tname}", p[name], s[name])
+
+    for layer, p in params.items():
+        emit(f"model.{layer.removeprefix('layer')}", p, stats[layer])
+    return sd

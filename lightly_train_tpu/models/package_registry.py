@@ -324,3 +324,41 @@ for _alias, _target in {
             t, dtype=dtype, **kw
         ))(_target),
     )
+
+
+# ---------------------------------------------------------------------------
+# ultralytics family: native YOLOv8 CSPDarknet backbones (the reference
+# wraps installed ultralytics YOLO models, slicing the Sequential before
+# SPPF — ultralytics/ultralytics.py:57-235; here the same backbone is a
+# native Flax module with a checkpoint converter, models/yolo.py).
+# ---------------------------------------------------------------------------
+
+from lightly_train_tpu.models.yolo import (  # noqa: E402
+    _YOLOV8_SIZES,
+    YOLOv8Backbone,
+    yolov8_config,
+    yolov8_feature_dim,
+)
+
+
+def _build_yolov8(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    cfg = yolov8_config(name, dtype=dtype)
+    return WrappedModel(
+        name=f"ultralytics/{name}",
+        module=YOLOv8Backbone(cfg),
+        feature_dim=yolov8_feature_dim(cfg),
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _name in _YOLOV8_SIZES:
+    for _suffix in ("", ".pt", "-cls.pt", "-seg.pt"):
+        register_model(
+            f"ultralytics/{_name}{_suffix}",
+            (lambda n: lambda dtype=jnp.float32, **kw: _build_yolov8(
+                n, dtype, **kw
+            ))(_name),
+            hidden=_name == "yolov8test" or _suffix != "",
+        )
