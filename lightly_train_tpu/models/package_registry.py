@@ -238,7 +238,7 @@ for _name in _RESNET_SIZES:
         (lambda n: lambda dtype=jnp.float32, **kw: _build_resnet(n, dtype, **kw))(
             _name
         ),
-        hidden=_name == "resnettest",
+        hidden=_name.startswith("resnettest") or _name.endswith("vd"),
     )
 
 
@@ -362,3 +362,75 @@ for _name in _YOLOV8_SIZES:
             ))(_name),
             hidden=_name == "yolov8test" or _suffix != "",
         )
+
+
+# ---------------------------------------------------------------------------
+# rtdetr family: RT-DETR PResNet (ResNet-vd) backbones (the reference wraps
+# the rtdetr pypi package's backbone, _models/rtdetr/rtdetr.py:1-45; here
+# the vd variant is native in models/resnet.py).
+# ---------------------------------------------------------------------------
+
+for _name in ("resnet18vd", "resnet34vd", "resnet50vd", "resnet101vd",
+              "resnettestvd"):
+    register_model(
+        f"rtdetr/rtdetr_{_name.replace('resnet', 'r')}",
+        (lambda n: lambda dtype=jnp.float32, **kw: _build_resnet(
+            n, dtype, **kw
+        ))(_name),
+        hidden="test" in _name,
+    )
+
+
+# ---------------------------------------------------------------------------
+# rfdetr family: RF-DETR's encoder is a DINOv2 ViT (the reference extracts
+# model.backbone[0].encoder, _models/rfdetr/rfdetr.py:1-90); the native ViT
+# answers to the rf-detr names at the matching sizes.
+# ---------------------------------------------------------------------------
+
+for _alias, _target in {
+    "rfdetr/rf-detr-nano": "dinov2/vits14",
+    "rfdetr/rf-detr-small": "dinov2/vits14",
+    "rfdetr/rf-detr-base": "dinov2/vitb14",
+    "rfdetr/rf-detr-medium": "dinov2/vitb14",
+    "rfdetr/rf-detr-large": "dinov2/vitl14",
+}.items():
+    register_model(
+        _alias,
+        (lambda t: lambda dtype=jnp.float32, **kw: get_wrapped_model(
+            t, dtype=dtype, **kw
+        ))(_target),
+        hidden=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# super_gradients family: native YOLO-NAS backbones (models/yolo_nas.py).
+# ---------------------------------------------------------------------------
+
+from lightly_train_tpu.models.yolo_nas import (  # noqa: E402
+    _YOLO_NAS_SIZES,
+    YoloNASBackbone,
+    yolo_nas_config,
+)
+
+
+def _build_yolo_nas(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    cfg = yolo_nas_config(name, dtype=dtype)
+    return WrappedModel(
+        name=f"super_gradients/{name}",
+        module=YoloNASBackbone(cfg),
+        feature_dim=cfg.stage_channels[-1],
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _name in _YOLO_NAS_SIZES:
+    register_model(
+        f"super_gradients/{_name}",
+        (lambda n: lambda dtype=jnp.float32, **kw: _build_yolo_nas(
+            n, dtype, **kw
+        ))(_name),
+        hidden=_name == "yolo_nas_test",
+    )

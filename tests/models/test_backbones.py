@@ -128,3 +128,32 @@ def test_vit_remat_matches_no_remat():
     out = m.apply(v, x, train=False)["cls_token"]
     out_r = mr.apply(v, x, train=False)["cls_token"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-5)
+
+
+def test_resnet_vd_forward(sample):
+    """rtdetr PResNet: deep stem + avgpool-vd shortcuts, same contract."""
+    m = get_wrapped_model("rtdetr/rtdetr_rtestvd")
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = m.init(jax.random.key(0), x)
+    out, _ = m.forward_features(variables, x, train=True, mutable=["batch_stats"])
+    assert out["features"].shape == (2, 2, 2, 64)
+    assert len(out["stage_features"]) == 4
+    # deep stem: three conv/bn pairs instead of one 7x7
+    assert "stem_conv1" in variables["params"]
+    assert "stem_conv3" in variables["params"]
+    assert "stem_conv" not in variables["params"]
+
+
+def test_yolo_nas_forward(sample):
+    m = get_wrapped_model("super_gradients/yolo_nas_test")
+    x = jnp.zeros((2, 64, 64, 3))
+    variables = m.init(jax.random.key(0), x)
+    out = m.forward_features(variables, x)
+    assert out["features"].shape == (2, 2, 2, 32)
+    assert [t.shape[1] for t in out["stage_features"]] == [8, 4, 2]
+    assert m.forward_pool(out).shape == (2, 32)
+
+
+def test_rfdetr_aliases_resolve():
+    m = get_wrapped_model("rfdetr/rf-detr-nano")
+    assert m.feature_dim == 384 and m.patch_size == 14
