@@ -16,17 +16,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-# Persistent compilation cache: CPU compiles of the model zoo dominate test
-# time; cache them across pytest runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_comp_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 # A TPU PJRT plugin (axon sitecustomize) may have force-registered itself at
 # interpreter start; override the platform before the backend initializes.
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: CPU compiles of the model zoo dominate test
+# time (single-core CI box); cache them across pytest runs. jax 0.9 ignores
+# the JAX_COMPILATION_CACHE_DIR env var for cache READS ("cache is
+# disabled/not initialized") — explicit config updates are required.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_comp_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import tempfile
 from pathlib import Path
