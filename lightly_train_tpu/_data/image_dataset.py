@@ -19,9 +19,16 @@ from lightly_train_tpu.errors import DatasetError
 
 logger = logging.getLogger("lightly_train_tpu.data")
 
-# Reference supports ~30 extensions (``tests/helpers.py:66``); PIL covers these.
+# Reference's supported extension list (``tests/helpers.py:66-112``), minus
+# .dcm (pydicom) and .ps/.eps (ghostscript) which need external decoders —
+# everything here decodes through PIL.
 IMAGE_EXTENSIONS = {
-    ".bmp", ".gif", ".jpg", ".jpeg", ".png", ".ppm", ".tif", ".tiff", ".webp",
+    ".bmp", ".dib", ".pcx", ".dds", ".gif", ".png", ".apng",
+    ".jp2", ".j2k", ".jpc", ".jpf", ".jpx", ".j2c",
+    ".icns", ".ico", ".im", ".jfif", ".jpe", ".jpg", ".jpeg",
+    ".tif", ".tiff", ".pbm", ".pgm", ".ppm", ".pnm",
+    ".bw", ".rgb", ".rgba", ".sgi", ".tga", ".icb", ".vda", ".vst",
+    ".webp",
 }
 
 

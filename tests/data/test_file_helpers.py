@@ -64,3 +64,53 @@ def test_dicom_raises_actionable_error(tmp_path):
     p.write_bytes(b"\x00" * 16)
     with pytest.raises((ImportError, NotImplementedError), match="pydicom"):
         open_image_numpy(p)
+
+
+def test_exotic_format_battery(tmp_path):
+    """Decode-path coverage across the reference's extension list.
+
+    The reference checks in ~30 sample images (``tests/test_images/``,
+    SURVEY.md §4); here the battery is generated: every PIL-writable
+    extension from IMAGE_EXTENSIONS round-trips through list_image_files +
+    open_image_numpy to a (H, W, 3) uint8 array in RGB mode.
+    """
+    import numpy as np
+    from PIL import Image
+
+    from lightly_train_tpu._data.file_helpers import ImageMode, open_image_numpy
+    from lightly_train_tpu._data.image_dataset import (
+        IMAGE_EXTENSIONS,
+        list_image_files,
+    )
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    written = []
+    # PIL can write these directly; read-only formats (dds, pcx-16 etc.)
+    # are still accepted by list_image_files.
+    writable = [
+        ".bmp", ".gif", ".png", ".jpg", ".jpeg", ".jfif", ".jpe",
+        ".tif", ".tiff", ".ppm", ".pgm", ".pbm", ".webp", ".tga",
+        ".ico", ".im", ".pcx", ".sgi", ".rgb", ".bw", ".jp2",
+    ]
+    for ext in writable:
+        assert ext in IMAGE_EXTENSIONS, ext
+        p = tmp_path / f"img{ext}"
+        im = Image.fromarray(arr)
+        if ext in (".pgm", ".bw"):
+            im = im.convert("L")
+        elif ext == ".pbm":
+            im = im.convert("1")
+        try:
+            im.save(p)
+        except (OSError, ValueError, KeyError):
+            continue  # encoder not compiled into this PIL build
+        written.append(p)
+
+    assert len(written) >= 12
+    files = list_image_files(tmp_path)
+    assert len(files) == len(written)
+    for p in written:
+        out = open_image_numpy(p, ImageMode.RGB)
+        assert out.dtype == np.uint8
+        assert out.ndim == 3 and out.shape[2] == 3, p.suffix
