@@ -190,33 +190,41 @@ class Attention(nn.Module):
             name="k",
         )(x)
         v = nn.Dense(D, use_bias=cfg.qkv_bias, dtype=cfg.dtype, name="v")(x)
-        q = q.reshape(B, N, H, head_dim)
-        k = k.reshape(B, N, H, head_dim)
-        v = v.reshape(B, N, H, head_dim)
         if rope is not None:
+            # (B,N,D) <-> (B,N,H,hd) reshapes are free (no transpose); RoPE
+            # itself is elementwise + an in-head half-swap (lane shuffle).
             cos, sin = rope
             p = self.num_prefix_tokens
+            q = q.reshape(B, N, H, head_dim)
+            k = k.reshape(B, N, H, head_dim)
             q = jnp.concatenate(
                 [q[:, :p], _apply_rope(q[:, p:], cos, sin)], axis=1
-            )
+            ).reshape(B, N, D)
             k = jnp.concatenate(
                 [k[:, :p], _apply_rope(k[:, p:], cos, sin)], axis=1
-            )
+            ).reshape(B, N, D)
         # attn_mask: bool, broadcastable to (B, num_heads, Tq, Tk).
-        # Unmasked backbone attention runs in the VMEM-resident Pallas
-        # kernel on TPU (ops/pallas/attention.py: scores never touch HBM;
-        # 4.6x over XLA attention at ViT-B global shapes). Masked attention
-        # (EoMT annealing) keeps the XLA path.
+        # Unmasked backbone attention runs in the flat-layout VMEM-resident
+        # Pallas kernel on TPU (ops/pallas/attention.py): it consumes the
+        # (B, N, D) Dense outputs directly, so there are ZERO layout copies
+        # between the projections, the kernel, and the output projection
+        # (proj+attn+proj fwd 0.925 ms vs 1.440 ms for transpose+(B,H,N,hd)
+        # kernel at ViT-B global shapes on v5e). Masked attention (EoMT
+        # annealing) keeps the XLA path.
         from lightly_train_tpu.ops.pallas.attention import (
+            flat_attention,
             use_vmem_attention,
-            vmem_attention,
         )
 
         if attn_mask is None and use_vmem_attention():
-            out = vmem_attention(q, k, v)
+            out = flat_attention(q, k, v, H)
         else:
-            out = jax.nn.dot_product_attention(q, k, v, mask=attn_mask)
-        out = out.reshape(B, N, D)
+            out = jax.nn.dot_product_attention(
+                q.reshape(B, N, H, head_dim),
+                k.reshape(B, N, H, head_dim),
+                v.reshape(B, N, H, head_dim),
+                mask=attn_mask,
+            ).reshape(B, N, D)
         return nn.Dense(D, use_bias=cfg.proj_bias, dtype=cfg.dtype, name="proj")(out)
 
 

@@ -71,3 +71,51 @@ def test_gate_is_off_on_cpu(monkeypatch):
         assert not use_vmem_attention()
     else:
         assert not use_vmem_attention()
+
+
+@pytest.mark.parametrize("shape", [(2, 17, 3, 8), (4, 33, 2, 16)])
+def test_flat_forward_matches_xla(shape):
+    from lightly_train_tpu.ops.pallas.attention import flat_attention
+
+    B, N, H, hd = shape
+    ks = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    ref = jax.nn.dot_product_attention(q, k, v).reshape(B, N, H * hd)
+    got = flat_attention(
+        q.reshape(B, N, H * hd), k.reshape(B, N, H * hd),
+        v.reshape(B, N, H * hd), H, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_flat_backward_matches_xla():
+    from lightly_train_tpu.ops.pallas.attention import flat_attention
+
+    B, N, H, hd = shape = (2, 17, 3, 8)
+    D = H * hd
+    ks = jax.random.split(jax.random.key(4), 4)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    co = jax.random.normal(ks[3], shape, jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v) * co)
+
+    def loss_got(q, k, v):
+        out = flat_attention(
+            q.reshape(B, N, D), k.reshape(B, N, D), v.reshape(B, N, D), H,
+            interpret=INTERPRET,
+        )
+        return jnp.sum(out.reshape(B, N, H, hd) * co)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_got, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=4e-2, rtol=4e-2
+        )
