@@ -208,17 +208,45 @@ def random_iou_crop(
     return out_images, out_boxes, out_valid
 
 
+def channel_shuffle(
+    key: jax.Array, images: jax.Array, prob: jax.Array | float = 0.5
+) -> jax.Array:
+    """Per-sample random RGB channel permutation (reference ChannelShuffle,
+    ``random_photometric_distort.py:81-94``). A (B, 3) gather index — no
+    data-dependent control flow."""
+    B = images.shape[0]
+    k_perm, k_apply = jax.random.split(key)
+    perms = jax.vmap(lambda k: jax.random.permutation(k, 3))(
+        jax.random.split(k_perm, B)
+    )  # (B, 3)
+    identity = jnp.broadcast_to(jnp.arange(3), (B, 3))
+    apply = jax.random.uniform(k_apply, (B,)) < prob
+    idx = jnp.where(apply[:, None], perms, identity)
+    return jnp.take_along_axis(images, idx[:, None, None, :], axis=-1)
+
+
 def photometric_distort(
     key: jax.Array, images: jax.Array, prob: jax.Array | float = 0.5
 ) -> jax.Array:
     """RandomPhotometricDistort: the SSL affine color-jitter pass with SSD's
-    wider factor ranges (brightness/contrast/saturation/hue)."""
+    wider factor ranges, composed with ChannelShuffle in per-sample random
+    order (the reference wraps both in ``RandomOrder``,
+    ``random_photometric_distort.py:81-94``). Both orders are computed (the
+    ops are cheap elementwise passes) and a per-sample bit selects one."""
     from lightly_train_tpu.ops.augment import color_jitter
 
-    return color_jitter(
-        key, images, prob=prob, strength=1.0,
-        brightness=0.25, contrast=0.5, saturation=0.5, hue=0.05,
-    )
+    k_jit, k_shuf, k_order = jax.random.split(key, 3)
+
+    def jitter(x: jax.Array) -> jax.Array:
+        return color_jitter(
+            k_jit, x, prob=prob, strength=1.0,
+            brightness=0.25, contrast=0.5, saturation=0.5, hue=0.05,
+        )
+
+    a = channel_shuffle(k_shuf, jitter(images), prob=prob)
+    b = jitter(channel_shuffle(k_shuf, images, prob=prob))
+    order = jax.random.bernoulli(k_order, 0.5, (images.shape[0],))
+    return jnp.where(order[:, None, None, None], a, b)
 
 
 def scale_jitter(

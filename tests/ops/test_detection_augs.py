@@ -175,3 +175,23 @@ def test_random_rotate90_box_follows_content():
         if not np.allclose(oi, img):
             found_rotation = True
     assert found_rotation
+
+
+def test_channel_shuffle_permutes_channels():
+    from lightly_train_tpu.ops.detection_augs import channel_shuffle
+
+    images = jnp.stack(
+        [jnp.full((4, 4, 1), c, jnp.float32) for c in (1.0, 2.0, 3.0)], axis=-1
+    ).reshape(1, 4, 4, 3)
+    images = jnp.tile(images, (8, 1, 1, 1))
+    out = channel_shuffle(jax.random.key(0), images, prob=1.0)
+    # channels stay a permutation of {1,2,3} at every pixel
+    sums = jnp.sum(out, axis=-1)
+    assert jnp.allclose(sums, 6.0)
+    sorted_ch = jnp.sort(out[:, 0, 0, :], axis=-1)
+    assert jnp.allclose(sorted_ch, jnp.array([1.0, 2.0, 3.0]))
+    # with 8 samples and prob=1, at least one non-identity permutation
+    assert bool(jnp.any(out[:, 0, 0, 0] != 1.0))
+    # prob=0 is identity
+    out0 = channel_shuffle(jax.random.key(0), images, prob=0.0)
+    assert jnp.allclose(out0, images)
