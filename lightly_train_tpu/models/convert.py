@@ -383,3 +383,76 @@ def convert_yolov8_to_ultralytics_state_dict(
     for layer, p in params.items():
         emit(f"model.{layer.removeprefix('layer')}", p, stats[layer])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# ECViT / EdgeCrafter (models/ecvit.py)
+# ---------------------------------------------------------------------------
+
+def convert_ecvit_state_dict(
+    state_dict: Mapping[str, Any], depth: int, n_projector: int
+) -> Dict[str, Any]:
+    """EdgeCrafter ECViTModelWrapper torch state dict -> Flax variables.
+
+    Torch naming (``ecvit.py:115-612``): ``backbone.patch_embed.convs.{i}.
+    {conv,norm}``, ``backbone.patch_embed.proj``, ``backbone.register_token``,
+    ``backbone.blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}``,
+    ``projector.{i}.{conv,norm}``. The fused qkv rows split into separate
+    q/k/v kernels (same layout policy as the ViT converter).
+    Returns ``{"params": ..., "batch_stats": ...}``.
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_norm(dst: str, prefix: str) -> None:
+        params[dst] = {
+            "conv": {"kernel": sd[f"{prefix}.conv.weight"].transpose(2, 3, 1, 0)},
+            "norm": {"scale": sd[f"{prefix}.norm.weight"],
+                     "bias": sd[f"{prefix}.norm.bias"]},
+        }
+        stats[dst] = {"norm": {"mean": sd[f"{prefix}.norm.running_mean"],
+                               "var": sd[f"{prefix}.norm.running_var"]}}
+
+    for i in range(3):
+        conv_norm(f"pe_conv{i}", f"backbone.patch_embed.convs.{i}")
+    params["pe_proj"] = {
+        "kernel": sd["backbone.patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+        "bias": sd["backbone.patch_embed.proj.bias"],
+    }
+    params["register_token"] = sd["backbone.register_token"]
+
+    for i in range(depth):
+        p = f"backbone.blocks.{i}."
+        qkv_w = sd[f"{p}attn.qkv.weight"]  # (3D, D)
+        D = qkv_w.shape[1]
+        wq, wk, wv = qkv_w[:D], qkv_w[D:2 * D], qkv_w[2 * D:]
+        attn = {
+            "q": {"kernel": wq.T},
+            "k": {"kernel": wk.T},
+            "v": {"kernel": wv.T},
+            "proj": {"kernel": sd[f"{p}attn.proj.weight"].T,
+                     "bias": sd[f"{p}attn.proj.bias"]},
+        }
+        if f"{p}attn.qkv.bias" in sd:
+            b = sd[f"{p}attn.qkv.bias"]
+            attn["q"]["bias"] = b[:D]
+            attn["k"]["bias"] = b[D:2 * D]
+            attn["v"]["bias"] = b[2 * D:]
+        params[f"block{i}"] = {
+            "norm1": {"scale": sd[f"{p}norm1.weight"],
+                      "bias": sd[f"{p}norm1.bias"]},
+            "norm2": {"scale": sd[f"{p}norm2.weight"],
+                      "bias": sd[f"{p}norm2.bias"]},
+            "attn": attn,
+            "mlp": {
+                "fc1": {"kernel": sd[f"{p}mlp.fc1.weight"].T,
+                        "bias": sd[f"{p}mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[f"{p}mlp.fc2.weight"].T,
+                        "bias": sd[f"{p}mlp.fc2.bias"]},
+            },
+        }
+
+    for i in range(n_projector):
+        conv_norm(f"projector{i}", f"projector.{i}")
+    return {"params": params, "batch_stats": stats}

@@ -190,13 +190,17 @@ for _size in _CONVNEXT_SIZES:
 
 
 def _build_ecvit(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
-    from lightly_train_tpu.models.ecvit import ECViT, ecvit_config
+    from lightly_train_tpu.models.ecvit import (
+        ECViT,
+        ecvit_config,
+        ecvit_feature_dim,
+    )
 
     cfg = ecvit_config(name, dtype=dtype)
     return WrappedModel(
         name=f"ecvit/{name}",
         module=ECViT(cfg),
-        feature_dim=cfg.embed_dim,
+        feature_dim=ecvit_feature_dim(cfg),
         patch_size=16,
         architecture="hybrid",
         supports_mask=False,

@@ -71,6 +71,9 @@ class ViTConfig:
     # (GELU/LN) in backward — halves MLP activation HBM traffic for ~0 extra
     # MXU work.
     remat_policy: Optional[str] = None
+    # MLP activation: "gelu" (DINOv2/v3) or "silu" (ECViT blocks,
+    # ``ecvit.py`` Block act_layer=nn.SiLU).
+    mlp_act: str = "gelu"
     dtype: Any = jnp.float32  # compute dtype (bf16 for training)
 
 
@@ -252,7 +255,7 @@ class Mlp(nn.Module):
             x = nn.silu(x1) * x2
             return nn.Dense(D, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="w3")(x)
         x = nn.Dense(hidden, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.silu(x) if cfg.mlp_act == "silu" else nn.gelu(x, approximate=False)
         return nn.Dense(D, use_bias=cfg.ffn_bias, dtype=cfg.dtype, name="fc2")(x)
 
 

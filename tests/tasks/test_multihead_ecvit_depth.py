@@ -15,13 +15,15 @@ def test_ecvit_forward_multiscale():
     x = jnp.zeros((2, 32, 32, 3))
     variables = m.init(jax.random.key(0), x)
     out = m.forward_features(variables, x)
-    assert out["features"].shape == (2, 2, 2, 32)
-    assert out["cls_token"].shape == (2, 32)
+    # ecvittest projects to proj_dim=16; P3/P4/P5 at /8, /16, /32 (the
+    # reference wrapper's interpolated pyramid, ``ecvit.py:122-160``).
+    assert out["features"].shape == (2, 1, 1, 16)
+    assert out["cls_token"].shape == (2, 16)
     assert len(out["stage_features"]) == 3
-    # /4, /8, /16 scales
-    assert out["stage_features"][0].shape[1] == 8
-    assert out["stage_features"][1].shape[1] == 4
+    assert out["stage_features"][0].shape[1] == 4
+    assert out["stage_features"][1].shape[1] == 2
     assert "ecvit/ecvits" in lt.list_models()
+    assert "ecvit/ecvitsplus" in lt.list_models()
 
 
 def test_depth_estimation_inference():
