@@ -235,7 +235,12 @@ def make_train_step(
         }
         return new_state, out_metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    # Seam for the NaN-capture replay driver (_debug/replay.py): compute the
+    # exact per-leaf gradients of one captured microbatch outside the donated
+    # step so the offender report can name leaves.
+    jitted.grads_for_microbatch = _grads_for_microbatch  # type: ignore[attr-defined]
+    return jitted
 
 
 def fit(

@@ -104,3 +104,43 @@ def test_extract_video_frames_requires_ffmpeg_or_works(tmp_path):
     else:
         with pytest.raises(DatasetError, match="No videos"):
             extract_video_frames(str(tmp_path / "o"), str(tmp_path))
+
+
+def test_replay_nan_capture_end_to_end(tmp_path):
+    """Replay driver reconstructs the run and re-runs a captured step."""
+    from PIL import Image
+
+    import lightly_train_tpu as lt
+    from lightly_train_tpu._debug.replay import replay_nan_capture
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "data"
+    data.mkdir()
+    for i in range(8):
+        Image.fromarray(
+            rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        ).save(data / f"{i}.png")
+    out = tmp_path / "out"
+    lt.pretrain(
+        out=str(out), data=str(data), model="torchvision/resnettest",
+        method="simclr", method_args={"image_size": 32}, batch_size=8,
+        steps=2, precision="fp32", canonical_size=64, num_workers=0,
+        log_every=1,
+    )
+    # Manufacture a capture for step 1 (the guard only writes on real NaNs).
+    debug_dir = out / "debug"
+    debug_dir.mkdir()
+    batch = rng.integers(0, 256, (8, 64, 64, 3), dtype=np.uint8)
+    key = jax.random.key(123)
+    np.savez_compressed(
+        debug_dir / "nan_capture_step1.npz",
+        step=np.asarray(1),
+        key=np.asarray(jax.random.key_data(key)),
+        batch=batch,
+    )
+    report = replay_nan_capture(out)
+    assert report["step"] == 1
+    assert np.isfinite(report["loss"])
+    assert report["finite"] is True
+    assert report["offenders"] == []
+    assert report["restored_checkpoint_step"] is not None
