@@ -579,7 +579,20 @@ def train_object_detection(
         TrainTaskConfig, {"out": out, "model": model, **kwargs}
     )
     use_picodet = config.model.startswith("picodet")
-    backbone_name = config.model.removesuffix("-ltdetr")
+    # ltdetrv2-{s,m,l,x} zoo names resolve to EdgeCrafter ECViT backbones
+    # (reference ltdetr_object_detection/config.py:1111-1207); the hidden
+    # _ltdetrv2-test name mirrors "_ltdetrv2-s-notpretrained".
+    _LTDETRV2_ZOO = {
+        "ltdetrv2-s": "ecvit/ecvitt",
+        "ltdetrv2-m": "ecvit/ecvittplus",
+        "ltdetrv2-l": "ecvit/ecvits",
+        "ltdetrv2-x": "ecvit/ecvitsplus",
+        "_ltdetrv2-test": "ecvit/ecvittest",
+    }
+    zoo_name = config.model.removesuffix("-coco")
+    backbone_name = _LTDETRV2_ZOO.get(
+        zoo_name, config.model.removesuffix("-ltdetr")
+    )
     if not use_picodet:
         config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)

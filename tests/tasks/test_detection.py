@@ -368,3 +368,29 @@ def test_repvgg_deploy_fusion_parity():
     paths = ["/".join(str(k) for k in p) for p, _ in flat]
     assert not any("conv1" in p and "rep" in p for p in paths)
     assert any("fused" in p for p in paths)
+
+
+def test_ltdetrv2_zoo_name_resolves(tmp_path, yolo_dataset):
+    """ltdetrv2-* zoo names train with their EdgeCrafter ECViT backbone
+    (reference config.py:1111-1207); _ltdetrv2-test uses the tiny size."""
+    import lightly_train_tpu as lt
+
+    state, val = lt.train_object_detection(
+        out=str(tmp_path / "out_zoo"),
+        data={
+            "format": "yolo",
+            "train": {"images": str(yolo_dataset / "train" / "images"),
+                      "labels": str(yolo_dataset / "train" / "labels")},
+            "val": {"images": str(yolo_dataset / "val" / "images"),
+                    "labels": str(yolo_dataset / "val" / "labels")},
+            "num_classes": 2,
+        },
+        model="_ltdetrv2-test",
+        task_args={"num_queries": 16, "num_decoder_layers": 1,
+                   "d_model": 32, "num_heads": 2, "dim_feedforward": 64,
+                   "max_detections": 16},
+        steps=1, batch_size=8, image_size=32, precision="fp32",
+        num_workers=0, log_every=1, val_every=1,
+    )
+    assert int(state.step) == 1
+    assert "val_map" in val
