@@ -156,6 +156,63 @@ def _merge_pretrained(
     return out
 
 
+def _save_label_grid(out_dir: Path, batch: Any) -> None:
+    """Save a grid of the first train batch with its labels overlaid."""
+    try:
+        import numpy as np
+
+        from lightly_train_tpu._visualize.grids import (
+            colorize_mask,
+            image_grid,
+        )
+
+        images = np.asarray(batch["images"], np.float32)
+        if images.max() <= 8.0:  # normalized — undo roughly for display
+            images = images * np.asarray(IMAGENET_STD) + np.asarray(
+                IMAGENET_MEAN
+            )
+            images = images * 255.0
+        images = np.clip(images, 0, 255).astype(np.uint8)
+        n = min(8, images.shape[0])
+        tiles = [images[i] for i in range(n)]
+        if "masks" in batch:
+            masks = np.asarray(batch["masks"])
+            num_classes = int(masks.max()) + 1 if masks.size else 1
+            tiles = [
+                (0.6 * tiles[i] + 0.4 * colorize_mask(
+                    masks[i], max(num_classes, 2)
+                )).astype(np.uint8)
+                for i in range(n)
+            ]
+        elif "boxes" in batch:
+            boxes = np.asarray(batch["boxes"])
+            valid = np.asarray(
+                batch.get("box_valid", np.ones(boxes.shape[:2], bool))
+            )
+            H, W = images.shape[1:3]
+            for i in range(n):
+                t = tiles[i].copy()
+                for b, ok in zip(boxes[i], valid[i]):
+                    if not ok:
+                        continue
+                    cx, cy, w, h = b[:4]
+                    x0 = int(max(0, (cx - w / 2) * W))
+                    x1 = int(min(W - 1, (cx + w / 2) * W))
+                    y0 = int(max(0, (cy - h / 2) * H))
+                    y1 = int(min(H - 1, (cy + h / 2) * H))
+                    t[y0:y1 + 1, [x0, x1]] = (255, 32, 32)
+                    t[[y0, y1], x0:x1 + 1] = (255, 32, 32)
+                tiles[i] = t
+        grid = image_grid(np.stack(tiles))
+        vis_dir = out_dir / "visualizations"
+        vis_dir.mkdir(parents=True, exist_ok=True)
+        from PIL import Image
+
+        Image.fromarray(grid).save(vis_dir / "first_batch_labels.png")
+    except Exception as e:  # visualization must never break training
+        logger.debug("Label-grid visualization skipped: %s", e)
+
+
 def run_task_training(
     config: TrainTaskConfig,
     train_model: TaskTrainModel,
@@ -451,6 +508,11 @@ def run_task_training(
     while current < total_steps:
         batch = next(train_iter)
         batch = prepare_batch(batch, base_key, jnp.asarray(current, jnp.int32))
+        if current == int(state.step) and is_main_process():
+            # Label grid from the first batch (reference logs label/
+            # prediction grids for the first steps,
+            # ``train_task.py:1772-1778``).
+            _save_label_grid(out_dir, batch)
         state, pending = train_step(state, batch, base_key)
         current += 1
         window += 1

@@ -137,3 +137,32 @@ def test_grad_accumulation(tmp_path, classification_dir):
         precision="fp32", num_workers=2,
     )
     assert int(state.step) == 2
+
+
+def test_first_batch_label_grid_saved(tmp_path):
+    """Task loop saves a first-batch label grid (reference
+    ``train_task.py:1772-1778`` label/prediction visualization)."""
+    import numpy as np
+    from PIL import Image
+
+    import lightly_train_tpu as lt
+
+    rng = np.random.default_rng(0)
+    data = tmp_path / "cls"
+    for c in ("a", "b"):
+        (data / "train" / c).mkdir(parents=True)
+        (data / "val" / c).mkdir(parents=True)
+        for i in range(4):
+            for split in ("train", "val"):
+                Image.fromarray(
+                    rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+                ).save(data / split / c / f"{i}.png")
+    out = tmp_path / "out"
+    lt.train_image_classification(
+        out=str(out),
+        data={"train": str(data / "train"), "val": str(data / "val")},
+        model="torchvision/resnettest",
+        steps=1, batch_size=8, image_size=32, precision="fp32",
+        num_workers=0, log_every=1, val_every=1,
+    )
+    assert (out / "visualizations" / "first_batch_labels.png").exists()
