@@ -215,11 +215,12 @@ class Attention(nn.Module):
         # kernel at ViT-B global shapes on v5e). Masked attention (EoMT
         # annealing) keeps the XLA path.
         from lightly_train_tpu.ops.pallas.attention import (
+            fits_vmem,
             flat_attention,
             use_vmem_attention,
         )
 
-        if attn_mask is None and use_vmem_attention():
+        if attn_mask is None and use_vmem_attention() and fits_vmem(N):
             out = flat_attention(q, k, v, H)
         else:
             out = jax.nn.dot_product_attention(

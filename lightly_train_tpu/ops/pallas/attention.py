@@ -345,6 +345,16 @@ def _flat_vjp_bwd(num_heads, sm_scale, interpret, res, do):
 _flat_attention_p.defvjp(_flat_vjp_fwd, _flat_vjp_bwd)
 
 
+def fits_vmem(N: int) -> bool:
+    """Whole-sequence (N, N) f32 scores must fit the scoped-VMEM budget.
+
+    High-resolution EoMT runs (1024^2 -> N ~ 4.3k tokens) exceed it; those
+    shapes fall back to XLA attention (streaming kernels win there, not
+    VMEM residency)."""
+    scratch = 3 * N * ((N + 383) // 384) * 384 * 4
+    return scratch <= _VMEM_BUDGET_BYTES
+
+
 def flat_attention(
     q: jax.Array,
     k: jax.Array,
@@ -357,7 +367,9 @@ def flat_attention(
     """Self-attention over flat (B, N, D) projections, D = num_heads * hd.
 
     Zero layout copies: consumes the Dense outputs directly and returns the
-    same layout for the output projection. Unmasked, dropout-free.
+    same layout for the output projection. Unmasked, dropout-free. Callers
+    must check ``fits_vmem(N)`` (the ViT path falls back to XLA attention
+    beyond it).
     """
     B, N, D = q.shape
     hd = D // num_heads
