@@ -12,8 +12,10 @@ Design differences from the torch source (TPU-first, not a translation):
 - channels-last (B, H, W, C) inputs; patchify is a strided conv XLA maps to
   the MXU.
 - masking takes a fixed-shape (B, N) bool mask (no ragged index_select).
-- attention uses ``jax.nn.dot_product_attention`` so XLA picks the fused
-  flash-attention lowering on TPU.
+- attention runs in a VMEM-resident Pallas kernel on single-chip TPU for
+  short sequences (``ops/pallas/attention.py``: flat (B, N, D) layout, zero
+  copies) and falls back to ``jax.nn.dot_product_attention`` elsewhere
+  (CPU, multi-chip GSPMD, masked attention, long sequences).
 - no FSDP block chunking: parameter sharding is a GSPMD decision outside the
   module.
 """

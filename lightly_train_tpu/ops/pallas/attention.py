@@ -379,10 +379,19 @@ def flat_attention(
 
 
 def use_vmem_attention() -> bool:
-    """Kernel gate: on TPU unless LIGHTLY_TRAIN_VMEM_ATTENTION=0."""
-    if Env.LIGHTLY_TRAIN_VMEM_ATTENTION.value in ("0", "false", "False"):
+    """Kernel gate: on single-chip TPU unless LIGHTLY_TRAIN_VMEM_ATTENTION=0.
+
+    Multi-chip runs keep XLA attention: a pallas_call under GSPMD is not
+    automatically partitioned (XLA would all-gather the batch around it),
+    while XLA attention partitions trivially over the sharded batch axis.
+    Set LIGHTLY_TRAIN_VMEM_ATTENTION=force to use the kernel anyway (e.g.
+    under an explicit shard_map)."""
+    value = Env.LIGHTLY_TRAIN_VMEM_ATTENTION.value
+    if value in ("0", "false", "False"):
         return False
-    return jax.default_backend() == "tpu"
+    if jax.default_backend() != "tpu":
+        return False
+    return value == "force" or jax.device_count() == 1
 
 
 def vmem_attention(
