@@ -276,21 +276,38 @@ def load_torch_checkpoint_for_model(
 
     wrapped = get_wrapped_model(model_name)
     ckpt = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    if isinstance(ckpt, dict) and "model" in ckpt:
+    if isinstance(ckpt, dict) and "model" in ckpt and not hasattr(
+        ckpt["model"], "numpy"
+    ):
         ckpt = ckpt["model"]
-    sd = {
-        k.removeprefix("module.").removeprefix("backbone."): v.numpy()
-        for k, v in ckpt.items()
-    }
+    if hasattr(ckpt, "state_dict"):  # a pickled module (ultralytics style)
+        ckpt = ckpt.state_dict()
     cfg = wrapped.module.cfg  # type: ignore[attr-defined]
-    if "convnext" in model_name:
-        params = convert_torch_convnext_state_dict(sd, cfg.depths)
+    if model_name.startswith("ultralytics/"):
+        # model.model.{i}.* / model.{i}.* naming handled by the converter.
+        sd = {k: np.asarray(v) for k, v in ckpt.items()}
+        n_per_c2f = {i: cfg.n(3 if i in (2, 8) else 6) for i in (2, 4, 6, 8)}
+        variables = convert_ultralytics_state_dict(sd, n_per_c2f)
+    elif model_name.startswith("ecvit/"):
+        # ECViTModelWrapper checkpoints keep the backbone.* prefix.
+        sd = {k: np.asarray(v) for k, v in ckpt.items()}
+        n_proj = 1 if cfg.proj_dim is None else 3
+        variables = convert_ecvit_state_dict(sd, cfg.depth, n_proj)
     else:
-        params = convert_torch_vit_state_dict(sd, cfg.depth)
+        sd = {
+            k.removeprefix("module.").removeprefix("backbone."): v.numpy()
+            for k, v in ckpt.items()
+        }
+        if "convnext" in model_name:
+            variables = {
+                "params": convert_torch_convnext_state_dict(sd, cfg.depths)
+            }
+        else:
+            variables = {"params": convert_torch_vit_state_dict(sd, cfg.depth)}
     logger.info(
         "Converted %d torch tensors for %s", len(sd), model_name
     )
-    return {"params": params}
+    return variables
 
 
 # ---------------------------------------------------------------------------

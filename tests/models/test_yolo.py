@@ -191,3 +191,16 @@ def test_yolov8_pretrains_end_to_end(tmp_path):
         (out / "exported_models" / "exported_last" / "metadata.json").read_text()
     )
     assert meta["model_name"] == "ultralytics/yolov8test"
+
+
+def test_load_torch_checkpoint_for_yolov8(tmp_path):
+    """load_torch_checkpoint_for_model routes ultralytics names."""
+    from lightly_train_tpu.models.convert import load_torch_checkpoint_for_model
+
+    cfg = yolov8_config("yolov8test")
+    tm = _torch_backbone(cfg)
+    path = tmp_path / "yolov8test.pt"
+    torch.save({f"model.model.{k}": v for k, v in tm.state_dict().items()}, path)
+    variables = load_torch_checkpoint_for_model(path, "ultralytics/yolov8test")
+    assert "layer0" in variables["params"]
+    assert "batch_stats" in variables
