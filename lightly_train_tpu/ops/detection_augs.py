@@ -15,7 +15,7 @@ doubled-K buffer, so callers should budget ``max_boxes`` accordingly.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ reference's fp32 loss boundary (``dinov2_loss.py:184-186``).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

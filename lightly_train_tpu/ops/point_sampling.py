@@ -16,7 +16,6 @@ zero padding outside the grid.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
-import jax.numpy as jnp
 
 from lightly_train_tpu._configs.config import PydanticConfig
 from lightly_train_tpu.models.wrapper import WrappedModel

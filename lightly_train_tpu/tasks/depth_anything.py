@@ -21,7 +21,7 @@ filled with the 99th percentile of non-sky depth; metric V2 scales by
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +24,6 @@ import numpy as np
 
 from lightly_train_tpu._data.image_dataset import decode_image
 from lightly_train_tpu.errors import DatasetError
-from lightly_train_tpu.models.wrapper import WrappedModel
-from lightly_train_tpu.tasks.base import TaskArgs
 from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
     EoMTSemanticSegmentationArgs,
     EoMTSemanticSegmentationTrainModel,

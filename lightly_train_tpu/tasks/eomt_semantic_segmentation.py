@@ -25,7 +25,7 @@ TPU-native design decisions:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ Images are channels-last (NHWC) — the natural TPU layout.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Mapping, Sequence, TypedDict, Union
+from typing import Any, List, Mapping, TypedDict, Union
 
 import numpy as np
 
