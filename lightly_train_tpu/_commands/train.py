@@ -218,6 +218,9 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
     from lightly_train_tpu.parallel.mesh import MeshConfig
 
     mesh = MeshConfig(fsdp=config.fsdp).build()
+    from lightly_train_tpu.ops.pallas.attention import set_active_mesh
+
+    set_active_mesh(mesh)
     if dataset is not None:
         loader = PretrainLoader(
             dataset,

@@ -245,6 +245,9 @@ def run_task_training(
     )
     total_steps = config.steps if config.steps != AUTO else args.default_steps
     mesh = get_default_mesh()
+    from lightly_train_tpu.ops.pallas.attention import set_active_mesh
+
+    set_active_mesh(mesh)
     n_dev = jax.device_count()
     if batch_size % n_dev != 0:
         rounded = -(-batch_size // n_dev) * n_dev

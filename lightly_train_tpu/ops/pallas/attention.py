@@ -375,23 +375,66 @@ def flat_attention(
     hd = D // num_heads
     if scale is None:
         scale = hd ** -0.5
+    mesh = _multichip_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+
+        def per_shard(qs, ks, vs):
+            return _flat_attention_p(
+                qs, ks, vs, num_heads, float(scale), interpret
+            )
+
+        return shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+            check_rep=False,
+        )(q, k, v)
     return _flat_attention_p(q, k, v, num_heads, float(scale), interpret)
 
 
-def use_vmem_attention() -> bool:
-    """Kernel gate: on single-chip TPU unless LIGHTLY_TRAIN_VMEM_ATTENTION=0.
+# Mesh registered by the training runtimes (train_loop / train_task): on a
+# multi-chip mesh the kernel wraps itself in shard_map over the batch axis
+# (a bare pallas_call under GSPMD is not auto-partitioned — XLA would
+# all-gather the sharded batch around it).
+_ACTIVE_MESH = None
 
-    Multi-chip runs keep XLA attention: a pallas_call under GSPMD is not
-    automatically partitioned (XLA would all-gather the batch around it),
-    while XLA attention partitions trivially over the sharded batch axis.
-    Set LIGHTLY_TRAIN_VMEM_ATTENTION=force to use the kernel anyway (e.g.
-    under an explicit shard_map)."""
+
+def set_active_mesh(mesh) -> None:
+    """Register the training mesh so kernels shard_map over its data axis."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def _multichip_mesh():
+    """The registered mesh, if it covers all devices of a multi-chip run."""
+    if _ACTIVE_MESH is None:
+        return None
+    if _ACTIVE_MESH.devices.size != jax.device_count():
+        return None
+    return _ACTIVE_MESH
+
+
+def use_vmem_attention() -> bool:
+    """Kernel gate: on TPU unless LIGHTLY_TRAIN_VMEM_ATTENTION=0.
+
+    Multi-chip runs need the training mesh registered via
+    ``set_active_mesh`` (the runtimes do this); the kernel then runs
+    per-shard under shard_map. Without a mesh, multi-chip falls back to
+    XLA attention, which partitions trivially. Set
+    LIGHTLY_TRAIN_VMEM_ATTENTION=force to skip the mesh check."""
     value = Env.LIGHTLY_TRAIN_VMEM_ATTENTION.value
     if value in ("0", "false", "False"):
         return False
     if jax.default_backend() != "tpu":
         return False
-    return value == "force" or jax.device_count() == 1
+    if value == "force" or jax.device_count() == 1:
+        return True
+    return _multichip_mesh() is not None
 
 
 def vmem_attention(

@@ -119,3 +119,38 @@ def test_flat_backward_matches_xla():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=4e-2, rtol=4e-2
         )
+
+
+def test_flat_attention_shard_map_multichip():
+    """Multi-chip path: the kernel shard_maps over the registered mesh's
+    data axis (interpret-mode on the virtual 8-device CPU mesh) and matches
+    the unsharded result."""
+    from lightly_train_tpu.ops.pallas import attention as A
+    from lightly_train_tpu.parallel.mesh import get_default_mesh
+
+    mesh = get_default_mesh()
+    if mesh.devices.size < 2:
+        pytest.skip("needs the multi-device test mesh")
+    B, N, H, hd = 16, 17, 2, 8
+    D = H * hd
+    ks = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(ks[0], (B, N, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, N, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, N, D), jnp.float32)
+    ref = A.flat_attention(q, k, v, H, interpret=True)
+    A.set_active_mesh(mesh)
+    try:
+        import jax.sharding as shd
+
+        sharding = shd.NamedSharding(mesh, shd.PartitionSpec("data"))
+        qs = jax.device_put(q, sharding)
+        ks_ = jax.device_put(k, sharding)
+        vs = jax.device_put(v, sharding)
+        got = jax.jit(
+            lambda a, b, c: A.flat_attention(a, b, c, H, interpret=True)
+        )(qs, ks_, vs)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+    finally:
+        A.set_active_mesh(None)
