@@ -691,10 +691,7 @@ def train_object_detection(
             PicoDetArgs,
             {"num_classes": num_classes, "widths": widths, **config.task_args},
         )
-        from lightly_train_tpu.models.package_registry import get_wrapped_model
-
-        wrapped = get_wrapped_model("torchvision/resnettest")  # placeholder iface
-        train_model: Any = PicoDetTrainModel(wrapped, task_args)
+        train_model: Any = PicoDetTrainModel(None, task_args)
         meta = {"model_name": config.model, "architecture": "picodet"}
         return run_task_training(
             config, train_model, train_ds, val_ds, meta, None

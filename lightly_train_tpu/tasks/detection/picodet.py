@@ -434,9 +434,9 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
     task = "object_detection"
     val_mode = "collect"
 
-    def __init__(self, wrapped: WrappedModel, args: PicoDetArgs):
-        # PicoDet owns its backbone (ESNet); the wrapped model is unused but
-        # kept for interface parity (backbone distillation lands later).
+    def __init__(self, wrapped, args: PicoDetArgs):
+        # PicoDet owns its backbone (ESNet, trained from scratch like the
+        # reference); ``wrapped`` is None.
         self.wrapped = wrapped
         self.args = args
         self.module = _PicoDetModule(args)
