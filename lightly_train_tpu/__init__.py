@@ -10,7 +10,11 @@ from lightly_train_tpu._commands.embed import embed
 from lightly_train_tpu._commands.export import export
 from lightly_train_tpu._commands.train import pretrain, pretrain_from_config
 from lightly_train_tpu._commands.benchmark_task import benchmark_object_detection
-from lightly_train_tpu._commands.export_task import export_onnx, export_stablehlo
+from lightly_train_tpu._commands.export_task import (
+    export_onnx,
+    export_savedmodel,
+    export_stablehlo,
+)
 from lightly_train_tpu._commands.eval_knn import evaluate_knn
 from lightly_train_tpu._commands.extract_video_frames import extract_video_frames
 from lightly_train_tpu._commands.predict_task import predict_semantic_segmentation
@@ -36,6 +40,7 @@ __all__ = [
     "evaluate_knn",
     "export",
     "export_onnx",
+    "export_savedmodel",
     "export_stablehlo",
     "extract_video_frames",
     "list_methods",

@@ -51,6 +51,7 @@ Commands:
   embed                 Write embeddings (out=... data=... checkpoint=...)
   export                Export a trained model (out=... checkpoint=... format=...)
   export_stablehlo      Export a deployment artifact (out=... checkpoint=...)
+  export_savedmodel     Export a TF SavedModel via jax2tf (out=... checkpoint=...)
   predict_semantic_segmentation
                         Autolabel a directory (out=... data=... checkpoint=...)
   benchmark_object_detection
@@ -101,6 +102,11 @@ def main(argv: List[str] | None = None) -> int:
         from lightly_train_tpu._commands.export_task import export_stablehlo
 
         export_stablehlo(**overrides)
+        return 0
+    if command == "export_savedmodel":
+        from lightly_train_tpu._commands.export_task import export_savedmodel
+
+        export_savedmodel(**overrides)
         return 0
     if command == "predict_semantic_segmentation":
         from lightly_train_tpu._commands.predict_task import (

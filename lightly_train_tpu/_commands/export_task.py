@@ -45,12 +45,8 @@ class ExportStableHLOConfig(PydanticConfig):
     deploy: bool = True
 
 
-def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
-    """Serialize the task model's predict graph as a StableHLO artifact."""
-    config = pydantic_model_validate(
-        ExportStableHLOConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
-    )
-    set_up_console_logging()
+def _build_predict_fn(config: ExportStableHLOConfig):
+    """(predict_fn, task, input spec) for a task or pretraining artifact."""
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
 
@@ -87,6 +83,16 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
         (config.batch_size, config.image_size, config.image_size, 3),
         jnp.float32,
     )
+    return predict_fn, task, spec
+
+
+def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
+    """Serialize the task model's predict graph as a StableHLO artifact."""
+    config = pydantic_model_validate(
+        ExportStableHLOConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
+    )
+    set_up_console_logging()
+    predict_fn, task, spec = _build_predict_fn(config)
     exported = jax_export.export(jax.jit(predict_fn))(spec)
     out_path = Path(config.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
@@ -137,6 +143,66 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
         )
         logger.info("StableHLO verification passed (atol 5e-3, rtol 1e-1)")
     logger.info("Exported StableHLO artifact to %s", out_path)
+    return out_path
+
+
+def export_savedmodel(out: str, checkpoint: str, **kwargs: Any) -> Path:
+    """Export the predict graph as a TensorFlow SavedModel (via jax2tf).
+
+    A second portable deployment format alongside StableHLO: SavedModels
+    serve through TF Serving / TFLite converters — the ecosystem role the
+    reference's ONNX artifact plays (``export_task.py:119-246``). Embeds
+    the same numerical verification (reload + compare, atol 5e-3 /
+    rtol 1e-1).
+    """
+    config = pydantic_model_validate(
+        ExportStableHLOConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
+    )
+    set_up_console_logging()
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:
+        raise ConfigError(
+            "SavedModel export requires tensorflow; use export_stablehlo() "
+            "for the TPU-native artifact."
+        ) from e
+
+    predict_fn, task, spec = _build_predict_fn(config)
+    tf_fn = jax2tf.convert(jax.jit(predict_fn), with_gradient=False)
+    module = tf.Module()
+    module.f = tf.function(
+        tf_fn,
+        autograph=False,
+        input_signature=[tf.TensorSpec(list(spec.shape), tf.float32)],
+    )
+    out_path = Path(config.out)
+    tf.saved_model.save(module, str(out_path))
+    (out_path / "lightly_train_metadata.json").write_text(
+        json.dumps(
+            {
+                "task": task,
+                "input_shape": list(spec.shape),
+                "input_dtype": "float32",
+                "precision": config.precision,
+                "format": "tf_saved_model",
+            },
+            indent=2,
+        )
+    )
+    if config.verify:
+        rng = np.random.default_rng(0)
+        sample = rng.normal(size=spec.shape).astype(np.float32)
+        restored = tf.saved_model.load(str(out_path))
+        got = jax.tree_util.tree_leaves(restored.f(tf.constant(sample)))
+        want = jax.tree_util.tree_leaves(predict_fn(jnp.asarray(sample)))
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=5e-3, rtol=1e-1,
+            )
+        logger.info("SavedModel verification passed (atol 5e-3, rtol 1e-1)")
+    logger.info("Exported TF SavedModel to %s", out_path)
     return out_path
 
 

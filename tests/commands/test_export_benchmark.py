@@ -92,3 +92,16 @@ def test_benchmark_stablehlo_backend(det_run):
     )
     assert result["backend"] == "stablehlo"
     assert result["latency_ms"]["median"] > 0
+
+
+def test_export_savedmodel_classification(tmp_path, cls_run):
+    pytest.importorskip("tensorflow")
+    out = lt.export_savedmodel(
+        out=str(tmp_path / "savedmodel"),
+        checkpoint=str(cls_run / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    assert (out / "saved_model.pb").exists()
+    meta = json.loads((out / "lightly_train_metadata.json").read_text())
+    assert meta["format"] == "tf_saved_model"
+    assert meta["task"] == "image_classification"
