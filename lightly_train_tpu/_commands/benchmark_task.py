@@ -37,7 +37,7 @@ class BenchmarkConfig(PydanticConfig):
     # "all" sweeps every available backend and returns a comparison table
     # (reference benchmark_backends.py:71-266 multi-backend sweep);
     # "native" measures the C++ PJRT runner (no-Python serving path).
-    backend: Literal["jax", "stablehlo", "native", "all"] = "jax"
+    backend: Literal["jax", "stablehlo", "savedmodel", "native", "all"] = "jax"
     # PJRT plugin for the native backend (defaults to the env's TPU plugin).
     pjrt_plugin: str = "/opt/axon/libaxon_pjrt.so"
 
@@ -131,6 +131,28 @@ def benchmark_from_config(config: BenchmarkConfig) -> Dict[str, Any]:
         )(jax.ShapeDtypeStruct(spec_shape, jnp.float32))
         restored = jax_export.deserialize(exported.serialize())
         fn = restored.call
+    elif config.backend == "savedmodel":
+        import tempfile
+
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+
+        tf_fn = jax2tf.convert(
+            jax.jit(lambda x: model.train_model.predict(model.variables, x)),
+            with_gradient=False,
+        )
+        module = tf.Module()
+        module.f = tf.function(
+            tf_fn, autograph=False,
+            input_signature=[tf.TensorSpec(list(spec_shape), tf.float32)],
+        )
+        tmp = tempfile.mkdtemp(prefix="lt_savedmodel_bench_")
+        tf.saved_model.save(module, tmp)
+        restored_tf = tf.saved_model.load(tmp)
+
+        def fn(x, _r=restored_tf, _tf=tf):
+            out = _r.f(_tf.constant(np.asarray(x)))
+            return jax.tree_util.tree_map(lambda t: t.numpy(), out)
     else:
         fn = jax.jit(
             lambda x: model.train_model.predict(model.variables, x)

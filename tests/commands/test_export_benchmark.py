@@ -105,3 +105,16 @@ def test_export_savedmodel_classification(tmp_path, cls_run):
     meta = json.loads((out / "lightly_train_metadata.json").read_text())
     assert meta["format"] == "tf_saved_model"
     assert meta["task"] == "image_classification"
+
+
+def test_benchmark_savedmodel_backend(det_run):
+    pytest.importorskip("tensorflow")
+    result = lt.benchmark_object_detection(
+        checkpoint=str(det_run / "out" / "exported_models" / "exported_last"),
+        image_size=32, num_warmup=1, num_runs=3, backend="savedmodel",
+        data={"images": str(det_run / "images"),
+              "labels": str(det_run / "labels")},
+    )
+    assert result["backend"] == "savedmodel"
+    assert result["latency_ms"]["mean"] > 0
+    assert "map" in result
