@@ -376,8 +376,11 @@ def flat_attention(
     if scale is None:
         scale = hd ** -0.5
     mesh = _multichip_mesh()
-    if mesh is not None and mesh.devices.size > 1:
-        from jax.experimental.shard_map import shard_map
+    n_shards = int(mesh.shape[mesh.axis_names[0]]) if mesh is not None else 1
+    # The shard_map path needs the batch to split evenly over the data axis
+    # (always true for training batches, not for arbitrary callers/tests).
+    if mesh is not None and mesh.devices.size > 1 and B % n_shards == 0:
+        shard_map = jax.shard_map
         from jax.sharding import PartitionSpec
 
         spec = PartitionSpec(mesh.axis_names[0])
@@ -392,7 +395,8 @@ def flat_attention(
             mesh=mesh,
             in_specs=(spec, spec, spec),
             out_specs=spec,
-            check_rep=False,
+            # pallas_call outputs carry no varying-mesh-axes metadata.
+            check_vma=False,
         )(q, k, v)
     return _flat_attention_p(q, k, v, num_heads, float(scale), interpret)
 
