@@ -69,6 +69,9 @@ class TrainConfig(PydanticConfig):
         from lightly_train_tpu.models.package_registry import resolve_model_name
 
         return resolve_model_name(v)
+    # Forwarded to the model builder (reference ``train.py:82,239-243``
+    # model_args): e.g. {"drop_path_rate": 0.3, "remat_every": 2} for ViTs.
+    model_args: Dict[str, Any] = {}
     method: str = "distillation"
     method_args: Dict[str, Any] = {}
     # Reference-style transform overrides applied to every view (plus
@@ -183,7 +186,7 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
 
     # ---- model + method ---------------------------------------------------
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
-    wrapped = get_wrapped_model(config.model, dtype=dtype)
+    wrapped = get_wrapped_model(config.model, dtype=dtype, **config.model_args)
     method_cls, method_args_cls = get_method_cls(config.method)
     method_args = pydantic_model_validate(method_args_cls, config.method_args)
 

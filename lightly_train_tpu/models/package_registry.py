@@ -163,6 +163,10 @@ register_model(
 
 
 def _build_convnext(size: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     cfg = convnext_config(size, dtype=dtype)
     return WrappedModel(
         name=f"dinov3/convnext-{size}",
@@ -190,6 +194,10 @@ for _size in _CONVNEXT_SIZES:
 
 
 def _build_ecvit(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     from lightly_train_tpu.models.ecvit import (
         ECViT,
         ecvit_config,
@@ -225,6 +233,10 @@ for _name in _ECVIT_SIZES:
 
 
 def _build_resnet(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     cfg = resnet_config(name, dtype=dtype)
     return WrappedModel(
         name=f"torchvision/{name}",
@@ -258,6 +270,10 @@ from lightly_train_tpu.models.shufflenet import (  # noqa: E402
 
 
 def _build_shufflenet(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     cfg = shufflenet_config(name, dtype=dtype)
     return WrappedModel(
         name=f"torchvision/{name}",
@@ -346,6 +362,10 @@ from lightly_train_tpu.models.yolo import (  # noqa: E402
 
 
 def _build_yolov8(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     cfg = yolov8_config(name, dtype=dtype)
     return WrappedModel(
         name=f"ultralytics/{name}",
@@ -419,6 +439,10 @@ from lightly_train_tpu.models.yolo_nas import (  # noqa: E402
 
 
 def _build_yolo_nas(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
     cfg = yolo_nas_config(name, dtype=dtype)
     return WrappedModel(
         name=f"super_gradients/{name}",

@@ -189,3 +189,29 @@ def test_pretrain_detcon_with_dataset_masks(tmp_path):
     ms = [json.loads(l) for l in (tmp_path / "out" / "metrics.jsonl").read_text().splitlines()
           if "train_loss" in l]
     assert all(np.isfinite(m["train_loss"]) for m in ms)
+
+
+def test_pretrain_model_args_reach_builder(tmp_path, image_dir):
+    """model_args forwards to the model builder (reference train.py:82)."""
+    state = lt.pretrain(
+        out=str(tmp_path / "out_margs"),
+        data=str(image_dir),
+        model="dinov2/vittest14",
+        method="simclr",
+        method_args={"image_size": 28},
+        model_args={"drop_path_rate": 0.1},
+        **_common_kwargs(),
+    )
+    assert int(state.step) == 2
+    from lightly_train_tpu.errors import ConfigError
+
+    with pytest.raises((ConfigError, ValueError), match="model_args"):
+        lt.pretrain(
+            out=str(tmp_path / "out_margs2"),
+            data=str(image_dir),
+            model="torchvision/resnettest",
+            method="simclr",
+            method_args={"image_size": 32},
+            model_args={"drop_path_rate": 0.1},
+            **_common_kwargs(),
+        )
