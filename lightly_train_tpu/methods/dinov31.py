@@ -27,12 +27,40 @@ from lightly_train_tpu.methods.base import ViewSpec
 from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
 from lightly_train_tpu.ops.augment import ViewAugmentConfig, crop_resize_matmul
 
+import flax.linen as nn
+
+
+class _PaKAHead(nn.Module):
+    """3-layer MLP (embed -> hidden -> hidden -> bottleneck, GELU, no BN)
+    applied to the ROI-aligned patch tokens before the kernel alignment —
+    the reference's ``_build_mlp`` paka head (``dinov31.py:126-143``,
+    paper App. D.1). Student head trains; the teacher copy rides the
+    method's EMA (it lives inside ``params`` / ``method_state["teacher"]``).
+    """
+
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Dense(self.hidden_dim, name="fc1")(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.hidden_dim, name="fc2")(h)
+        h = nn.gelu(h, approximate=False)
+        return nn.Dense(self.bottleneck_dim, name="fc3")(h)
+
 
 class DINOv31Args(DINOv2Args):
     paka_weight: float = 1.0
     paka_temp: float = 0.25
     # Clean views use gentler crops (high overlap with student crops).
     clean_crop_scale: tuple = (0.6, 1.0)
+    # PaKA projection head dims (reference _build_mlp 2048/256,
+    # ``dinov31.py:132-136``) and the warmup gate before the dense loss
+    # engages (``dinov31.py:242`` paka_start_step).
+    paka_hidden_dim: int = 2048
+    paka_bottleneck_dim: int = 256
+    paka_start_step: int = 0
 
 
 class DINOv31(DINOv2):
@@ -42,6 +70,24 @@ class DINOv31(DINOv2):
     def __init__(self, wrapped, args: DINOv31Args):
         super().__init__(wrapped, args)
         self.args: DINOv31Args = args
+        self.paka_head = _PaKAHead(
+            hidden_dim=args.paka_hidden_dim,
+            bottleneck_dim=args.paka_bottleneck_dim,
+        )
+
+    def init(self, rng, sample_images):
+        params, model_state, method_state = super().init(rng, sample_images)
+        kp = jax.random.fold_in(rng, 131)
+        d = self.wrapped.feature_dim
+        head_params = self.paka_head.init(kp, jnp.zeros((1, d)))["params"]
+        params = {**params, "paka_head": head_params}
+        # Teacher copy starts identical (reference deepcopy,
+        # ``dinov31.py:141-143``); the whole-tree EMA then keeps it updated.
+        method_state["teacher"] = {
+            **method_state["teacher"],
+            "paka_head": jax.tree_util.tree_map(jnp.copy, head_params),
+        }
+        return params, model_state, method_state
 
     def view_specs(self) -> List[ViewSpec]:
         a = self.args
@@ -106,8 +152,17 @@ class DINOv31(DINOv2):
         valid = (vy[:, :, None] & vx[:, None, :]).reshape(B, gs_h * gs_w)
 
         N = gs_h * gs_w
-        Zs = Fs.reshape(B, N, D).astype(jnp.float32)
-        Zt = Ft_aligned.reshape(B, N, D).astype(jnp.float32)
+        # Projection heads on the aligned tokens (student trained, teacher
+        # EMA'd + stop-grad) before the kernel alignment.
+        Zs = self.paka_head.apply(
+            {"params": params["paka_head"]}, Fs.reshape(B, N, D)
+        ).astype(jnp.float32)
+        Zt = jax.lax.stop_gradient(
+            self.paka_head.apply(
+                {"params": method_state["teacher"]["paka_head"]},
+                Ft_aligned.reshape(B, N, D),
+            )
+        ).astype(jnp.float32)
         Zs = l2_normalize(Zs)
         Zt = l2_normalize(Zt)
         Ks = jnp.einsum("bnd,bmd->bnm", Zs, Zs) / a.paka_temp
@@ -136,5 +191,11 @@ class DINOv31(DINOv2):
             params, model_state, mstate,
             view_arrs[0], geoms[0], view_arrs[2], geoms[2], k_paka,
         )
+        # Warmup gate (reference paka_start_step, ``dinov31.py:242``) —
+        # traced so the step stays shape-stable.
+        gate = (
+            jnp.asarray(step, jnp.float32) >= self.args.paka_start_step
+        ).astype(jnp.float32)
+        paka = paka * gate
         total = loss + self.args.paka_weight * paka
         return total, (ms, mstate, {**metrics, "paka_loss": paka})
