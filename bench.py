@@ -86,8 +86,15 @@ def main() -> None:
         opt_state=optimizer.init(params),
         method_state=method_state,
     )
+    from lightly_train_tpu._optim.fused_update import build_fused_updater
+
+    fused_updater = build_fused_updater(
+        method, method.default_optimizer_args(),
+        cosine_warmup(1e-3, total_steps, 10_000), params, total_steps,
+    )
     train_step = make_train_step(
-        method, optimizer, total_steps, aug_dtype=jnp.bfloat16
+        method, optimizer, total_steps, aug_dtype=jnp.bfloat16,
+        fused_updater=fused_updater,
     )
 
     imgs = jnp.asarray(

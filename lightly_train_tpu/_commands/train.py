@@ -332,11 +332,19 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         ckpt_mgr.save(step, jax.device_get(s))
 
     # ---- train ------------------------------------------------------------
+    from lightly_train_tpu._optim.fused_update import build_fused_updater
+
+    fused_updater = build_fused_updater(
+        method, optim_args, lr_schedule, params, total_steps
+    )
     train_step = make_train_step(
         method, optimizer, total_steps, aug_dtype=dtype,
         grad_accum_steps=config.grad_accum_steps,
         transform_args=config.transform_args or None,
+        fused_updater=fused_updater,
     )
+    if fused_updater is not None:
+        logger.info("Fused AdamW+EMA update enabled (%s)", fused_updater.mode)
     logger.info(
         "Starting pretraining: model=%s method=%s steps=%d batch=%d lr=%.2e",
         config.model, config.method, total_steps, batch_size, lr,

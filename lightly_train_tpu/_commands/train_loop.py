@@ -31,6 +31,7 @@ def make_train_step(
     aug_dtype: Any = jnp.float32,
     grad_accum_steps: int = 1,
     transform_args: Any = None,
+    fused_updater: Any = None,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Dict]]:
     """Build the fused step: augment + loss + update in one program.
 
@@ -210,16 +211,29 @@ def make_train_step(
             metrics = jax.tree_util.tree_map(lambda m: m * inv_k, metrics)
             loss = loss * inv_k
 
-        grad_norm = optax.global_norm(grads)
-        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
-        updates, opt_state = optimizer.update(
-            grads, state.opt_state, state.params
-        )
-        updates = method.mask_updates(updates, state.step)
-        params = optax.apply_updates(state.params, updates)
-        method_state = method.post_update(
-            params, method_state, state.step, total_steps
-        )
+        if fused_updater is not None:
+            # Single-pass AdamW + EMA (replaces optimizer.update,
+            # mask_updates, apply_updates AND method.post_update; see
+            # _optim/fused_update.py).
+            params, teacher, opt_state, grad_norm = (
+                fused_updater.update_and_apply(
+                    grads, state.opt_state, state.params,
+                    method_state["teacher"], state.step,
+                )
+            )
+            method_state = {**method_state, "teacher": teacher}
+            finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+        else:
+            grad_norm = optax.global_norm(grads)
+            finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            updates, opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            updates = method.mask_updates(updates, state.step)
+            params = optax.apply_updates(state.params, updates)
+            method_state = method.post_update(
+                params, method_state, state.step, total_steps
+            )
         new_state = TrainState(
             step=state.step + 1,
             params=params,

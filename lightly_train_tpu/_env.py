@@ -89,3 +89,8 @@ class Env:
     LIGHTLY_TRAIN_VMEM_ATTENTION: EnvVar[str] = EnvVar(
         "LIGHTLY_TRAIN_VMEM_ATTENTION", "1", str
     )
+    # Fused AdamW+EMA update mode override: "pallas", "jnp" or "off"
+    # (default "": auto — pallas on a single TPU chip, jnp elsewhere).
+    LIGHTLY_TRAIN_FUSED_UPDATE: EnvVar[str] = EnvVar(
+        "LIGHTLY_TRAIN_FUSED_UPDATE", "", str
+    )

@@ -142,3 +142,24 @@ class Method(abc.ABC):
         """Step-conditional update masking (e.g. frozen prototype warmup)."""
         del step
         return updates
+
+    # -- fused-update hooks -------------------------------------------------
+    def fused_ema_momentum(
+        self, step: jax.Array, total_steps: int
+    ) -> Optional[jax.Array]:
+        """Traced EMA momentum IF ``post_update`` is exactly the teacher EMA
+        ``t <- m*t + (1-m)*p`` over ``method_state['teacher']``.
+
+        Returning non-None opts the method into the fused AdamW+EMA update
+        (``_optim/fused_update.py``), which replaces BOTH ``mask_updates``
+        (via :meth:`update_scales`) and ``post_update``. Default: None
+        (method keeps the unfused optax path).
+        """
+        del step, total_steps
+        return None
+
+    def update_scales(self, params: Any, step: jax.Array) -> Optional[Any]:
+        """Per-leaf scalar multipliers on the final update — the fused-path
+        analog of :meth:`mask_updates`. None = all ones."""
+        del params, step
+        return None

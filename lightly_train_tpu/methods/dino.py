@@ -202,3 +202,19 @@ class DINO(Method):
             return u * live if "prototypes" in parts else u
 
         return jax.tree_util.tree_map_with_path(_freeze, updates)
+
+    def fused_ema_momentum(self, step, total_steps):
+        a = self.args
+        m_start = a.momentum_start if a.momentum_start != AUTO else 0.996
+        return cosine_schedule(step, total_steps, m_start, a.momentum_end)
+
+    def update_scales(self, params, step):
+        live = (
+            jnp.asarray(step) >= self.args.freeze_last_layer_steps
+        ).astype(jnp.float32)
+
+        def _scale(path, _):
+            parts = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+            return live if "prototypes" in parts else 1.0
+
+        return jax.tree_util.tree_map_with_path(_scale, params)

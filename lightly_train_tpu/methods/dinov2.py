@@ -377,3 +377,19 @@ class DINOv2(Method):
             return u
 
         return jax.tree_util.tree_map_with_path(_freeze, updates)
+
+    def fused_ema_momentum(self, step, total_steps):
+        """post_update is exactly the teacher EMA -> fused path eligible."""
+        a = self.args
+        return cosine_schedule(step, total_steps, a.momentum_start, a.momentum_end)
+
+    def update_scales(self, params, step):
+        """Fused-path analog of :meth:`mask_updates` (prototype freeze)."""
+        a = self.args
+        live = (jnp.asarray(step) >= a.freeze_last_layer_steps).astype(jnp.float32)
+
+        def _scale(path, _):
+            parts = [str(p.key) if hasattr(p, "key") else str(p) for p in path]
+            return live if "prototypes" in parts else 1.0
+
+        return jax.tree_util.tree_map_with_path(_scale, params)
