@@ -74,12 +74,21 @@ class TrainTaskConfig(PydanticConfig):
     precision: Literal["bf16", "fp32"] = "bf16"
     grad_accum_steps: int = 1
     image_size: int = 224
+    # Validation staging resolution; above ``image_size`` the semantic-seg
+    # val loop runs tiled at the training tile size (AUTO = image_size).
+    val_image_size: Union[int, Auto] = AUTO
     num_workers: int = 8
     seed: int = 0
     log_every: int = 50
     val_every: Union[int, Auto] = AUTO
     save_every: Union[int, Auto] = AUTO
-    hflip_prob: float = 0.5
+    # Per-task transform schema overrides (reference ``TaskTransformArgs``,
+    # ``task_transform.py:25-60``); keys validated against the task's schema
+    # (``_transforms/task_transforms.py``).
+    transform_args: Dict[str, Any] = {}
+    # Legacy scalar knob (pre-schema surface): overrides
+    # transform_args.random_flip.horizontal_prob when set.
+    hflip_prob: Optional[float] = None
     resume_interrupted: bool = False
     overwrite: bool = False
 
@@ -223,6 +232,9 @@ def run_task_training(
 ) -> Tuple[TaskTrainState, Dict[str, float]]:
     """The generic fine-tuning loop shared by every task entry point."""
     initialize_distributed()
+    # Validation above the training resolution runs tiled at the training
+    # tile size (reference tiled validation; see tasks/tiling.py).
+    train_model.val_tile_size = config.image_size
     out_dir = Path(config.out)
     if out_dir.exists() and any(out_dir.iterdir()):
         if not (config.overwrite or config.resume_interrupted):
@@ -335,9 +347,45 @@ def run_task_training(
     state = jax.device_put(state, NamedSharding(mesh, P()))
 
     # ---- jitted steps -----------------------------------------------------
-    hflip = config.hflip_prob
-
     accum = max(1, config.grad_accum_steps)
+
+    # Per-task train transform: tasks that declare a ``transform_kind`` get
+    # the reference recipe (scale-jitter/crop/jitter for segmentation,
+    # RandomResizedCrop for classification) resolved from the schema +
+    # user overrides; detection tasks keep their dedicated pipeline inside
+    # ``augment_batch`` and fall back to flip+normalize here.
+    transform_kind = getattr(train_model, "transform_kind", None)
+    train_tf = None
+    if transform_kind is not None:
+        from lightly_train_tpu._transforms import (
+            build_train_transform,
+            resolve_task_transform_args,
+        )
+
+        user_tf_args = dict(config.transform_args)
+        task_ignore = getattr(train_model.args, "ignore_index", None)
+        if (
+            transform_kind != "image_classification"
+            and task_ignore is not None
+            and "ignore_index" not in user_tf_args
+        ):
+            user_tf_args["ignore_index"] = int(task_ignore)
+        resolved_tf_args = resolve_task_transform_args(
+            transform_kind, user_tf_args,
+            (config.image_size, config.image_size), config.hflip_prob,
+        )
+        train_tf = build_train_transform(resolved_tf_args, dtype)
+        logger.info(
+            "Train transform (%s): %s", transform_kind,
+            resolved_tf_args.model_dump(),
+        )
+    elif config.transform_args:
+        raise ConfigError(
+            f"transform_args is not supported for task "
+            f"'{train_model.task}' (its pipeline is configured via "
+            "task_args; see ops/detection_augs.py)"
+        )
+    hflip = config.hflip_prob if config.hflip_prob is not None else 0.5
 
     # Batch preparation (shared flip+normalize + task augs) runs as its OWN
     # jitted program: mixing the augmentation collectives into the step
@@ -349,7 +397,10 @@ def run_task_training(
     def prepare_batch(batch, base_key, step):
         k = jax.random.fold_in(base_key, step)
         k_aug, k_task_aug = jax.random.split(k)
-        batch = _device_train_transform(batch, k_aug, hflip, dtype)
+        if train_tf is not None:
+            batch = train_tf(batch, k_aug)
+        else:
+            batch = _device_train_transform(batch, k_aug, hflip, dtype)
         return train_model.augment_batch(batch, k_task_aug, step)
 
     @jax.jit
@@ -763,12 +814,18 @@ def train_semantic_segmentation_multihead(
         TrainTaskConfig, {"out": out, "model": model, **kwargs}
     )
     hw = (config.image_size, config.image_size)
+    val_size = (
+        config.val_image_size
+        if config.val_image_size != AUTO
+        else config.image_size
+    )
     train_ds = MaskSemanticSegmentationDataset(
         Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
     )
     val_ds = (
         MaskSemanticSegmentationDataset(
-            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw
+            Path(data["val"]["images"]), Path(data["val"]["masks"]),
+            (val_size, val_size),
         )
         if "val" in data
         else None
@@ -928,12 +985,18 @@ def train_semantic_segmentation(
     backbone_name = config.model.removesuffix("-eomt").removesuffix("-linear")
     config = config.model_copy(update={"model": backbone_name})
     hw = (config.image_size, config.image_size)
+    val_size = (
+        config.val_image_size
+        if config.val_image_size != AUTO
+        else config.image_size
+    )
+    hw_val = (val_size, val_size)
     train_ds = MaskSemanticSegmentationDataset(
         Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
     )
     val_ds = (
         MaskSemanticSegmentationDataset(
-            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw
+            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw_val
         )
         if "val" in data
         else None

@@ -68,16 +68,16 @@ def _leaf_plan(n: int) -> Optional[Tuple[int, int, int]]:
         cap = max(_BLOCK_BYTES // (4 * lanes), 8)
         if rows <= cap:
             return lanes, rows, rows
-        # largest divisor of rows <= cap
-        best = 1
+        # Largest divisor of rows that is <= cap AND a multiple of 8 (Mosaic
+        # requires sublane-dim blocks divisible by 8 unless they span the
+        # whole array).
+        best = 0
         d = 1
         while d * d <= rows:
             if rows % d == 0:
-                if d <= cap:
-                    best = max(best, d)
-                q = rows // d
-                if q <= cap:
-                    best = max(best, q)
+                for c in (d, rows // d):
+                    if c <= cap and c % 8 == 0:
+                        best = max(best, c)
             d += 1
         if best >= 8:
             return lanes, rows, best

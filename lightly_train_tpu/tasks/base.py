@@ -41,6 +41,10 @@ class TaskTrainModel(abc.ABC):
     """A fine-tuning architecture + objective."""
 
     task: str = "task"
+    # Name of the train-transform schema in TASK_TRANSFORM_ARGS
+    # (``_transforms/task_transforms.py``); None = no schema (detection
+    # tasks configure their pipeline via task_args/augment_batch).
+    transform_kind: Optional[str] = None
 
     def __init__(self, wrapped: WrappedModel, args: TaskArgs):
         self.wrapped = wrapped

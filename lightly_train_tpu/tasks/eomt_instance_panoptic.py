@@ -42,6 +42,7 @@ class EoMTInstanceSegmentationArgs(EoMTSemanticSegmentationArgs):
 
 class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
     task = "instance_segmentation"
+    transform_kind = "instance_segmentation"
     val_mode = "collect"
 
     def _targets_from_ids(self, seg_map: jax.Array, labels: jax.Array,
@@ -192,6 +193,7 @@ class EoMTPanopticSegmentationArgs(EoMTInstanceSegmentationArgs):
 
 class EoMTPanopticSegmentationTrainModel(EoMTInstanceSegmentationTrainModel):
     task = "panoptic_segmentation"
+    transform_kind = "panoptic_segmentation"
 
     def val_step(self, params, model_state, batch):
         cls_logits, mask_logits, grid_hw = self._query_outputs(

@@ -530,6 +530,7 @@ def point_sampled_mask_loss(
 
 class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
     task = "semantic_segmentation"
+    transform_kind = "semantic_segmentation"
 
     def __init__(self, wrapped: WrappedModel, args: EoMTSemanticSegmentationArgs):
         super().__init__(wrapped, args)
@@ -699,10 +700,26 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
         return jax.image.resize(sem, (B, H, W, self.args.num_classes),
                                 "bilinear")
 
+    def _val_semantic_logits(self, params, images):
+        """Full-forward at training resolution; tiled above it (reference
+        tiled validation, ``dinov3_eomt_semantic_segmentation/train_model.py:
+        358-420`` — ``val_tile_size`` is set to the train image_size by
+        ``run_task_training``)."""
+        from lightly_train_tpu.tasks.tiling import tiled_logits
+
+        ts = getattr(self, "val_tile_size", None)
+        H, W = images.shape[1:3]
+        if ts is not None and (H > ts or W > ts):
+            return tiled_logits(
+                lambda t: self._semantic_logits(params, t),
+                images, self.args.num_classes, int(ts),
+            )
+        return self._semantic_logits(params, images)
+
     def val_step(self, params, model_state, batch):
         images, masks = batch["images"], batch["masks"]
         sample_valid = batch.get("valid")
-        sem = self._semantic_logits(params, images)
+        sem = self._val_semantic_logits(params, images)
         pred = jnp.argmax(sem, axis=-1)
         valid = masks != self.args.ignore_index
         if sample_valid is not None:
@@ -749,40 +766,15 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
         back into the full canvas. The tile grid is static per input shape so
         one compiled program serves every image of that size.
         """
-        B, H, W, _ = images.shape
-        if H <= tile_size and W <= tile_size:
-            return self.predict(variables, images)
-        stride = stride or (tile_size * 2 // 3)
-        nc = self.args.num_classes
-        ys = list(range(0, max(H - tile_size, 0) + 1, stride))
-        xs = list(range(0, max(W - tile_size, 0) + 1, stride))
-        if ys[-1] + tile_size < H:
-            ys.append(H - tile_size)
-        if xs[-1] + tile_size < W:
-            xs.append(W - tile_size)
-        logits_sum = jnp.zeros((B, H, W, nc), jnp.float32)
-        counts = jnp.zeros((B, H, W, 1), jnp.float32)
-        for y in ys:
-            for x in xs:
-                tile = jax.lax.dynamic_slice(
-                    images, (0, y, x, 0), (B, tile_size, tile_size, 3)
-                )
-                tl = self._semantic_logits(variables["params"], tile)
-                logits_sum = jax.lax.dynamic_update_slice(
-                    logits_sum,
-                    jax.lax.dynamic_slice(
-                        logits_sum, (0, y, x, 0), (B, tile_size, tile_size, nc)
-                    ) + tl,
-                    (0, y, x, 0),
-                )
-                counts = jax.lax.dynamic_update_slice(
-                    counts,
-                    jax.lax.dynamic_slice(
-                        counts, (0, y, x, 0), (B, tile_size, tile_size, 1)
-                    ) + 1.0,
-                    (0, y, x, 0),
-                )
-        return jnp.argmax(logits_sum / jnp.maximum(counts, 1.0), axis=-1)
+        from lightly_train_tpu.tasks.tiling import tiled_logits
+
+        return jnp.argmax(
+            tiled_logits(
+                lambda t: self._semantic_logits(variables["params"], t),
+                images, self.args.num_classes, tile_size, stride,
+            ),
+            axis=-1,
+        )
 
     def default_optimizer_args(self):
         from lightly_train_tpu._optim import AdamWArgs

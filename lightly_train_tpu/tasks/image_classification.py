@@ -41,6 +41,7 @@ class _Head(nn.Module):
 
 class ImageClassificationTrainModel(TaskTrainModel):
     task = "image_classification"
+    transform_kind = "image_classification"
 
     def __init__(self, wrapped: WrappedModel, args: ImageClassificationArgs):
         super().__init__(wrapped, args)

@@ -44,6 +44,7 @@ class _SegHead(nn.Module):
 
 class LinearSemanticSegmentationTrainModel(TaskTrainModel):
     task = "semantic_segmentation"
+    transform_kind = "semantic_segmentation"
 
     def __init__(self, wrapped: WrappedModel, args: LinearSemanticSegmentationArgs):
         super().__init__(wrapped, args)
@@ -99,7 +100,21 @@ class LinearSemanticSegmentationTrainModel(TaskTrainModel):
     def val_step(self, params, model_state, batch):
         images, masks = batch["images"], batch["masks"]
         sample_valid = batch.get("valid")
-        logits, _ = self._logits(params, model_state, images, train=False)
+        # Tile validation above the training resolution (reference tiled
+        # validation; ``val_tile_size`` set by ``run_task_training``).
+        ts = getattr(self, "val_tile_size", None)
+        H, W = images.shape[1:3]
+        if ts is not None and (H > ts or W > ts):
+            from lightly_train_tpu.tasks.tiling import tiled_logits
+
+            logits = tiled_logits(
+                lambda t: self._logits(
+                    params, model_state, t, train=False
+                )[0],
+                images, self.args.num_classes, int(ts),
+            )
+        else:
+            logits, _ = self._logits(params, model_state, images, train=False)
         pred = jnp.argmax(logits, axis=-1)
         valid = masks != self.args.ignore_index
         if sample_valid is not None:
