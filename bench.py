@@ -78,6 +78,7 @@ def main() -> None:
         grad_clip_norm=method.grad_clip_norm(),
         lr_scales=method.lr_scales(params),
         weight_decay_schedule=method.weight_decay_schedule(total_steps),
+        wd_mask=method.wd_mask(params),
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

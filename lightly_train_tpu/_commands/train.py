@@ -278,6 +278,7 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         grad_clip_norm=method.grad_clip_norm(),
         lr_scales=method.lr_scales(params),
         weight_decay_schedule=method.weight_decay_schedule(total_steps),
+        wd_mask=method.wd_mask(params),
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -50,38 +50,46 @@ _BLOCK_BYTES = 256 * 1024
 _MIN_PALLAS_ELEMS = 64 * 1024
 
 
-def _leaf_plan(n: int) -> Optional[Tuple[int, int, int]]:
-    """(lanes, rows, block_rows) for a flat leaf of n elements, or None.
+def _block_dim(extent: int, cap: int, quantum: int) -> Optional[int]:
+    """Largest divisor of ``extent`` that is <= cap and a multiple of
+    ``quantum`` — or ``extent`` itself when it fits the cap (Mosaic allows
+    full-extent blocks of any size)."""
+    if extent <= cap:
+        return extent
+    best = 0
+    d = 1
+    while d * d <= extent:
+        if extent % d == 0:
+            for c in (d, extent // d):
+                if c <= cap and c % quantum == 0:
+                    best = max(best, c)
+        d += 1
+    return best or None
 
-    The flat leaf is viewed as (rows, lanes); the kernel grids over row
-    blocks. lanes must divide n; rows must be >= 8 (f32 sublane tile) and
-    block_rows must divide rows.
+
+def _leaf_plan(shape: Tuple[int, ...]) -> Optional[Tuple[int, int]]:
+    """(block_rows, block_lanes) over the leaf's NATURAL last two dims.
+
+    The kernel grids over (leading..., rows, lanes) blocks of the leaf's own
+    shape — reshaping to a flat layout would force a tiled-layout relayout
+    copy per operand per step (measured ~9 ms/step on ViT-B, the entire
+    kernel win), so blocks must follow the array's native (8, 128) tiling.
     """
-    if n < _MIN_PALLAS_ELEMS:
+    n = 1
+    for s in shape:
+        n *= s
+    if n < _MIN_PALLAS_ELEMS or len(shape) < 2:
         return None
-    for lanes in (1024, 512, 256, 128):
-        if n % lanes:
-            continue
-        rows = n // lanes
-        if rows < 8:
-            continue
-        cap = max(_BLOCK_BYTES // (4 * lanes), 8)
-        if rows <= cap:
-            return lanes, rows, rows
-        # Largest divisor of rows that is <= cap AND a multiple of 8 (Mosaic
-        # requires sublane-dim blocks divisible by 8 unless they span the
-        # whole array).
-        best = 0
-        d = 1
-        while d * d <= rows:
-            if rows % d == 0:
-                for c in (d, rows // d):
-                    if c <= cap and c % 8 == 0:
-                        best = max(best, c)
-            d += 1
-        if best >= 8:
-            return lanes, rows, best
-    return None
+    rows, lanes = shape[-2], shape[-1]
+    # Lane-dim block: prefer full lanes; cap at 2048 to bound VMEM.
+    bl = _block_dim(lanes, 2048, 128)
+    if bl is None:
+        return None
+    row_cap = max(_BLOCK_BYTES // (4 * bl), 8)
+    br = _block_dim(rows, row_cap, 8)
+    if br is None:
+        return None
+    return br, bl
 
 
 def _kernel(s_ref, g_ref, p_ref, mu_ref, nu_ref, t_ref,
@@ -122,16 +130,23 @@ def fused_adamw_ema_leaf(
     Returns (p', mu', nu', t'). Falls back to the jnp expression when no
     TPU-friendly (rows, lanes) view of the leaf exists.
     """
-    n = g.size
-    plan = _leaf_plan(n)
+    plan = _leaf_plan(g.shape)
     if plan is None:
         return _jnp_leaf(g, p, mu, nu, t, scalars, b1=b1, b2=b2, eps=eps)
-    lanes, rows, block_rows = plan
-    shape2d = (rows, lanes)
-    grid = (rows // block_rows,)
-    spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0))
-    sspec = pl.BlockSpec((1, 8), lambda i: (0, 0))
-    out4 = [jax.ShapeDtypeStruct(shape2d, jnp.float32)] * 4
+    br, bl = plan
+    shape = g.shape
+    lead = shape[:-2]
+    rows, lanes = shape[-2], shape[-1]
+    grid = tuple(lead) + (rows // br, lanes // bl)
+    nlead = len(lead)
+    block = (1,) * nlead + (br, bl)
+
+    def index_map(*idx):
+        return idx[:nlead] + (idx[nlead], idx[nlead + 1])
+
+    spec = pl.BlockSpec(block, index_map)
+    sspec = pl.BlockSpec((1, 8), lambda *idx: (0, 0))
+    out4 = [jax.ShapeDtypeStruct(shape, jnp.float32)] * 4
     p2, mu2, nu2, t2 = pl.pallas_call(
         functools.partial(_kernel, b1=b1, b2=b2, eps=eps),
         grid=grid,
@@ -140,17 +155,8 @@ def fused_adamw_ema_leaf(
         out_shape=out4,
         input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3},
         interpret=interpret,
-    )(
-        scalars.astype(jnp.float32),
-        g.reshape(shape2d).astype(jnp.float32),
-        p.reshape(shape2d),
-        mu.reshape(shape2d),
-        nu.reshape(shape2d),
-        t.reshape(shape2d),
-    )
-    orig = g.shape
-    return (p2.reshape(orig), mu2.reshape(orig), nu2.reshape(orig),
-            t2.reshape(orig))
+    )(scalars.astype(jnp.float32), g, p, mu, nu, t)
+    return p2, mu2, nu2, t2
 
 
 def _jnp_leaf(g, p, mu, nu, t, scalars, *, b1, b2, eps):
@@ -203,6 +209,7 @@ class FusedAdamWEMA:
         weight_decay_schedule: Optional[Callable] = None,
         momentum_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
         update_scales_fn: Optional[Callable[[jax.Array], Any]] = None,
+        wd_mask: Optional[Any] = None,
         mode: str = "auto",
     ) -> None:
         self.args = args
@@ -212,7 +219,9 @@ class FusedAdamWEMA:
         self.weight_decay_schedule = weight_decay_schedule
         self.momentum_fn = momentum_fn
         self.update_scales_fn = update_scales_fn
-        self.wd_mask = no_weight_decay_mask(params)
+        self.wd_mask = (
+            wd_mask if wd_mask is not None else no_weight_decay_mask(params)
+        )
         self.mode = _resolve_mode(mode)
 
     @property
@@ -375,6 +384,7 @@ def build_fused_updater(
             if method.update_scales(params, 0) is not None
             else None
         ),
+        wd_mask=method.wd_mask(params),
         mode=mode,
     )
     return updater if updater.enabled else None

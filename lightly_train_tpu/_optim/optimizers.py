@@ -58,7 +58,10 @@ OPTIMIZER_ARGS_TYPES = {"adamw": AdamWArgs, "sgd": SGDArgs, "lars": LARSArgs}
 
 
 def no_weight_decay_mask(params: Any) -> Any:
-    """False for 1-D params (biases, norm scales, layerscale gammas, tokens)."""
+    """False for 1-D params (biases, norm scales, layerscale gammas, tokens).
+
+    Generic task-training default. The DINOv2 SSL family uses the exact
+    reference rule instead (:func:`dinov2_wd_mask`)."""
 
     def _mask(path: Tuple[Any, ...], leaf: Any) -> bool:
         name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
@@ -66,6 +69,30 @@ def no_weight_decay_mask(params: Any) -> Any:
             return False
         # token / embedding params are also exempt in the reference
         if name in ("cls_token", "mask_token", "register_tokens", "pos_embed"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(_mask, params)
+
+
+def dinov2_wd_mask(params: Any) -> Any:
+    """The reference DINOv2 weight-decay rule, verbatim
+    (``_methods/dinov2/utils.py:240-243``): decay everything EXCEPT params
+    whose name ends with ``.bias``, or whose path contains ``norm`` or
+    ``gamma``. Notably cls/pos/mask tokens, the patch-embed kernel and the
+    weight-norm prototype gain DO get weight decay (unlike the generic task
+    mask above). Verified against the torch reference by the trajectory
+    parity harness (tests/methods/test_trajectory_parity.py)."""
+
+    def _mask(path: Tuple[Any, ...], leaf: Any) -> bool:
+        del leaf
+        parts = [
+            str(p.key) if hasattr(p, "key") else str(p) for p in path
+        ]
+        if parts[-1] == "bias":
+            return False
+        joined = "/".join(parts)
+        if "norm" in joined or "gamma" in joined:
             return False
         return True
 
@@ -80,11 +107,12 @@ def layerwise_lr_scales(
 ) -> Any:
     """Per-leaf LR multipliers implementing DINOv2 layerwise decay.
 
-    Path rules (``dinov2/utils.py:191-253``): ``block{i}`` params get
+    Path rules (``dinov2/utils.py:155-247``): ``block{i}`` params get
     ``decay^(num_layers - i)``; embedding-level params (patch_embed,
-    pos_embed, cls/register/mask tokens) get ``decay^(num_layers + 1)`` times
-    ``patch_embed_multiplier`` (reference: 0.2 for patch embed); everything
-    else (final norm, heads) gets 1.0.
+    pos_embed, cls/register/mask tokens) get ``decay^(num_layers + 1)``;
+    ``patch_embed_multiplier`` applies to patch_embed params ONLY
+    (``utils.py:246``: ``if "patch_embed" in name``; reference default 0.2);
+    everything else (final norm, heads) gets 1.0.
     """
 
     def _scale(path: Tuple[Any, ...], leaf: Any) -> float:
@@ -101,7 +129,10 @@ def layerwise_lr_scales(
             for n in ("patch_embed", "pos_embed", "cls_token", "mask_token",
                       "register_tokens")
         ):
-            return float(decay ** (num_layers + 1)) * patch_embed_multiplier
+            s = float(decay ** (num_layers + 1))
+            if "patch_embed" in joined:
+                s *= patch_embed_multiplier
+            return s
         return 1.0
 
     return jax.tree_util.tree_map_with_path(_scale, params)
@@ -131,19 +162,23 @@ def build_optimizer(
     grad_clip_norm: Optional[float] = None,
     lr_scales: Optional[Any] = None,
     weight_decay_schedule: Optional[optax.Schedule] = None,
+    wd_mask: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Assemble the full update chain: clip -> optimizer -> lr scales.
 
     ``weight_decay_schedule`` overrides the static wd (DINOv2 cosine wd
     0.04 -> 0.4, applied via optax.add_decayed_weights with a mask and an
-    injected schedule using inject_hyperparams).
+    injected schedule using inject_hyperparams). ``wd_mask`` overrides the
+    generic no-decay mask (the DINOv2 family passes
+    :func:`dinov2_wd_mask` to match the reference rule exactly).
     """
     from lightly_train_tpu._optim.adamw8bit import (
         AdamW8bitArgs,
         scale_by_adam8bit,
     )
 
-    wd_mask = no_weight_decay_mask(params)
+    if wd_mask is None:
+        wd_mask = no_weight_decay_mask(params)
     chain = []
     if grad_clip_norm is not None:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))

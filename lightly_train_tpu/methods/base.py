@@ -131,6 +131,11 @@ class Method(abc.ABC):
         del params
         return None
 
+    def wd_mask(self, params: Any) -> Optional[Any]:
+        """Weight-decay mask tree; None = the generic no-decay default."""
+        del params
+        return None
+
     def weight_decay_schedule(self, total_steps: int) -> Optional[Any]:
         return None
 

@@ -364,6 +364,14 @@ class DINOv2(Method):
             step, total_steps, a.weight_decay_start, a.weight_decay_end
         )
 
+    def wd_mask(self, params):
+        """Exact reference rule: only bias/norm/gamma exempt
+        (``_methods/dinov2/utils.py:240-243``) — tokens, pos_embed, the
+        patch-embed kernel and the prototype gain all decay."""
+        from lightly_train_tpu._optim.optimizers import dinov2_wd_mask
+
+        return dinov2_wd_mask(params)
+
     def mask_updates(self, updates, step):
         """Freeze the prototype (weight-normed last) layers early
         (``dinov2.py`` freeze_last_layer, 1250 steps)."""

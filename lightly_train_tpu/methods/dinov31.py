@@ -12,6 +12,18 @@ TPU-native notes: crop geometry flows from the fused augmentation stage as
 reuses the matmul resampler on feature maps; the kernel alignment is
 row-softmax CE over (N, N) gram matrices (MXU matmuls), masked by overlap
 validity.
+
+Provenance of the loss math: the reference imports
+``lightly.loss.PatchKernelAlignmentLoss`` (``dinov31.py:55``) whose source is
+not available in this environment, so ``_paka_loss`` is a RECONSTRUCTION from
+the PaKA paper (arXiv:2509.05606, App. D): project both patch grids through a
+2048/256 MLP head (student trained, teacher EMA), l2-normalize, form the
+temperature-scaled patch-similarity kernels K = Z Z^T / tau, and minimize the
+row-wise cross-entropy CE(softmax(K_t), softmax(K_s)) over rows/columns whose
+BOTH patches are observed by the teacher's clean view (overlap mask). The
+properties this implies — CE minimized exactly when the kernels match,
+zero loss for disjoint crops, mask correctness, bf16 finiteness — are
+asserted by ``tests/methods/test_paka_properties.py``.
 """
 
 from __future__ import annotations
@@ -28,6 +40,31 @@ from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
 from lightly_train_tpu.ops.augment import ViewAugmentConfig, crop_resize_matmul
 
 import flax.linen as nn
+
+
+def paka_overlap_validity(y0, x0, hh, ww, flip, gs_hw, gt_hw):
+    """(B, gs_h, gs_w) bool: student patch centers that land inside the
+    teacher's clean crop.
+
+    ``(y0, x0, hh, ww)`` is the student crop box expressed in TEACHER-GRID
+    coordinates (clean crop spans [0, gt_h] x [0, gt_w]); ``flip`` mirrors
+    the column validity to match the student's hflipped grid. Derivation
+    follows the overlap masking of arXiv:2509.05606 App. D (constrained-crop
+    PaKA): only kernel rows/columns whose both patches are observed by the
+    teacher contribute to the alignment CE.
+    """
+    gs_h, gs_w = gs_hw
+    gt_h, gt_w = gt_hw
+    ty = y0[:, None] + (jnp.arange(gs_h) + 0.5)[None, :] * (
+        hh[:, None] / gs_h
+    )
+    tx = x0[:, None] + (jnp.arange(gs_w) + 0.5)[None, :] * (
+        ww[:, None] / gs_w
+    )
+    vy = (ty >= 0) & (ty <= gt_h)  # (B, gs_h)
+    vx = (tx >= 0) & (tx <= gt_w)
+    vx = jnp.where(flip[:, None] > 0.5, vx[:, ::-1], vx)
+    return vy[:, :, None] & vx[:, None, :]
 
 
 class _PaKAHead(nn.Module):
@@ -140,16 +177,9 @@ class DINOv31(DINOv2):
             Ft_aligned,
         )
         # Validity: student patch centers inside the clean crop.
-        ty = y0[:, None] + (jnp.arange(gs_h) + 0.5)[None, :] * (
-            hh[:, None] / gs_h
-        )
-        tx = x0[:, None] + (jnp.arange(gs_w) + 0.5)[None, :] * (
-            ww[:, None] / gs_w
-        )
-        vy = (ty >= 0) & (ty <= gt_h)  # (B, gs_h)
-        vx = (tx >= 0) & (tx <= gt_w)
-        vx = jnp.where(flip[:, None] > 0.5, vx[:, ::-1], vx)
-        valid = (vy[:, :, None] & vx[:, None, :]).reshape(B, gs_h * gs_w)
+        valid = paka_overlap_validity(
+            y0, x0, hh, ww, flip, (gs_h, gs_w), (gt_h, gt_w)
+        ).reshape(B, gs_h * gs_w)
 
         N = gs_h * gs_w
         # Projection heads on the aligned tokens (student trained, teacher

@@ -16,10 +16,14 @@ import jax.numpy as jnp
 
 
 class WeightNormDense(nn.Module):
-    """Dense layer with weight-normalized kernel and frozen unit gain.
+    """Dense layer with weight-normalized kernel and TRAINABLE per-output
+    gain: ``W = g * v / ||v||_col``.
 
-    The DINO prototype layer: ``W = g * v / ||v||`` with g fixed at 1
-    (``norm_last_layer``, ``dinov2_head.py``).
+    Matches torch ``parametrizations.weight_norm(Linear(...), dim=0)`` as the
+    reference DINO prototype layer uses it (``dinov2_head.py:51-56``): the
+    gain (torch ``original0``) is initialized to 1 and TRAINED — it is not
+    frozen. (It IS frozen for the first ``freeze_last_layer_steps`` along
+    with ``v`` via the prototype update mask.)
     """
 
     features: int
@@ -32,8 +36,12 @@ class WeightNormDense(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             (x.shape[-1], self.features),
         )
+        g = self.param("g", nn.initializers.ones, (self.features,))
         v32 = v.astype(jnp.float32)
-        w = v32 / jnp.maximum(jnp.linalg.norm(v32, axis=0, keepdims=True), 1e-8)
+        w = v32 * (
+            g.astype(jnp.float32)
+            / jnp.maximum(jnp.linalg.norm(v32, axis=0, keepdims=True), 1e-8)
+        )
         return x @ w.astype(x.dtype)
 
 

@@ -28,6 +28,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
 
@@ -79,22 +80,67 @@ class ViTConfig:
     dtype: Any = jnp.float32  # compute dtype (bf16 for training)
 
 
+def _torch_bicubic_matrix(
+    out_size: int, in_size: int, offset: float = 0.1
+) -> jax.Array:
+    """(out, in) resampling matrix matching torch ``F.interpolate`` bicubic.
+
+    Reproduces the reference's pos-embed resampling EXACTLY
+    (``vision_transformer.py:265-300``): cubic convolution with A = -0.75
+    (torch's kernel; jax.image.resize uses Keys A = -0.5), NO antialiasing,
+    align_corners=False, and the historical ``interpolate_offset=0.1``
+    kludge — torch receives ``scale_factor=(g+0.1)/G`` and computes source
+    coords with that scale rather than out/in. Static per (out, in) pair, so
+    the resample is one small matmul.
+    """
+    scale = in_size / (out_size + offset)
+    x = (np.arange(out_size) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    t = (x - x0)[:, None]  # fractional offset per output pixel
+
+    def cubic(d: np.ndarray, a: float = -0.75) -> np.ndarray:
+        d = np.abs(d)
+        return np.where(
+            d <= 1.0,
+            ((a + 2.0) * d - (a + 3.0)) * d * d + 1.0,
+            np.where(
+                d < 2.0,
+                (((d - 5.0) * d + 8.0) * d - 4.0) * a,
+                0.0,
+            ),
+        )
+
+    # 4 taps at x0-1..x0+2, edge-clamped like torch's upsample_bicubic2d.
+    mat = np.zeros((out_size, in_size), np.float32)
+    for k in range(-1, 3):
+        w = cubic(t[:, 0] - k)
+        idx = np.clip(x0 + k, 0, in_size - 1)
+        np.add.at(mat, (np.arange(out_size), idx), w.astype(np.float32))
+    return jnp.asarray(mat)
+
+
 def interpolate_pos_embed(
     pos_embed: jax.Array, grid_hw: Tuple[int, int]
 ) -> jax.Array:
-    """Bilinearly resample a (1, gh0*gw0, D) pos-embed grid to ``grid_hw``.
+    """Resample a (1, gh0*gw0, D) pos-embed grid to ``grid_hw``.
 
     Rebuild of ``interpolate_pos_encoding`` (``vision_transformer.py:265``)
-    with static target shapes (one compiled program per input resolution).
+    with static target shapes (one compiled program per input resolution)
+    and torch-exact bicubic weights (see :func:`_torch_bicubic_matrix`) —
+    multi-crop training resamples the pos embed on EVERY forward, so kernel
+    parity here is trajectory parity.
     """
     n = pos_embed.shape[1]
     g0 = int(round(n**0.5))
     gh, gw = grid_hw
     if (g0, g0) == (gh, gw):
         return pos_embed
-    p = pos_embed.reshape(1, g0, g0, -1)
-    p = jax.image.resize(p, (1, gh, gw, p.shape[-1]), method="bicubic")
-    return p.reshape(1, gh * gw, -1)
+    p = pos_embed.astype(jnp.float32).reshape(1, g0, g0, -1)
+    ry = _torch_bicubic_matrix(gh, g0)
+    rx = _torch_bicubic_matrix(gw, g0)
+    p = jnp.einsum("oh,bhwd->bowd", ry, p)
+    p = jnp.einsum("xw,bowd->boxd", rx, p)
+    return p.reshape(1, gh * gw, -1).astype(pos_embed.dtype)
 
 
 def _rope_angles(

@@ -141,10 +141,11 @@ def ibot_patch_loss(
     )
     ce = -jnp.sum(teacher_probs.astype(jnp.float32) * logp, axis=-1)  # (B, N)
     weighted = ce * mask.astype(jnp.float32) * mask_weight.astype(jnp.float32)
-    n_masked_samples = jnp.maximum(
-        jnp.sum(jnp.any(mask, axis=1).astype(jnp.float32)), 1.0
-    )
-    return jnp.sum(weighted) / n_masked_samples
+    # Normalize by ALL crops, masked or not (``dinov2_loss.py:268``:
+    # ``-loss.sum() / B`` with B = student_masks_flat.shape[0]). Dividing by
+    # only the masked-crop count would scale the iBOT term by ~1/mask_prob
+    # (caught by the torch trajectory-parity harness, round 3).
+    return jnp.sum(weighted) / mask.shape[0]
 
 
 def koleo_loss(

@@ -166,13 +166,13 @@ def test_fused_jnp_matches_optax_chain():
 def test_pallas_kernel_interpret_matches_jnp():
     """The Pallas kernel (interpret mode) == the jnp expression per leaf."""
     key = jax.random.key(1)
-    n = 128 * 1024  # lanes=1024, rows=128, blocked grid
+    shape = (3, 120, 1024)  # leading grid dim + blocked rows/lanes
     ks = jax.random.split(key, 5)
-    g = jax.random.normal(ks[0], (n,), jnp.float32)
-    p = jax.random.normal(ks[1], (n,), jnp.float32)
-    mu = jax.random.normal(ks[2], (n,), jnp.float32) * 0.1
-    nu = jax.random.uniform(ks[3], (n,), jnp.float32) * 0.01
-    t = jax.random.normal(ks[4], (n,), jnp.float32)
+    g = jax.random.normal(ks[0], shape, jnp.float32)
+    p = jax.random.normal(ks[1], shape, jnp.float32)
+    mu = jax.random.normal(ks[2], shape, jnp.float32) * 0.1
+    nu = jax.random.uniform(ks[3], shape, jnp.float32) * 0.01
+    t = jax.random.normal(ks[4], shape, jnp.float32)
     scalars = jnp.array(
         [[0.7, 1.5, 1.1, 2e-3, 0.04, 0.995, 0.0, 0.0]], jnp.float32
     )
@@ -186,16 +186,20 @@ def test_pallas_kernel_interpret_matches_jnp():
 
 
 def test_leaf_plan_shapes():
-    assert _leaf_plan(100) is None  # tiny -> jnp
-    plan = _leaf_plan(768 * 768)
-    assert plan is not None
-    lanes, rows, br = plan
-    assert lanes * rows == 768 * 768 and rows % br == 0
-    # padded-odd leaf: 451584 = 14*14*3*768 (ViT-B patch embed)
-    plan = _leaf_plan(451584)
-    assert plan is not None
-    lanes, rows, br = plan
-    assert lanes * rows == 451584 and rows % br == 0 and rows >= 8
+    assert _leaf_plan((10, 10)) is None  # tiny -> jnp
+    assert _leaf_plan((131072,)) is None  # 1-D -> jnp
+    # pos_embed (1, 257, 768) has a prime row extent -> jnp fallback.
+    assert _leaf_plan((1, 257, 768)) is None
+    for shape in [(768, 768), (768, 3072), (3072, 768), (14, 14, 3, 768),
+                  (256, 65536)]:
+        plan = _leaf_plan(shape)
+        assert plan is not None, shape
+        br, bl = plan
+        rows, lanes = shape[-2], shape[-1]
+        assert rows % br == 0 and lanes % bl == 0, (shape, plan)
+        assert br == rows or br % 8 == 0
+        assert bl == lanes or bl % 128 == 0
+        assert br * bl * 4 <= 2048 * 2048  # bounded VMEM block
 
 
 def test_train_step_fused_matches_unfused():

@@ -69,7 +69,9 @@ def test_layerwise_scales():
     assert scales["block1"]["attn"]["kernel"] == pytest.approx(0.9)
     assert scales["norm"]["scale"] == pytest.approx(1.0)
     assert scales["patch_embed"]["kernel"] == pytest.approx(0.9**3 * 0.2)
-    assert scales["cls_token"] == pytest.approx(0.9**3 * 0.2)
+    # The patch-embed multiplier applies to patch_embed ONLY; tokens get the
+    # plain embedding-level decay (reference utils.py:246).
+    assert scales["cls_token"] == pytest.approx(0.9**3)
 
 
 @pytest.mark.parametrize("args", [AdamWArgs(lr=0.1), SGDArgs(lr=0.1),
