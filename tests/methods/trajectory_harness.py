@@ -63,6 +63,24 @@ def mount_reference():
         pkg = types.ModuleType("lightly_train")
         pkg.__path__ = [str(REF)]
         sys.modules["lightly_train"] = pkg
+    if "lightning_utilities" not in sys.modules:
+        lu = types.ModuleType("lightning_utilities")
+        lu.__path__ = []
+        core = types.ModuleType("lightning_utilities.core")
+        core.__path__ = []
+        imports = types.ModuleType("lightning_utilities.core.imports")
+
+        class RequirementCache:
+            def __init__(self, *args, **kwargs):
+                pass
+
+            def __bool__(self):
+                return False
+
+        imports.RequirementCache = RequirementCache
+        sys.modules["lightning_utilities"] = lu
+        sys.modules["lightning_utilities.core"] = core
+        sys.modules["lightning_utilities.core.imports"] = imports
     import importlib
 
     vt = importlib.import_module(
@@ -71,8 +89,7 @@ def mount_reference():
     )
     head = importlib.import_module("lightly_train._methods.dinov2.dinov2_head")
     loss = importlib.import_module("lightly_train._methods.dinov2.dinov2_loss")
-    utils = importlib.import_module("lightly_train._methods.dinov2.utils")
-    return vt, head, loss, utils
+    return vt, head, loss
 
 
 def make_data(seed: int, n_steps: int):
@@ -140,10 +157,9 @@ class TorchDINOv2:
     def __init__(self, seed: int = 0):
         import torch
 
-        vt, head_mod, loss_mod, utils_mod = mount_reference()
+        vt, head_mod, loss_mod = mount_reference()
         torch.manual_seed(seed)
         self.torch = torch
-        self.utils = utils_mod
         self.backbone = vt._vit_test(
             patch_size=PATCH, init_values=1e-5, img_size=224
         )
@@ -175,11 +191,23 @@ class TorchDINOv2:
         """Param groups per ``utils.py:get_optimizer_with_decay``."""
         import torch
 
+        def vit_lr_decay_rate(name, lr_decay_rate, num_layers):
+            # Inlined from reference utils.py:155-188 (importing utils pulls
+            # torchvision via optimizer_args; not available here).
+            layer_id = num_layers + 1
+            if (
+                "pos_embed" in name or "patch_embed" in name
+                or "mask_token" in name or "cls_token" in name
+                or "register_tokens" in name
+            ):
+                layer_id = 0
+            elif "blocks." in name and "residual." not in name:
+                layer_id = int(name[name.find("blocks."):].split(".")[1]) + 1
+            return lr_decay_rate ** (num_layers + 1 - layer_id)
+
         groups = []
         for name, p in self.backbone.named_parameters():
-            rate = self.utils.get_vit_lr_decay_rate(
-                name=name, lr_decay_rate=LAYERWISE_DECAY, num_layers=DEPTH
-            )
+            rate = vit_lr_decay_rate(name, LAYERWISE_DECAY, DEPTH)
             wd_on = not (
                 name.endswith(".bias") or "norm" in name or "gamma" in name
             )
@@ -435,8 +463,16 @@ class JaxDINOv2:
         import optax
 
         method, optimizer = self.method, self.optimizer
+        # Mask injection: the method samples its own iBOT masks; patch the
+        # sampler to return the mask ARGUMENT captured at trace time so the
+        # step stays one cached jit program.
+        inject = {}
+        self.dinov2_mod.random_block_masks = (
+            lambda key, n, grid, prob, ratio: (inject["mask"], None)
+        )
 
         def train_step(state, views, mask):
+            inject["mask"] = mask
             def lw(params):
                 return method.loss_fn(
                     params, state.model_state, state.method_state, views,
@@ -460,22 +496,16 @@ class JaxDINOv2:
             )
             return new_state, loss, metrics
 
-        return train_step
+        return jax.jit(train_step)
+
+    def close(self):
+        self.dinov2_mod.random_block_masks = self._orig_masks_fn
 
     def step(self, views_np, masks_np, sched, t):
         del sched  # jax side computes schedules from its own state.step
         views = [jnp.asarray(v) for v in views_np]
         mask = jnp.asarray(masks_np)
-        # Inject the shared iBOT mask (the method samples its own otherwise).
-        self.dinov2_mod.random_block_masks = (
-            lambda key, n, grid, prob, ratio: (mask, None)
-        )
-        try:
-            self.state, loss, metrics = self._step_fn(
-                self.state, views, mask
-            )
-        finally:
-            self.dinov2_mod.random_block_masks = self._orig_masks_fn
+        self.state, loss, metrics = self._step_fn(self.state, views, mask)
         return {
             "loss": float(loss),
             "dino": float(metrics["dino_loss"]),
@@ -490,14 +520,24 @@ def run_parity(n_steps: int, seed: int = 0):
     data = make_data(seed + 1, n_steps)
     sched = schedules(n_steps)
     records = []
-    for t in range(n_steps):
-        r_t = torch_side.step(data[t]["views"], data[t]["masks"], sched[t], t)
-        r_j = jax_side.step(data[t]["views"], data[t]["masks"], sched[t], t)
-        rel = abs(r_t["loss"] - r_j["loss"]) / max(abs(r_t["loss"]), 1e-9)
-        records.append({
-            "step": t, "torch_loss": r_t["loss"], "jax_loss": r_j["loss"],
-            "torch_dino": r_t["dino"], "jax_dino": r_j["dino"],
-            "torch_ibot": r_t["ibot"], "jax_ibot": r_j["ibot"],
-            "rel_dev": rel,
-        })
+    try:
+        for t in range(n_steps):
+            r_t = torch_side.step(
+                data[t]["views"], data[t]["masks"], sched[t], t
+            )
+            r_j = jax_side.step(
+                data[t]["views"], data[t]["masks"], sched[t], t
+            )
+            rel = abs(r_t["loss"] - r_j["loss"]) / max(
+                abs(r_t["loss"]), 1e-9
+            )
+            records.append({
+                "step": t, "torch_loss": r_t["loss"],
+                "jax_loss": r_j["loss"],
+                "torch_dino": r_t["dino"], "jax_dino": r_j["dino"],
+                "torch_ibot": r_t["ibot"], "jax_ibot": r_j["ibot"],
+                "rel_dev": rel,
+            })
+    finally:
+        jax_side.close()
     return records
