@@ -146,8 +146,11 @@ def main() -> None:
 
     # Host input pipeline: decode->collate img/s from disk (real JPEGs via
     # the persistent-pool PretrainLoader), proving the host feeds the device
-    # rate (SURVEY §7 "host pipeline feeding >=45% MFU").
+    # rate (SURVEY §7 "host pipeline feeding >=45% MFU"). sustained_img_s
+    # additionally times the REAL end-to-end loop: loader-fed batches
+    # through the fused train step (device rate is min(host, device)).
     host_img_s = 0.0
+    sustained_img_s = 0.0
     try:
         import tempfile
 
@@ -184,6 +187,18 @@ def main() -> None:
             for _ in range(n_batches):
                 jax.block_until_ready(next(loader))
             host_img_s = batch * n_batches / (time.perf_counter() - t0)
+
+            # End-to-end sustained rate: loader-fed fused train steps.
+            n_sustained = 15 if on_tpu else 3
+            state, metrics = train_step(state, next(loader), key)
+            jax.block_until_ready(metrics["train_loss"])
+            t0 = time.perf_counter()
+            for _ in range(n_sustained):
+                state, metrics = train_step(state, next(loader), key)
+            jax.block_until_ready(metrics["train_loss"])
+            sustained_img_s = (
+                batch * n_sustained / (time.perf_counter() - t0)
+            )
     except Exception:
         pass
 

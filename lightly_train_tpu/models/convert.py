@@ -22,7 +22,7 @@ Key mappings (torch -> flax):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Sequence
 
 import numpy as np
 
@@ -106,6 +106,12 @@ def convert_torch_vit_state_dict(
         if f"{p}ls1.gamma" in sd:
             block["ls1"] = {"gamma": sd[f"{p}ls1.gamma"]}
             block["ls2"] = {"gamma": sd[f"{p}ls2.gamma"]}
+        else:
+            # No layerscale in the checkpoint (timm vanilla ViT / Meta
+            # init_values=None): identity gammas so the Flax LayerScale is a
+            # no-op rather than keeping its tiny fresh init.
+            block["ls1"] = {"gamma": np.ones((d,), np.float32)}
+            block["ls2"] = {"gamma": np.ones((d,), np.float32)}
         if f"{p}mlp.fc1.weight" in sd:
             block["mlp"] = {
                 "fc1": {"kernel": sd[f"{p}mlp.fc1.weight"].T,
@@ -262,6 +268,50 @@ def convert_torch_convnext_state_dict(
     return params
 
 
+def convert_torch_resnet_state_dict(
+    state_dict: Mapping[str, Any], stage_sizes: Sequence[int]
+) -> Dict[str, Any]:
+    """torchvision/timm ResNet state dict -> Flax variables.
+
+    Naming (shared by torchvision and timm resnets): ``conv1``/``bn1`` stem,
+    ``layer{s+1}.{b}.conv{k}``/``bn{k}`` blocks,
+    ``layer{s+1}.{b}.downsample.0/1`` projection shortcuts. The ``fc``
+    classifier head is dropped (backbone contract). Returns
+    ``{"params": ..., "batch_stats": ...}``.
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+
+    def conv(prefix: str) -> Dict[str, Any]:
+        return {"kernel": sd[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+
+    def bn(prefix: str):
+        p = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+        s = {"mean": sd[f"{prefix}.running_mean"],
+             "var": sd[f"{prefix}.running_var"]}
+        return p, s
+
+    params: Dict[str, Any] = {"stem_conv": conv("conv1")}
+    stats: Dict[str, Any] = {}
+    params["stem_bn"], stats["stem_bn"] = bn("bn1")
+    for s, n_blocks in enumerate(stage_sizes):
+        for b in range(n_blocks):
+            tp = f"layer{s + 1}.{b}"
+            name = f"stage{s}_block{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for k in (1, 2, 3):
+                if f"{tp}.conv{k}.weight" not in sd:
+                    break
+                bp[f"conv{k}"] = conv(f"{tp}.conv{k}")
+                bp[f"bn{k}"], bs[f"bn{k}"] = bn(f"{tp}.bn{k}")
+            if f"{tp}.downsample.0.weight" in sd:
+                bp["down_conv"] = conv(f"{tp}.downsample.0")
+                bp["down_bn"], bs["down_bn"] = bn(f"{tp}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint_for_model(
     checkpoint_path: Path, model_name: str
 ) -> Dict[str, Any]:
@@ -302,7 +352,13 @@ def load_torch_checkpoint_for_model(
             variables = {
                 "params": convert_torch_convnext_state_dict(sd, cfg.depths)
             }
+        elif "resnet" in model_name or "conv1.weight" in sd:
+            # torchvision/timm ResNet layout (timm/<resnet*> and
+            # torchvision/<resnet*> checkpoints share it).
+            variables = convert_torch_resnet_state_dict(sd, cfg.stage_sizes)
         else:
+            # Meta DINOv2/v3 naming; also covers timm ViTs (fused qkv,
+            # cls-entry pos_embed, optional layerscale).
             variables = {"params": convert_torch_vit_state_dict(sd, cfg.depth)}
     logger.info(
         "Converted %d torch tensors for %s", len(sd), model_name

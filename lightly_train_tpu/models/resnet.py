@@ -40,7 +40,8 @@ class BasicBlock(nn.Module):
             use_running_average=not train, dtype=self.dtype, name=name
         )
         h = nn.Conv(
-            self.filters, (3, 3), (self.strides, self.strides), padding="SAME",
+            self.filters, (3, 3), (self.strides, self.strides),
+            padding=((1, 1), (1, 1)),  # torch-exact (SAME shifts stride-2)
             use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
         h = nn.relu(norm("bn1")(h))
@@ -81,7 +82,8 @@ class Bottleneck(nn.Module):
         )(x)
         h = nn.relu(norm("bn1")(h))
         h = nn.Conv(
-            self.filters, (3, 3), (self.strides, self.strides), padding="SAME",
+            self.filters, (3, 3), (self.strides, self.strides),
+            padding=((1, 1), (1, 1)),  # torch-exact (SAME shifts stride-2)
             use_bias=False, dtype=self.dtype, name="conv2",
         )(h)
         h = nn.relu(norm("bn2")(h))
@@ -119,7 +121,8 @@ class ResNet(nn.Module):
         if cfg.deep_stem:
             for i, ch in enumerate((cfg.width // 2, cfg.width // 2, cfg.width)):
                 x = nn.Conv(
-                    ch, (3, 3), (2, 2) if i == 0 else (1, 1), padding="SAME",
+                    ch, (3, 3), (2, 2) if i == 0 else (1, 1),
+                    padding=((1, 1), (1, 1)),
                     use_bias=False, dtype=cfg.dtype, name=f"stem_conv{i + 1}",
                 )(x)
                 x = nn.relu(
@@ -128,14 +131,16 @@ class ResNet(nn.Module):
                 )
         else:
             x = nn.Conv(
-                cfg.width, (7, 7), (2, 2), padding="SAME", use_bias=False,
-                dtype=cfg.dtype, name="stem_conv",
+                cfg.width, (7, 7), (2, 2), padding=((3, 3), (3, 3)),
+                use_bias=False, dtype=cfg.dtype, name="stem_conv",
             )(x)
             x = nn.relu(
                 nn.BatchNorm(use_running_average=not train, dtype=cfg.dtype,
                              name="stem_bn")(x)
             )
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
         stage_feats = []
         for stage, n_blocks in enumerate(cfg.stage_sizes):
             filters = cfg.width * (2**stage)
