@@ -324,6 +324,13 @@ def fit(
             )
             metrics["profiling/step_time"] = dt / max(window_steps, 1)
             metrics["profiling/data_time"] = data_wait / max(window_steps, 1)
+            # Device duty cycle over the window (the TPU analog of the
+            # reference's NVML utilization thread,
+            # ``_training_step_timer.py:172``): fraction of wall time the
+            # device pipeline is fed rather than waiting on host data.
+            metrics["profiling/device_duty_cycle"] = max(
+                0.0, 1.0 - data_wait / max(dt, 1e-9)
+            )
             if on_log is not None:
                 on_log(current, metrics)
             t_window = time.perf_counter()

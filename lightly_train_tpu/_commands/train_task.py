@@ -559,8 +559,11 @@ def run_task_training(
         "Fine-tuning %s: model=%s steps=%d batch=%d",
         train_model.task, config.model, total_steps, batch_size,
     )
+    data_wait = 0.0
     while current < total_steps:
+        t_data = time.perf_counter()
         batch = next(train_iter)
+        data_wait += time.perf_counter() - t_data
         batch = prepare_batch(batch, base_key, jnp.asarray(current, jnp.int32))
         if current == int(state.step) and is_main_process():
             # Label grid from the first batch (reference logs label/
@@ -578,6 +581,12 @@ def run_task_training(
             metrics["profiling/images_per_sec"] = batch_size * window / max(
                 dt, 1e-9
             )
+            metrics["profiling/data_time"] = data_wait / max(window, 1)
+            # NVML-utilization-thread analog (``_training_step_timer.py:172``).
+            metrics["profiling/device_duty_cycle"] = max(
+                0.0, 1.0 - data_wait / max(dt, 1e-9)
+            )
+            data_wait = 0.0
             jsonl.log_metrics(metrics, current)
             logger.info(
                 "step %d/%d loss=%.4f img/s=%.1f",

