@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 IMG = 48
 N_TRAIN, N_VAL = 64, 16
-STEPS = 120
+STEPS = int(__import__("os").environ.get("DYN_STEPS", "120"))
 CLASSES = 3  # background, circle, box
 
 
