@@ -234,6 +234,7 @@ def main() -> None:
                     "step_time_s": round(dt / n_iters, 4),
                     "aug_gbps": round(aug_gbps, 2),
                     "host_img_s": round(host_img_s, 1),
+                    "sustained_img_s": round(sustained_img_s, 1),
                     "device": str(getattr(jax.devices()[0], "device_kind", "?")),
                     "n_chips": n_chips,
                 },

@@ -138,8 +138,10 @@ def interpolate_pos_embed(
     p = pos_embed.astype(jnp.float32).reshape(1, g0, g0, -1)
     ry = _torch_bicubic_matrix(gh, g0)
     rx = _torch_bicubic_matrix(gw, g0)
-    p = jnp.einsum("oh,bhwd->bowd", ry, p)
-    p = jnp.einsum("xw,bowd->boxd", rx, p)
+    # Tiny matmuls on a parity-critical table: force full f32 (the default
+    # precision runs f32 contractions in bf16 passes, ~1e-2 error).
+    p = jnp.einsum("oh,bhwd->bowd", ry, p, precision="highest")
+    p = jnp.einsum("xw,bowd->boxd", rx, p, precision="highest")
     return p.reshape(1, gh * gw, -1).astype(pos_embed.dtype)
 
 
