@@ -202,7 +202,12 @@ def _pick_flat_blocks(B: int, N: int, H: int, hd: int, n_arrays: int) -> tuple:
     the backward pass OOMed the 16 MB scoped-vmem limit when sized with
     the forward's array count.
     """
-    hpb_opts = [h for h in (H, 8, 6, 4, 2, 1) if h <= H and H % h == 0]
+    # hpb must be the FULL head count or a multiple of 8: the (bb, hpb, N)
+    # lse block's second-minor dim hits Mosaic's sublane-tiling rule
+    # (div-by-8 unless spanning the whole dim) — hpb=6 fails to lower.
+    hpb_opts = [h for h in (H, 8, 16) if h <= H and H % h == 0]
+    if not hpb_opts:
+        hpb_opts = [H]
     for hpb in hpb_opts:
         lanes = hpb * hd
         for bb in (8, 4, 2, 1):
