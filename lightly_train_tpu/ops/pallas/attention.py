@@ -41,6 +41,9 @@ from lightly_train_tpu._env import Env
 
 # Conservative VMEM budget for picking the batch block size (v5e has ~64 MB
 # usable; leave room for double-buffered DMA and the compiler's scratch).
+# Measured r3: 14 MB OOMs the backward kernel's scoped-vmem (18.9M > 16M
+# limit at ViT-B bwd bb=2) — larger batch blocks need a restructured
+# kernel, not a bigger budget.
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
