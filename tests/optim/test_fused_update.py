@@ -274,6 +274,72 @@ def test_train_step_fused_matches_unfused():
         )
 
 
+def test_fused_and_unfused_interop_mid_run():
+    """Switching update paths mid-run (the checkpoint-interop claim): 2
+    fused steps then 2 unfused == 4 unfused, because the fused path reads
+    and writes the SAME optax chain state (counts + moments)."""
+    from lightly_train_tpu._commands.train_loop import make_train_step
+    from lightly_train_tpu._optim import cosine_warmup
+    from lightly_train_tpu.methods.base import TrainState
+    from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+
+    wrapped = get_wrapped_model("dinov2/vittest14", dtype=jnp.float32)
+    method = DINOv2(wrapped, DINOv2Args(
+        output_dim=64, hidden_dim=32, bottleneck_dim=16,
+        local_view_count=2, global_image_size=28, local_image_size=14,
+    ))
+    total_steps = 100
+    rng = jax.random.key(0)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    params, model_state, method_state = method.init(rng, sample)
+    optim_args = method.default_optimizer_args()
+    lr_sched = cosine_warmup(1e-3, total_steps, 10)
+    optimizer = build_optimizer(
+        optim_args, lr_sched, params,
+        grad_clip_norm=method.grad_clip_norm(),
+        lr_scales=method.lr_scales(params),
+        weight_decay_schedule=method.weight_decay_schedule(total_steps),
+        wd_mask=method.wd_mask(params),
+    )
+    fused = build_fused_updater(
+        method, optim_args, lr_sched, params, total_steps, mode="jnp"
+    )
+    step_f = make_train_step(method, optimizer, total_steps,
+                             fused_updater=fused)
+    step_u = make_train_step(method, optimizer, total_steps)
+
+    def fresh():
+        p, ms, mes = method.init(rng, sample)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=p, model_state=ms,
+            opt_state=optimizer.init(p), method_state=mes,
+        )
+
+    imgs = jax.random.randint(
+        jax.random.key(7), (4, 32, 32, 3), 0, 256, jnp.uint8
+    )
+    key = jax.random.key(3)
+    s_mixed, s_pure = fresh(), fresh()
+    for _ in range(2):
+        s_mixed, _ = step_f(s_mixed, imgs, key)
+        s_pure, _ = step_u(s_pure, imgs, key)
+    for _ in range(2):
+        s_mixed, m_a = step_u(s_mixed, imgs, key)  # switch paths mid-run
+        s_pure, m_b = step_u(s_pure, imgs, key)
+    np.testing.assert_allclose(
+        float(m_a["train_loss"]), float(m_b["train_loss"]), rtol=1e-4
+    )
+    for (pa, r), (_, g) in zip(
+        jax.tree_util.tree_leaves_with_path(s_pure.params),
+        jax.tree_util.tree_leaves_with_path(s_mixed.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(g), rtol=1e-4, atol=1e-6,
+            err_msg=str(pa),
+        )
+
+
 def test_build_fused_updater_gating():
     """Non-EMA methods and non-AdamW optimizers keep the unfused path."""
     from lightly_train_tpu._optim import SGDArgs
