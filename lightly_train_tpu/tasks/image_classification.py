@@ -112,19 +112,38 @@ class ImageClassificationTrainModel(TaskTrainModel):
             if valid is not None
             else jnp.ones_like(top1)
         )
+        # Device-summed confusion for macro-F1 (reference classification
+        # metric package: accuracy + F1, ``_metrics/`` SURVEY §2.10).
+        nc = logits.shape[-1]
+        pred = jnp.argmax(logits, -1)
+        cm = jnp.bincount(
+            (labels * nc + pred).reshape(-1),
+            weights=w.reshape(-1),
+            length=nc * nc,
+        ).reshape(nc, nc)
         return {
             "sum_loss": jnp.sum(ce * w),
             "sum_top1": jnp.sum(top1 * w),
             "sum_top5": jnp.sum(topk * w),
             "count": jnp.sum(w),
+            "confusion": cm,
         }
 
     def val_finalize(self, stats):
         n = max(float(stats["count"]), 1.0)
+        cm = np.asarray(stats["confusion"])
+        tp = np.diag(cm)
+        fp = cm.sum(0) - tp
+        fn = cm.sum(1) - tp
+        present = (tp + fn) > 0
+        f1 = np.where(
+            present, 2 * tp / np.maximum(2 * tp + fp + fn, 1e-9), 0.0
+        )
         return {
             "val_loss": float(stats["sum_loss"]) / n,
             "val_top1": float(stats["sum_top1"]) / n,
             "val_top5": float(stats["sum_top5"]) / n,
+            "val_f1": float(f1[present].mean()) if present.any() else 0.0,
         }
 
     def predict(self, variables, images):
