@@ -726,7 +726,10 @@ def train_object_detection(
     def build(split: Dict[str, str]):
         if fmt == "coco":
             return COCOObjectDetectionDataset(
-                Path(split["images"]), Path(split["annotations"]), hw
+                Path(split["images"]), Path(split["annotations"]), hw,
+                skip_if_annotations_missing=bool(
+                    data.get("skip_if_annotations_missing", True)
+                ),
             )
         return YOLOObjectDetectionDataset(
             Path(split["images"]), Path(split["labels"]), hw

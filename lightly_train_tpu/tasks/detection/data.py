@@ -79,6 +79,7 @@ class COCOObjectDetectionDataset:
         annotations_json: Path,
         image_hw: Tuple[int, int] = (640, 640),
         max_boxes: int = 100,
+        skip_if_annotations_missing: bool = True,
     ):
         images_dir = Path(images_dir)
         ann = json.loads(Path(annotations_json).read_text())
@@ -94,11 +95,21 @@ class COCOObjectDetectionDataset:
         self.items = []
         for im in ann.get("images", []):
             path = images_dir / im["file_name"]
-            if path.exists():
-                self.items.append(
-                    (str(path), im["width"], im["height"],
-                     by_image.get(im["id"], []))
+            if not path.exists():
+                # Reference knob (``templates/train_object_detection.jinja2``
+                # "skip_if_annotations_missing"): tolerate gaps by default,
+                # raise when the user wants a strict dataset.
+                if skip_if_annotations_missing:
+                    continue
+                raise DatasetError(
+                    f"Image '{im['file_name']}' listed in "
+                    f"{annotations_json} is missing under {images_dir} "
+                    "(set skip_if_annotations_missing=True to skip)"
                 )
+            self.items.append(
+                (str(path), im["width"], im["height"],
+                 by_image.get(im["id"], []))
+            )
         if not self.items:
             raise DatasetError(
                 f"No images from {annotations_json} found under {images_dir}"

@@ -394,3 +394,46 @@ def test_ltdetrv2_zoo_name_resolves(tmp_path, yolo_dataset):
     )
     assert int(state.step) == 1
     assert "val_map" in val
+
+
+def test_coco_skip_if_annotations_missing(tmp_path):
+    """Reference data knob: missing image files are skipped by default and
+    raise when skip_if_annotations_missing=False."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from lightly_train_tpu.errors import DatasetError
+    from lightly_train_tpu.tasks.detection.data import (
+        COCOObjectDetectionDataset,
+    )
+
+    (tmp_path / "img").mkdir()
+    Image.fromarray(
+        np.zeros((32, 32, 3), np.uint8)
+    ).save(tmp_path / "img" / "a.jpg")
+    ann = {
+        "categories": [{"id": 1, "name": "thing"}],
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 32, "height": 32},
+            {"id": 2, "file_name": "missing.jpg", "width": 32, "height": 32},
+        ],
+        "annotations": [
+            {"image_id": 1, "bbox": [1, 1, 10, 10], "category_id": 1},
+        ],
+    }
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+
+    ds = COCOObjectDetectionDataset(
+        tmp_path / "img", tmp_path / "ann.json", (32, 32)
+    )
+    assert len(ds) == 1  # default: skip the missing file
+
+    import pytest
+
+    with pytest.raises(DatasetError, match="missing"):
+        COCOObjectDetectionDataset(
+            tmp_path / "img", tmp_path / "ann.json", (32, 32),
+            skip_if_annotations_missing=False,
+        )
