@@ -631,14 +631,45 @@ def run_task_training(
 
 
 def _load_backbone(config: TrainTaskConfig):
-    """Build the backbone, optionally initialized from a pretrain artifact."""
+    """Build the backbone, optionally initialized from pretrained weights.
+
+    ``checkpoint`` accepts: a lightly_train_tpu exported-artifact directory,
+    a raw torch ``.pth``/``.pt`` file (converted for the named model), or
+    the literal ``"auto"`` to fetch the model's registered public weights
+    (``models/pretrained_urls.py`` — the reference's auto-download
+    behavior; requires network egress).
+    """
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     pretrained = None
     model_name = config.model
-    if config.checkpoint is not None:
-        artifact = load_exported_model(Path(config.checkpoint))
-        model_name = artifact["model_name"]
-        pretrained = artifact["variables"]
+    ckpt = config.checkpoint
+    if ckpt == "auto":
+        from lightly_train_tpu.models.pretrained_urls import fetch_pretrained
+
+        ckpt = str(fetch_pretrained(model_name))
+    if ckpt is not None:
+        path = Path(ckpt)
+        if path.is_file():
+            # Raw torch checkpoint (Meta / timm / torchvision naming).
+            from lightly_train_tpu.models.convert import (
+                load_torch_checkpoint_for_model,
+            )
+
+            pretrained = load_torch_checkpoint_for_model(path, model_name)
+        else:
+            artifact = load_exported_model(path)
+            model_name = artifact["model_name"]
+            pretrained = artifact["variables"]
+    else:
+        from lightly_train_tpu.models.pretrained_urls import PRETRAINED_URLS
+
+        hint = PRETRAINED_URLS.get(model_name)
+        logger.warning(
+            "No checkpoint given: the %s backbone fine-tunes from RANDOM "
+            "init. Pass checkpoint=<pretrain artifact or torch .pth>%s.",
+            model_name,
+            f' or checkpoint="auto" to fetch {hint}' if hint else "",
+        )
     wrapped = get_wrapped_model(model_name, dtype=dtype)
     return wrapped, pretrained, {"model_name": model_name}
 

@@ -272,3 +272,49 @@ def test_detection_rejects_transform_args(tmp_path):
             precision="fp32",
             transform_args={"random_flip": {"horizontal_prob": 0.1}},
         )
+
+
+def test_raw_torch_checkpoint_initializes_task_backbone(tmp_path):
+    """checkpoint=<raw .pth> (Meta naming) initializes the fine-tune
+    backbone via the converter (reference auto-weights analog)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    import lightly_train_tpu as lt
+    from lightly_train_tpu.models.convert import (
+        convert_flax_vit_to_torch_state_dict,
+    )
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from PIL import Image
+
+    wrapped = get_wrapped_model("dinov2/vittest14")
+    variables = wrapped.init(jax.random.key(42), jnp.zeros((1, 28, 28, 3),
+                                                           jnp.uint8))
+    sd = convert_flax_vit_to_torch_state_dict(
+        variables["params"], depth=wrapped.module.cfg.depth
+    )
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp_path / "backbone.pth")
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        (tmp_path / "train" / cls).mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            ).save(tmp_path / "train" / cls / f"{i}.png")
+
+    state, _ = lt.train_image_classification(
+        out=str(tmp_path / "out"),
+        data={"train": str(tmp_path / "train")},
+        model="dinov2/vittest14",
+        checkpoint=str(tmp_path / "backbone.pth"),
+        steps=1, batch_size=4, image_size=28, precision="fp32",
+    )
+    # The trunk must have started from the converted weights: after one tiny
+    # step the patch-embed kernel stays near the saved value, far from a
+    # fresh random init.
+    got = np.asarray(state.params["backbone"]["patch_embed"]["kernel"])
+    want = np.asarray(variables["params"]["patch_embed"]["kernel"])
+    assert np.abs(got - want).max() < 0.05
