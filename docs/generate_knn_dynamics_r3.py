@@ -30,7 +30,9 @@ IMG = 64
 N_CLASSES = 16
 N_TRAIN, N_VAL = 768, 192
 STEPS = int(os.environ.get("KNN_STEPS", "800"))
-BATCH = 64
+MODEL = os.environ.get("KNN_MODEL", "dinov3/vittest16")
+BATCH = int(os.environ.get("KNN_BATCH", "64"))
+OUT_NAME = os.environ.get("KNN_OUT", "knn_dynamics_r3.json")
 
 
 def make_dataset(root: Path, n: int, seed: int) -> None:
@@ -82,7 +84,7 @@ def main() -> None:
         lt.pretrain(
             out=str(out),
             data=str(root / "train"),
-            model="dinov3/vittest16",
+            model=MODEL,
             method="dinov2",
             method_args={
                 "output_dim": 512, "hidden_dim": 128, "bottleneck_dim": 32,
@@ -114,14 +116,14 @@ def main() -> None:
                 "trainable prototype gain, reference wd rule) pretrained on "
                 "16-class synthetic textures; kNN classification of val "
                 "embeddings vs train embeddings",
-        "model": "dinov3/vittest16",
+        "model": MODEL,
         "steps": STEPS,
         "batch": BATCH,
         "chance_accuracy": 1.0 / N_CLASSES,
         "knn": knn,
         "loss_curve": losses,
     }
-    path = Path(__file__).parent / "knn_dynamics_r3.json"
+    path = Path(__file__).parent / OUT_NAME
     path.write_text(json.dumps(artifact, indent=1))
     print(json.dumps({"knn": knn, "chance": 1.0 / N_CLASSES}))
 
