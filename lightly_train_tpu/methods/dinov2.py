@@ -308,8 +308,11 @@ class DINOv2(Method):
         # ---- KoLeo on student global CLS features ----
         # Per-device nearest-neighbor semantics like the reference (KoLeo is
         # not all-gathered there): group blocks align with the batch shards.
+        # The reference SUMS the per-view terms (``dinov2.py:377-380``:
+        # ``sum(self.koleo_loss(token) for token in ....chunk(2))``), it does
+        # not average them — caught by the torch trajectory harness, round 3.
         n_groups = jax.device_count()
-        koleo = 0.5 * (
+        koleo = (
             L.koleo_loss(s_cls_g[:B], groups=n_groups)
             + L.koleo_loss(s_cls_g[B:], groups=n_groups)
         )

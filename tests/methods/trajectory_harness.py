@@ -14,8 +14,12 @@ The torch side is composed ONLY of reference components (the vendored
 the same order as ``training_step_impl`` (``dinov2.py:259-398``). The
 reference's own Trainer cannot run here (pytorch_lightning and the
 ``lightly`` package are not installed), so this is the closest runnable
-composition; KoLeo (a ``lightly.loss`` import, weight 0.1) is disabled on
-BOTH sides.
+composition. KoLeo (weight 0.1) IS exercised: the reference imports
+``lightly.loss.KoLeoLoss`` (not installed), so the torch side uses a
+reconstruction of the official DINOv2 KoLeo formula (normalize, inner-dot
+nearest neighbor excluding self, ``-log(pairwise_distance + eps).mean()``)
+that the lightly implementation mirrors; the reference SUMS the two
+global-view terms (``dinov2.py:377-380``).
 """
 
 from __future__ import annotations
@@ -55,6 +59,7 @@ WARMUP_STEPS = 10
 TEACHER_TEMP_WARMUP_FRACTION = 0.3
 MASK_PROB = 0.5
 MASK_RATIO = (0.1, 0.5)
+KOLEO_WEIGHT = 0.1
 
 
 def mount_reference():
@@ -154,8 +159,10 @@ def schedules(n_steps: int):
 class TorchDINOv2:
     """Reference components assembled per ``training_step_impl``."""
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, koleo_weight: float = KOLEO_WEIGHT):
         import torch
+
+        self.koleo_weight = koleo_weight
 
         vt, head_mod, loss_mod = mount_reference()
         torch.manual_seed(seed)
@@ -239,6 +246,20 @@ class TorchDINOv2:
         out = backbone.forward_features(x, masks=masks)
         return out["x_norm_clstoken"], out["x_norm_patchtokens"]
 
+    def _koleo(self, x, eps: float = 1e-8):
+        """Official DINOv2 KoLeoLoss (reconstruction; the reference imports
+        the equivalent ``lightly.loss.KoLeoLoss``, unavailable here)."""
+        torch = self.torch
+        F = torch.nn.functional
+        x = F.normalize(x, p=2, dim=-1, eps=eps)
+        with torch.no_grad():
+            dots = x @ x.t()
+            n = x.shape[0]
+            dots.view(-1)[:: n + 1].fill_(-1)
+            nn_idx = dots.max(dim=1).indices
+        dist = F.pairwise_distance(x, x[nn_idx], eps=eps)
+        return -torch.log(dist + eps).mean()
+
     def step(self, views_np: List[np.ndarray], masks_np: np.ndarray,
              sched: Dict[str, float], t: int) -> Dict[str, float]:
         torch = self.torch
@@ -310,7 +331,10 @@ class TorchDINOv2:
             n_masked_patches=n_masked_patches,
             masks_weight=masks_weight,
         )
-        loss = dino_global + dino_local + ibot
+        # KoLeo on before-head student global CLS, SUMMED over the two
+        # views (dinov2.py:377-388).
+        koleo = self._koleo(s_cls[:B]) + self._koleo(s_cls[B:])
+        loss = dino_global + dino_local + ibot + self.koleo_weight * koleo
 
         # ---- optimizer (utils + dinov2.py:600-640 hook semantics) ----
         self.opt.zero_grad(set_to_none=True)
@@ -340,6 +364,7 @@ class TorchDINOv2:
             "loss": float(loss.detach()),
             "dino": float((dino_global + dino_local).detach()),
             "ibot": float(ibot.detach()),
+            "koleo": float(koleo.detach()),
         }
 
     def export_params(self) -> Dict[str, np.ndarray]:
@@ -384,7 +409,8 @@ def _convert_head(heads_sd: Dict[str, np.ndarray], prefix: str):
 class JaxDINOv2:
     """The rebuild's method + optimizer, initialized from torch weights."""
 
-    def __init__(self, torch_params: Dict):
+    def __init__(self, torch_params: Dict,
+                 koleo_weight: float = KOLEO_WEIGHT):
         sys.path.insert(0, "/root/repo")
         import lightly_train_tpu.methods.dinov2 as dinov2_mod
         from lightly_train_tpu.methods.base import TrainState
@@ -411,7 +437,7 @@ class JaxDINOv2:
             output_dim=OUT_DIM, hidden_dim=HIDDEN_DIM,
             bottleneck_dim=BOTTLENECK_DIM, local_view_count=N_LOCAL,
             global_image_size=GLOBAL_SIZE, local_image_size=LOCAL_SIZE,
-            koleo_weight=0.0, freeze_last_layer_steps=0,
+            koleo_weight=koleo_weight, freeze_last_layer_steps=0,
             mask_prob=MASK_PROB, mask_ratio=MASK_RATIO,
             layerwise_decay=LAYERWISE_DECAY,
             patch_embed_lr_mult=PATCH_EMBED_MULT,
@@ -510,13 +536,25 @@ class JaxDINOv2:
             "loss": float(loss),
             "dino": float(metrics["dino_loss"]),
             "ibot": float(metrics["ibot_loss"]),
+            "koleo": float(metrics["koleo_loss"]),
         }
 
 
-def run_parity(n_steps: int, seed: int = 0):
-    """Run both sides over identical data; returns per-step records."""
-    torch_side = TorchDINOv2(seed=seed)
-    jax_side = JaxDINOv2(torch_side.export_params())
+def run_parity(n_steps: int, seed: int = 0,
+               koleo_weight: float = KOLEO_WEIGHT):
+    """Run both sides over identical data; returns per-step records.
+
+    ``koleo_weight=0`` isolates the smooth losses (dino + ibot), whose
+    trajectories match to fp accumulation noise. With KoLeo enabled the
+    tolerance must be wider: random tiny-net CLS embeddings are
+    near-collapsed (NN distances ~1e-3), so KoLeo's -log(distance)
+    gradient is near-singular and amplifies fp-level noise into a lasting
+    trajectory offset — an artifact of the tiny harness regime, not of the
+    implementations (step-0 forward parity holds to ~1e-6 with KoLeo on).
+    """
+    torch_side = TorchDINOv2(seed=seed, koleo_weight=koleo_weight)
+    jax_side = JaxDINOv2(torch_side.export_params(),
+                         koleo_weight=koleo_weight)
     data = make_data(seed + 1, n_steps)
     sched = schedules(n_steps)
     records = []
@@ -536,6 +574,7 @@ def run_parity(n_steps: int, seed: int = 0):
                 "jax_loss": r_j["loss"],
                 "torch_dino": r_t["dino"], "jax_dino": r_j["dino"],
                 "torch_ibot": r_t["ibot"], "jax_ibot": r_j["ibot"],
+                "torch_koleo": r_t["koleo"], "jax_koleo": r_j["koleo"],
                 "rel_dev": rel,
             })
     finally:
