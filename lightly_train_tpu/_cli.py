@@ -52,6 +52,7 @@ Commands:
   export                Export a trained model (out=... checkpoint=... format=...)
   export_stablehlo      Export a deployment artifact (out=... checkpoint=...)
   export_savedmodel     Export a TF SavedModel via jax2tf (out=... checkpoint=...)
+  export_onnx           Export an ONNX model (out=... checkpoint=... precision=fp32|fp16)
   predict_semantic_segmentation
                         Autolabel a directory (out=... data=... checkpoint=...)
   benchmark_object_detection
@@ -107,6 +108,11 @@ def main(argv: List[str] | None = None) -> int:
         from lightly_train_tpu._commands.export_task import export_savedmodel
 
         export_savedmodel(**overrides)
+        return 0
+    if command == "export_onnx":
+        from lightly_train_tpu._commands.export_task import export_onnx
+
+        export_onnx(**overrides)
         return 0
     if command == "predict_semantic_segmentation":
         from lightly_train_tpu._commands.predict_task import (

@@ -1,15 +1,16 @@
-"""Deployment export: StableHLO artifact + ONNX gate.
+"""Deployment export: StableHLO, SavedModel, and ONNX artifacts.
 
 Rebuild of ``src/lightly_train/_commands/export_task.py:29-246``. The
 reference's deployment artifact is ONNX (+ TensorRT); the TPU-native
 equivalent is a serialized StableHLO module from ``jax.export`` — hardware-
 portable, loadable by any XLA-based runtime (and by the C++ PJRT runner).
-The export embeds the same numerical verification step as the reference
+Every export embeds the same numerical verification step as the reference
 (artifact vs eager outputs, atol 5e-3 / rtol 1e-1, ``export_task.py:227-239``).
 
-``export_onnx`` is the API-parity entry point: it requires the optional
-onnx toolchain; in environments without it (like this one) it raises with
-guidance to use ``export_stablehlo``.
+``export_onnx`` serializes the same predict graph as real ONNX via the
+bundled jaxpr->ONNX compiler (``lightly_train_tpu._export``) — no torch or
+onnx dependency — with the reference's knobs (fp16, dynamic batch) and
+verification contract.
 """
 
 from __future__ import annotations
@@ -45,9 +46,30 @@ class ExportStableHLOConfig(PydanticConfig):
     deploy: bool = True
 
 
-def _build_predict_fn(config: ExportStableHLOConfig):
-    """(predict_fn, task, input spec) for a task or pretraining artifact."""
+def _build_predict_fn(
+    config: ExportStableHLOConfig, dtype_override: Optional[Any] = None
+):
+    """(predict_fn, task, input spec) for a task or pretraining artifact.
+
+    ``dtype_override``: compute/param dtype replacing the one implied by
+    ``config.precision`` — used by the ONNX fp16 export, which casts the
+    parameters so the traced graph itself is float16 (the analog of the
+    reference's post-export fp16 conversion, ``export_onnx.py:190-214``).
+    """
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
+    if dtype_override is not None:
+        dtype = dtype_override
+
+    def _cast_params(tree: Any) -> Any:
+        if dtype == jnp.float32:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dtype)
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+            else a,
+            tree,
+        )
+
     from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
 
     artifact = load_exported_model(Path(config.checkpoint))
@@ -58,6 +80,7 @@ def _build_predict_fn(config: ExportStableHLOConfig):
         if config.deploy and hasattr(train_model, "convert_to_deploy"):
             train_model, variables_ = train_model.convert_to_deploy(variables_)
             logger.info("Applied deploy-mode rewrites (RepVgg fusion)")
+        variables_ = _cast_params(variables_)
 
         def predict_fn(images: jax.Array) -> Any:
             return train_model.predict(variables_, images.astype(dtype))
@@ -67,7 +90,7 @@ def _build_predict_fn(config: ExportStableHLOConfig):
         from lightly_train_tpu.models.package_registry import get_wrapped_model
 
         wrapped = get_wrapped_model(artifact["model_name"], dtype=dtype)
-        variables = artifact["variables"]
+        variables = _cast_params(artifact["variables"])
         task = "feature_extractor"
 
         def predict_fn(images: jax.Array) -> Any:
@@ -206,20 +229,138 @@ def export_savedmodel(out: str, checkpoint: str, **kwargs: Any) -> Path:
     return out_path
 
 
-def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
-    """ONNX export (API parity with the reference ``export_onnx``).
+class ExportONNXConfig(PydanticConfig):
+    out: str
+    checkpoint: str
+    image_size: int = 224
+    batch_size: int = 1
+    precision: Literal["fp32", "fp16"] = "fp32"
+    dynamic_batch_size: bool = True
+    verify: bool = True
+    deploy: bool = True
 
-    Requires an ONNX exporter for JAX; none is bundled in this environment,
-    so this raises with guidance. The native deployment path is
-    ``export_stablehlo`` (same artifact contract: serialized graph +
-    verification).
+
+def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
+    """Export the task model's predict graph as an ONNX model.
+
+    Rebuild of the reference's ``torch.onnx`` pipeline
+    (``src/lightly_train/_export/export_onnx.py:85-246``): same knobs
+    (``precision`` fp32/fp16, ``batch_size``, ``dynamic_batch_size``,
+    ``verify``), same embedded metadata (classes, normalization, model
+    name), same verification contract (run the exported artifact, compare
+    against the eager forward, atol 5e-3 / rtol 1e-1). The graph comes
+    from the jaxpr of the jitted predict function — the identical program
+    XLA compiles — lowered to ONNX opset 17 by
+    ``lightly_train_tpu._export.jaxpr_to_onnx``; verification interprets
+    the serialized bytes with the bundled numpy evaluator (the ONNX
+    Runtime role in ``export_onnx.py:216-246``).
+
+    ``dynamic_batch_size=True`` (the reference default) traces at
+    batch >= 2, exports the batch dim as a free ``dim_param`` and verifies
+    the graph at two other batch sizes to prove the dynamic axes.
+    ``precision='fp16'`` converts the traced fp32 graph to float16 after
+    compilation (the reference's post-export conversion,
+    ``export_onnx.py:190-214``); graph I/O stays float32 either way,
+    matching the reference's TensorRT-facing convention.
     """
-    try:
-        import tf2onnx  # noqa: F401 - optional toolchain probe
-    except ImportError:
-        raise ConfigError(
-            "ONNX export requires the tf2onnx/jax2tf toolchain which is not "
-            "installed. Use export_stablehlo() for the TPU-native deployment "
-            "artifact (serialized StableHLO + numerical verification)."
+    config = pydantic_model_validate(
+        ExportONNXConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
+    )
+    set_up_console_logging()
+    from lightly_train_tpu import __version__ as _version
+    from lightly_train_tpu._export.jaxpr_to_onnx import export_fn_to_onnx
+    from lightly_train_tpu._export.onnx_eval import evaluate_model
+
+    trace_batch = (
+        max(2, config.batch_size) if config.dynamic_batch_size else config.batch_size
+    )
+    base = ExportStableHLOConfig(
+        out=config.out,
+        checkpoint=config.checkpoint,
+        image_size=config.image_size,
+        batch_size=trace_batch,
+        precision="fp32",
+        verify=False,
+        deploy=config.deploy,
+    )
+    predict_fn, task, spec = _build_predict_fn(base)
+
+    # Metadata parity with the reference's onnx_export_metadata()
+    # (export_onnx.py:65-81): version, classes, normalization, model name.
+    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
+    from lightly_train_tpu.tasks.model_io import IMAGENET_MEAN, IMAGENET_STD
+
+    artifact = load_exported_model(Path(config.checkpoint))
+    metadata = {
+        "lightly_train_version": str(_version),
+        "task": task,
+        "precision": config.precision,
+        "image_normalize": json.dumps(
+            {"mean": list(IMAGENET_MEAN), "std": list(IMAGENET_STD)},
+            sort_keys=True,
+        ),
+    }
+    if artifact.get("model_name"):
+        metadata["model_name"] = str(artifact["model_name"])
+    classes = (artifact.get("task_args") or {}).get("classes")
+    if classes is not None:
+        metadata["classes"] = json.dumps(classes)
+
+    model_bytes, output_names, _ = export_fn_to_onnx(
+        predict_fn,
+        (spec,),
+        input_names=["images"],
+        dynamic_batch=config.dynamic_batch_size,
+        fp16=config.precision == "fp16",
+        metadata_props=metadata,
+        producer_version=str(_version),
+    )
+    out_path = Path(config.out)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_bytes(model_bytes)
+    out_path.with_suffix(out_path.suffix + ".json").write_text(
+        json.dumps(
+            {
+                "task": task,
+                "input_shape": ["batch" if config.dynamic_batch_size else config.batch_size]
+                + list(spec.shape[1:]),
+                "input_dtype": "float32",
+                "precision": config.precision,
+                "format": "onnx",
+                "opset": 17,
+                "output_names": output_names,
+            },
+            indent=2,
         )
-    raise NotImplementedError  # pragma: no cover - toolchain not in image
+    )
+    if config.verify:
+        # XLA's default-precision f32 matmuls run bf16 passes; pin full
+        # f32 for the eager side so the comparison measures the export,
+        # not the backend's matmul mode.
+        atol, rtol = (5e-3, 1e-1) if config.precision == "fp32" else (2e-2, 2e-1)
+        batches = [trace_batch]
+        if config.dynamic_batch_size:
+            batches = sorted({1, config.batch_size, trace_batch + 1})
+        rng = np.random.default_rng(0)
+        with jax.default_matmul_precision("float32"):
+            for batch in batches:
+                sample = rng.normal(size=(batch,) + spec.shape[1:]).astype(
+                    np.float32
+                )
+                got = evaluate_model(model_bytes, {"images": sample})
+                want = jax.tree_util.tree_leaves(predict_fn(jnp.asarray(sample)))
+                for g, w in zip(got, want):
+                    np.testing.assert_allclose(
+                        np.asarray(g, np.float32),
+                        np.asarray(w, np.float32),
+                        atol=atol,
+                        rtol=rtol,
+                    )
+        logger.info(
+            "ONNX verification passed at batch sizes %s (atol %g, rtol %g)",
+            batches,
+            atol,
+            rtol,
+        )
+    logger.info("Exported ONNX model to %s", out_path)
+    return out_path

@@ -69,9 +69,47 @@ def test_export_stablehlo_classification(tmp_path, cls_run):
     assert meta["task"] == "image_classification"
 
 
-def test_export_onnx_gated():
-    with pytest.raises(ConfigError, match="export_stablehlo"):
-        lt.export_onnx(out="x.onnx", checkpoint="whatever")
+def test_export_onnx_classification(tmp_path, cls_run):
+    out = lt.export_onnx(
+        out=str(tmp_path / "model.onnx"),
+        checkpoint=str(cls_run / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    # verify=True already ran the numpy evaluator against the jax forward
+    # at batch sizes {1, 3} (dynamic batch); here check the artifact shape.
+    assert out.exists() and out.stat().st_size > 1000
+    from lightly_train_tpu._export import onnx_proto as onnx_proto_mod
+
+    dec = onnx_proto_mod.decode_model(out.read_bytes())
+    meta = {m["key"]: m["value"] for m in dec["metadata_props"]}
+    assert meta["task"] == "image_classification"
+    assert meta["model_name"] == "torchvision/resnettest"
+    assert onnx_proto_mod.value_info_shape(dec["graph"]["input"][0])[0] == "batch"
+    sidecar = json.loads(out.with_suffix(out.suffix + ".json").read_text())
+    assert sidecar["format"] == "onnx"
+
+
+def test_export_onnx_static_fp16(tmp_path, cls_run):
+    out = lt.export_onnx(
+        out=str(tmp_path / "model_fp16.onnx"),
+        checkpoint=str(cls_run / "out" / "exported_models" / "exported_last"),
+        image_size=32, precision="fp16", dynamic_batch_size=False,
+        batch_size=2,
+    )
+    from lightly_train_tpu._export import onnx_proto as onnx_proto_mod
+
+    dec = onnx_proto_mod.decode_model(out.read_bytes())
+    # fp16 export: weight initializers are stored as float16.
+    from lightly_train_tpu._export.onnx_proto import FLOAT16, tensor_to_numpy
+
+    dtypes = {
+        tensor_to_numpy(t).dtype.name
+        for t in dec["graph"]["initializer"]
+        if tensor_to_numpy(t).dtype.kind == "f" and tensor_to_numpy(t).size > 16
+    }
+    assert "float16" in dtypes
+    # Static batch: the input keeps its traced size.
+    assert onnx_proto_mod.value_info_shape(dec["graph"]["input"][0])[0] == 2
 
 
 def test_benchmark_object_detection_jax_backend(det_run):

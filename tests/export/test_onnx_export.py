@@ -1,0 +1,187 @@
+"""ONNX export stack: wire codec, jaxpr compiler, numpy evaluator.
+
+Mirrors the reference's export verification strategy
+(``tests/_export/`` + ``export_onnx.py:216-246``): every exported graph is
+executed and compared against the eager forward. The codec is additionally
+cross-validated against an independent producer (``torch.onnx``), proving
+the wire format is real ONNX and not a private dialect.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightly_train_tpu._export import onnx_proto as op
+from lightly_train_tpu._export.jaxpr_to_onnx import (
+    UnsupportedPrimitiveError,
+    export_fn_to_onnx,
+)
+from lightly_train_tpu._export.onnx_eval import evaluate_model
+
+
+def _mlp(x, w):
+    h = jnp.einsum("bi,ij->bj", x, w)
+    h = jax.nn.gelu(h)
+    h = h.reshape(h.shape[0], 2, -1).transpose(0, 2, 1)
+    s = jax.nn.softmax(h, axis=-1)
+    return s.sum(axis=1), jnp.argmax(h, axis=-1)
+
+
+@pytest.fixture(scope="module")
+def mlp_model():
+    x = np.random.default_rng(0).normal(size=(4, 8)).astype(np.float32)
+    w = np.random.default_rng(1).normal(size=(8, 6)).astype(np.float32)
+    model, out_names, _ = export_fn_to_onnx(
+        _mlp,
+        (jnp.asarray(x), jnp.asarray(w)),
+        input_names=["x", "w"],
+        dynamic_batch=True,
+        metadata_props={"task": "test"},
+    )
+    return model, w
+
+
+def test_codec_roundtrip(mlp_model):
+    model_bytes, _ = mlp_model
+    dec = op.decode_model(model_bytes)
+    assert dec["producer_name"] == "lightly-train-tpu"
+    assert dec["opset_import"][0]["version"] == 17
+    assert dec["metadata_props"][0] == {"key": "task", "value": "test"}
+    graph = dec["graph"]
+    assert graph["node"], "graph has nodes"
+    # Dynamic batch: input axis 0 is a dim_param, not a fixed size.
+    in_shape = op.value_info_shape(graph["input"][0])
+    assert in_shape == ["batch", 8]
+    # Initializers round-trip numerically.
+    for tensor in graph.get("initializer", []):
+        arr = op.tensor_to_numpy(tensor)
+        assert arr.size >= 0
+
+
+def test_compiler_parity_dynamic_batch(mlp_model):
+    model_bytes, w = mlp_model
+    with jax.default_matmul_precision("float32"):
+        for batch in (1, 4, 7):
+            x = np.random.default_rng(batch).normal(size=(batch, 8)).astype(
+                np.float32
+            )
+            got = evaluate_model(model_bytes, {"x": x, "w": w})
+            want = jax.tree_util.tree_leaves(
+                _mlp(jnp.asarray(x), jnp.asarray(w))
+            )
+            for g, v in zip(got, want):
+                np.testing.assert_allclose(
+                    g, np.asarray(v), atol=1e-5, rtol=1e-5
+                )
+
+
+def test_conv_pool_lowering():
+    """NHWC conv + max/avg pooling lower to Conv/MaxPool/AveragePool."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 12, 12, 3)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 3, 4)).astype(np.float32)
+
+    def fn(x, k):
+        h = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        h = jax.nn.relu(h)
+        import flax.linen as nn
+
+        h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        return h.mean(axis=(1, 2))
+
+    model, _, _ = export_fn_to_onnx(
+        fn, (jnp.asarray(x), jnp.asarray(k)), input_names=["x", "k"]
+    )
+    dec = op.decode_model(model)
+    ops = {n["op_type"] for n in dec["graph"]["node"]}
+    assert "Conv" in ops and "MaxPool" in ops
+    with jax.default_matmul_precision("float32"):
+        got = evaluate_model(model, {"x": x, "k": k})
+        want = np.asarray(fn(jnp.asarray(x), jnp.asarray(k)))
+    np.testing.assert_allclose(got[0], want, atol=1e-5, rtol=1e-4)
+
+
+def test_constant_folding_embeds_param_only_computation():
+    """iota / trig tables with no data dependence fold into initializers."""
+    def fn(x):
+        table = jnp.sin(jnp.arange(8, dtype=jnp.float32))
+        return x * table
+
+    x = np.random.default_rng(0).normal(size=(3, 8)).astype(np.float32)
+    model, _, _ = export_fn_to_onnx(fn, (jnp.asarray(x),), input_names=["x"])
+    dec = op.decode_model(model)
+    ops = [n["op_type"] for n in dec["graph"]["node"]]
+    assert "Sin" not in ops, "sin of a constant must constant-fold"
+    got = evaluate_model(model, {"x": x})
+    np.testing.assert_allclose(got[0], np.asarray(fn(jnp.asarray(x))), rtol=1e-6)
+
+
+def test_unsupported_primitive_raises():
+    def fn(x):
+        return jax.lax.sort(x, dimension=-1)
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 8)), jnp.float32)
+    with pytest.raises(UnsupportedPrimitiveError):
+        export_fn_to_onnx(fn, (x,), input_names=["x"])
+
+
+def test_dynamic_batch_requires_batch_ge_2():
+    x = jnp.zeros((1, 8), jnp.float32)
+    with pytest.raises(ValueError, match="batch_size >= 2"):
+        export_fn_to_onnx(lambda x: x * 2, (x,), input_names=["x"], dynamic_batch=True)
+
+
+def test_torch_cross_producer_codec_parity():
+    """Parse + execute a torch.onnx-produced model with the same codec.
+
+    Proves the wire format interoperates with an independent ONNX producer
+    (the exact exporter the reference uses, ``export_onnx.py:150-160``).
+    The ``onnx`` python package is absent in this image; the TorchScript
+    exporter serializes through its own C++ writer and only touches the
+    python package for a final load/annotate pass, which a two-method stub
+    satisfies.
+    """
+    import io
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+    from torch import nn
+
+    if "onnx" not in sys.modules:
+        stub = types.ModuleType("onnx")
+
+        class _Loaded:
+            def __init__(self, data):
+                self._data = data
+                self.graph = types.SimpleNamespace(node=[])
+
+            def SerializeToString(self):
+                return self._data
+
+        stub.load_model_from_string = lambda data: _Loaded(data)
+        sys.modules["onnx"] = stub
+
+    m = nn.Sequential(
+        nn.Conv2d(3, 4, 3, padding=1),
+        nn.ReLU(),
+        nn.Flatten(),
+        nn.Linear(4 * 8 * 8, 5),
+    )
+    x = torch.randn(2, 3, 8, 8)
+    f = io.BytesIO()
+    torch.onnx.export(m, (x,), f, dynamo=False)
+    data = f.getvalue()
+
+    dec = op.decode_model(data)
+    assert dec["producer_name"] == "pytorch"
+    ops = [n["op_type"] for n in dec["graph"]["node"]]
+    assert ops == ["Conv", "Relu", "Flatten", "Gemm"]
+    got = evaluate_model(data, {dec["graph"]["input"][0]["name"]: x.numpy()})
+    want = m(x).detach().numpy()
+    np.testing.assert_allclose(got[0], want, atol=1e-5, rtol=1e-4)
