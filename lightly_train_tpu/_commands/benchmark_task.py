@@ -4,9 +4,11 @@ Rebuild of ``src/lightly_train/_commands/benchmark_task.py:78`` +
 ``benchmark_backends.py``: measures per-image latency statistics
 (mean/median/p90/min/max over timed runs after warmup) of a detection
 checkpoint, optionally evaluating mAP over a provided dataset. Backends:
-``jax`` (jitted, runs on whatever accelerator is attached) and
-``stablehlo`` (the exported artifact round-tripped through
-``jax.export.deserialize`` — the deployment path).
+``jax`` (jitted, runs on whatever accelerator is attached), ``stablehlo``
+(the exported artifact round-tripped through ``jax.export.deserialize`` —
+the deployment path), ``savedmodel`` (jax2tf), ``native`` (the C++ PJRT
+runner), and ``onnx`` (the exported ONNX bytes through the bundled numpy
+evaluator — portability check, not a speed contender).
 """
 
 from __future__ import annotations
@@ -36,8 +38,13 @@ class BenchmarkConfig(PydanticConfig):
     num_runs: int = 30
     # "all" sweeps every available backend and returns a comparison table
     # (reference benchmark_backends.py:71-266 multi-backend sweep);
-    # "native" measures the C++ PJRT runner (no-Python serving path).
-    backend: Literal["jax", "stablehlo", "savedmodel", "native", "all"] = "jax"
+    # "native" measures the C++ PJRT runner (no-Python serving path);
+    # "onnx" runs the exported ONNX bytes through the bundled numpy
+    # evaluator — a portability/correctness backend (the ONNX Runtime
+    # role in the reference sweep), not a speed contender.
+    backend: Literal[
+        "jax", "stablehlo", "savedmodel", "native", "onnx", "all"
+    ] = "jax"
     # PJRT plugin for the native backend (defaults to the env's TPU plugin).
     pjrt_plugin: str = "/opt/axon/libaxon_pjrt.so"
 
@@ -49,9 +56,15 @@ def benchmark_object_detection(checkpoint: str, **kwargs: Any) -> Dict[str, Any]
     set_up_console_logging()
     if config.backend == "all":
         results: Dict[str, Any] = {"backends": {}}
-        for be in ("jax", "stablehlo", "native"):
+        for be in ("jax", "stablehlo", "native", "onnx"):
             try:
-                sub = config.model_copy(update={"backend": be})
+                update: Dict[str, Any] = {"backend": be}
+                if be == "onnx":
+                    # Interpreter-speed backend: keep the timed window small.
+                    update.update(
+                        num_warmup=1, num_runs=min(config.num_runs, 3)
+                    )
+                sub = config.model_copy(update=update)
                 results["backends"][be] = benchmark_from_config(sub)
             except Exception as e:  # backend unavailable on this machine
                 results["backends"][be] = {"error": f"{type(e).__name__}: {e}"}
@@ -121,7 +134,32 @@ def benchmark_from_config(config: BenchmarkConfig) -> Dict[str, Any]:
         np.random.default_rng(0).normal(size=spec_shape).astype(np.float32)
     )
 
-    if config.backend == "stablehlo":
+    if config.backend == "onnx":
+        import os
+
+        from lightly_train_tpu._export.jaxpr_to_onnx import export_fn_to_onnx
+        from lightly_train_tpu._export.onnx_eval import evaluate_model
+
+        # Trace the portable lax attention path — ONNX has no pallas_call
+        # (same gate as export_onnx, _commands/export_task.py).
+        prior_gate = os.environ.get("LIGHTLY_TRAIN_VMEM_ATTENTION")
+        os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = "0"
+        try:
+            model_bytes, _, _ = export_fn_to_onnx(
+                lambda x: model.train_model.predict(model.variables, x),
+                (jax.ShapeDtypeStruct(spec_shape, jnp.float32),),
+                input_names=["images"],
+            )
+        finally:
+            if prior_gate is None:
+                os.environ.pop("LIGHTLY_TRAIN_VMEM_ATTENTION", None)
+            else:
+                os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = prior_gate
+
+        def fn(x, _bytes=model_bytes):
+            return evaluate_model(_bytes, {"images": np.asarray(x)})
+
+    elif config.backend == "stablehlo":
         from jax import export as jax_export
 
         exported = jax_export.export(

@@ -306,15 +306,29 @@ def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
     if classes is not None:
         metadata["classes"] = json.dumps(classes)
 
-    model_bytes, output_names, _ = export_fn_to_onnx(
-        predict_fn,
-        (spec,),
-        input_names=["images"],
-        dynamic_batch=config.dynamic_batch_size,
-        fp16=config.precision == "fp16",
-        metadata_props=metadata,
-        producer_version=str(_version),
-    )
+    # Trace the portable lax attention path, not the TPU Pallas kernel —
+    # ONNX has no equivalent of a pallas_call and the exported graph must
+    # run on any ONNX runtime. LIGHTLY_TRAIN_VMEM_ATTENTION is the
+    # documented kernel kill switch (ops/pallas/attention.py).
+    import os as _os
+
+    prior_gate = _os.environ.get("LIGHTLY_TRAIN_VMEM_ATTENTION")
+    _os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = "0"
+    try:
+        model_bytes, output_names, _ = export_fn_to_onnx(
+            predict_fn,
+            (spec,),
+            input_names=["images"],
+            dynamic_batch=config.dynamic_batch_size,
+            fp16=config.precision == "fp16",
+            metadata_props=metadata,
+            producer_version=str(_version),
+        )
+    finally:
+        if prior_gate is None:
+            _os.environ.pop("LIGHTLY_TRAIN_VMEM_ATTENTION", None)
+        else:
+            _os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = prior_gate
     out_path = Path(config.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(model_bytes)

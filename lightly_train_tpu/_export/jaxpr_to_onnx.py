@@ -18,11 +18,17 @@ Design notes:
   ``broadcast_in_dim`` lowers to Reshape(+Expand).
 - **dot_general -> Einsum.** Every batch/contract layout is expressible as
   one Einsum equation; no special-casing of matmul flavors.
-- **Dynamic batch.** Mirrors the reference's ``dynamic_batch_size=True``
-  default: the graph is traced at batch >= 2, the batch dim is exported as
-  a ``dim_param`` and Reshape targets carrying the traced batch at axis 0
-  use ONNX's copy-dim (0) encoding. Verification runs the exported graph
-  at different batch sizes (see onnx_eval) to prove the rewrite.
+- **Dynamic batch via two-trace dim inference.** Mirrors the reference's
+  ``dynamic_batch_size=True`` default. "Is this dim the batch?" is decided
+  by evidence, not by comparing sizes against the traced batch (which
+  misfires whenever an unrelated axis happens to equal it — e.g. a RoPE
+  coordinate axis of size 2 at traced batch 2): the function is traced a
+  second time at batch+1 and the two jaxprs are walked in lockstep; any
+  dim whose size differs between the traces is batch-derived. Handlers
+  consult that map to emit runtime-shape tensors (Shape(input) -> Expand /
+  Reshape) exactly where needed and static constants everywhere else.
+  Verification runs the exported graph at different batch sizes (see
+  onnx_eval) to prove the rewrite.
 """
 
 from __future__ import annotations
@@ -49,6 +55,58 @@ def _np(x: Any) -> np.ndarray:
     return np.asarray(x)
 
 
+class _LockstepMismatchError(Exception):
+    """The two traces (batch B vs B+1) are not structurally identical."""
+
+
+def _lockstep_batch_axes(
+    closed_a: jax_core.ClosedJaxpr, closed_b: jax_core.ClosedJaxpr
+) -> Dict[int, frozenset]:
+    """id(var in trace A) -> axes whose size differs between the traces.
+
+    The two jaxprs come from tracing the same function at batch B and B+1;
+    structural identity (same eqn sequence) is required — a shape-dependent
+    Python branch in the model breaks it, in which case the caller falls
+    back to the static-batch heuristics with a warning.
+    """
+    axes: Dict[int, frozenset] = {}
+
+    def record(va, vb) -> None:
+        sa = tuple(int(s) for s in getattr(va.aval, "shape", ()))
+        sb = tuple(int(s) for s in getattr(vb.aval, "shape", ()))
+        if len(sa) != len(sb):
+            raise _LockstepMismatchError(f"rank mismatch {sa} vs {sb}")
+        axes[id(va)] = frozenset(
+            i for i, (x, y) in enumerate(zip(sa, sb)) if x != y
+        )
+
+    def rec(ja, jb) -> None:
+        if len(ja.eqns) != len(jb.eqns):
+            raise _LockstepMismatchError(
+                f"eqn count {len(ja.eqns)} vs {len(jb.eqns)}"
+            )
+        for va, vb in zip(
+            list(ja.constvars) + list(ja.invars),
+            list(jb.constvars) + list(jb.invars),
+        ):
+            record(va, vb)
+        for ea, eb in zip(ja.eqns, jb.eqns):
+            if ea.primitive.name != eb.primitive.name:
+                raise _LockstepMismatchError(
+                    f"{ea.primitive.name} vs {eb.primitive.name}"
+                )
+            sub_a, sub_b = _call_jaxpr(ea), _call_jaxpr(eb)
+            if (sub_a is None) != (sub_b is None):
+                raise _LockstepMismatchError("call structure mismatch")
+            if sub_a is not None:
+                rec(sub_a.jaxpr, sub_b.jaxpr)
+            for va, vb in zip(ea.outvars, eb.outvars):
+                record(va, vb)
+
+    rec(closed_a.jaxpr, closed_b.jaxpr)
+    return axes
+
+
 class _Ctx:
     """Mutable build state for one graph."""
 
@@ -59,6 +117,29 @@ class _Ctx:
         # Traced batch size to rewrite for dynamic batch (None = static).
         self.dynamic_batch_of: Optional[int] = batch_size
         self._init_cache: Dict[Tuple[bytes, str, Tuple[int, ...]], str] = {}
+        # First graph input; source of the runtime batch dim for dynamic
+        # Expand shapes (set by build_graph).
+        self.main_input: Optional[str] = None
+        self._batch_1d: Optional[str] = None
+        # id(jax var) -> batch-derived axes, from the two-trace lockstep
+        # walk (None when unavailable: static export or lockstep fallback).
+        self.batch_axes: Optional[Dict[int, frozenset]] = None
+
+    def runtime_batch_1d(self) -> str:
+        """1-D int64 tensor holding the runtime batch size (lazy)."""
+        if self._batch_1d is None:
+            assert self.main_input is not None
+            shape_t = self.node("Shape", [self.main_input])
+            self._batch_1d = self.node(
+                "Slice",
+                [
+                    shape_t[0],
+                    self.const(np.asarray([0], np.int64), "starts"),
+                    self.const(np.asarray([1], np.int64), "ends"),
+                    self.const(np.asarray([0], np.int64), "axes"),
+                ],
+            )[0]
+        return self._batch_1d
 
     def fresh(self, hint: str = "t") -> str:
         self._counter += 1
@@ -113,6 +194,47 @@ class _Ctx:
         )
         return outputs
 
+    def dyn_shape_tensor(
+        self, sizes: Sequence[int], batch_axes: frozenset
+    ) -> str:
+        """1-D int64 shape tensor with batch-derived entries runtime-built.
+
+        Static entries are embedded; an entry on a batch axis becomes
+        ``runtime_batch`` (or ``runtime_batch * k`` for merged dims like
+        B*N, where k is the traced size divided by the traced batch).
+        """
+        sizes = [int(s) for s in sizes]
+        assert self.dynamic_batch_of is not None
+        pieces: List[str] = []
+        run: List[int] = []
+
+        def flush() -> None:
+            if run:
+                pieces.append(self.const(np.asarray(run, np.int64), "shape_seg"))
+                run.clear()
+
+        for i, size in enumerate(sizes):
+            if i not in batch_axes:
+                run.append(size)
+                continue
+            flush()
+            if size == self.dynamic_batch_of:
+                pieces.append(self.runtime_batch_1d())
+            elif size % self.dynamic_batch_of == 0:
+                k = self.const(
+                    np.asarray([size // self.dynamic_batch_of], np.int64), "k"
+                )
+                pieces.append(self.node("Mul", [self.runtime_batch_1d(), k])[0])
+            else:
+                raise UnsupportedPrimitiveError(
+                    f"batch-derived dim {size} is not a multiple of the "
+                    f"traced batch {self.dynamic_batch_of}"
+                )
+        flush()
+        if len(pieces) == 1:
+            return pieces[0]
+        return self.node("Concat", pieces, axis=0)[0]
+
     def shape_const(self, shape: Sequence[int], *, batch_axis0: bool) -> str:
         """1-D int64 shape constant; rewrites axis-0 batch for dynamic export.
 
@@ -136,6 +258,15 @@ class _Ctx:
 # in_names entries are graph tensor names; constant inputs have already
 # been materialized as initializers by the driver.
 # --------------------------------------------------------------------------
+
+
+def _batch_axes(ctx: _Ctx, var) -> Optional[frozenset]:
+    """Batch-derived axes of a traced value, or None when unknown."""
+    if ctx.batch_axes is None:
+        return None
+    if isinstance(var, jax_core.Literal):
+        return frozenset()
+    return ctx.batch_axes.get(id(var), frozenset())
 
 _ELEMENTWISE = {
     "add": "Add",
@@ -165,6 +296,11 @@ _ELEMENTWISE = {
     "not": "Not",
     "is_finite": None,  # special-cased below
 }
+
+def _h_rem(ctx: _Ctx, eqn, ins):
+    # lax.rem is truncated (C-style) remainder == ONNX Mod with fmod=1.
+    return ctx.node("Mod", ins, fmod=1)
+
 
 _COMPARE = {
     "gt": "Greater",
@@ -219,21 +355,41 @@ def _h_convert(ctx: _Ctx, eqn, ins):
     return ctx.node("Cast", ins, to=to)
 
 
+def _reshape_target(ctx: _Ctx, eqn, new_sizes: Tuple[int, ...]) -> str:
+    """Shape tensor for a Reshape, batch-aware when dim info exists."""
+    ba_out = _batch_axes(ctx, eqn.outvars[0])
+    if ba_out is not None:
+        if ba_out:
+            return ctx.dyn_shape_tensor(new_sizes, ba_out)
+        return ctx.shape_const(new_sizes, batch_axis0=False)
+    # No dim info (static export / lockstep fallback): the legacy axis-0
+    # copy-dim heuristic, sound only when the input also carries the batch
+    # at axis 0 (sizes match).
+    in_shape = tuple(eqn.invars[0].aval.shape)
+    batch_axis0 = (
+        bool(in_shape) and bool(new_sizes) and in_shape[0] == new_sizes[0]
+    )
+    return ctx.shape_const(new_sizes, batch_axis0=batch_axis0)
+
+
 def _h_reshape(ctx: _Ctx, eqn, ins):
     if eqn.params.get("dimensions") is not None:
         perm = list(eqn.params["dimensions"])
         ins = ctx.node("Transpose", ins, perm=perm)
-    in_shape = tuple(eqn.invars[0].aval.shape)
     new_sizes = tuple(int(s) for s in eqn.params["new_sizes"])
-    # The axis-0 copy-dim rewrite is only sound when the input also carries
-    # the batch at axis 0 (sizes match).
-    batch_axis0 = bool(in_shape) and bool(new_sizes) and in_shape[0] == new_sizes[0]
-    shape = ctx.shape_const(new_sizes, batch_axis0=batch_axis0)
+    shape = _reshape_target(ctx, eqn, new_sizes)
     return ctx.node("Reshape", [ins[0], shape])
 
 
 def _h_squeeze(ctx: _Ctx, eqn, ins):
     out_shape = tuple(int(s) for s in eqn.outvars[0].aval.shape)
+    ba_out = _batch_axes(ctx, eqn.outvars[0])
+    if ba_out is not None:
+        if ba_out:
+            shape = ctx.dyn_shape_tensor(out_shape, ba_out)
+        else:
+            shape = ctx.shape_const(out_shape, batch_axis0=False)
+        return ctx.node("Reshape", [ins[0], shape])
     in_shape = tuple(eqn.invars[0].aval.shape)
     batch_axis0 = (
         bool(in_shape)
@@ -253,31 +409,58 @@ def _h_broadcast_in_dim(ctx: _Ctx, eqn, ins):
     shape = tuple(int(s) for s in eqn.params["shape"])
     bdims = tuple(eqn.params["broadcast_dimensions"])
     in_shape = tuple(eqn.invars[0].aval.shape)
+    ba_out = _batch_axes(ctx, eqn.outvars[0])
+    ba_in = _batch_axes(ctx, eqn.invars[0])
     # Interim shape: operand dims placed at bdims, 1 elsewhere.
     interim = [1] * len(shape)
     for src_axis, dst_axis in enumerate(bdims):
         interim[dst_axis] = int(in_shape[src_axis])
     cur = ins[0]
     if tuple(interim) != in_shape:
-        # The interim reshape carries the operand's axis-0 dim through when
-        # broadcast_dimensions maps source axis 0 to target axis 0, so the
-        # dynamic-batch copy-dim rewrite applies there too.
-        cur = ctx.node(
-            "Reshape",
-            [cur, ctx.shape_const(interim, batch_axis0=bool(bdims) and bdims[0] == 0)],
-        )[0]
+        if ba_in is not None:
+            interim_ba = frozenset(bdims[src] for src in ba_in)
+            if interim_ba:
+                ishape = ctx.dyn_shape_tensor(interim, interim_ba)
+            else:
+                ishape = ctx.shape_const(interim, batch_axis0=False)
+        else:
+            # Legacy heuristic: the interim reshape carries the operand's
+            # axis-0 dim through when bdims maps source axis 0 to target
+            # axis 0, so the copy-dim rewrite applies there too.
+            ishape = ctx.shape_const(
+                interim, batch_axis0=bool(bdims) and bdims[0] == 0
+            )
+        cur = ctx.node("Reshape", [cur, ishape])[0]
     if tuple(interim) == shape:
         if cur is ins[0]:
             return ctx.node("Identity", [cur])
         return [cur]
     # Expand follows numpy broadcast rules: a target entry of 1 keeps the
-    # input dim, which is the dynamic-batch encoding when the batch axis is
-    # already materialized in the operand.
-    target = list(shape)
-    if ctx.dynamic_batch_of is not None:
-        for axis in range(len(target)):
-            if target[axis] == ctx.dynamic_batch_of and interim[axis] == target[axis]:
-                target[axis] = 1
+    # input dim — the right encoding for every axis the operand already
+    # carries (batch included). Axes actually being broadcast are static
+    # constants unless batch-derived, which become runtime entries.
+    target = [
+        1 if interim[axis] == shape[axis] else shape[axis]
+        for axis in range(len(shape))
+    ]
+    if ba_out is not None:
+        expand_ba = frozenset(
+            a for a in ba_out if interim[a] != shape[a]
+        )
+        if expand_ba:
+            expand_shape = ctx.dyn_shape_tensor(target, expand_ba)
+        else:
+            expand_shape = ctx.const(np.asarray(target, np.int64), "shape")
+        return ctx.node("Expand", [cur, expand_shape])
+    # Legacy heuristic path.
+    batch = ctx.dynamic_batch_of
+    if batch is not None and target and target[0] == batch and interim[0] == 1:
+        # Genuine broadcast over the batch axis: track the RUNTIME batch.
+        tail = ctx.const(np.asarray(target[1:], np.int64), "shape_tail")
+        expand_shape = ctx.node(
+            "Concat", [ctx.runtime_batch_1d(), tail], axis=0
+        )[0]
+        return ctx.node("Expand", [cur, expand_shape])
     expand_shape = ctx.const(np.asarray(target, np.int64), "shape")
     return ctx.node("Expand", [cur, expand_shape])
 
@@ -291,15 +474,30 @@ def _h_slice(ctx: _Ctx, eqn, ins):
     ends = list(eqn.params["limit_indices"])
     strides = eqn.params["strides"]
     steps = list(strides) if strides is not None else [1] * len(starts)
-    axes = list(range(len(starts)))
+    in_shape = tuple(int(s) for s in eqn.invars[0].aval.shape)
+    # Emit constraints ONLY for axes actually sliced. A full pass-through
+    # axis must not appear at all: baking ends=dim would pin the traced
+    # batch (cropping larger runtime batches) and is redundant elsewhere.
+    keep = [
+        a
+        for a in range(len(starts))
+        if not (starts[a] == 0 and ends[a] == in_shape[a] and steps[a] == 1)
+    ]
+    if not keep:
+        return ctx.node("Identity", ins)
+    ba_in = _batch_axes(ctx, eqn.invars[0])
+    if ba_in and any(a in ba_in for a in keep):
+        raise UnsupportedPrimitiveError(
+            "slice with static bounds on a batch-derived axis"
+        )
     return ctx.node(
         "Slice",
         [
             ins[0],
-            ctx.const(np.asarray(starts, np.int64), "starts"),
-            ctx.const(np.asarray(ends, np.int64), "ends"),
-            ctx.const(np.asarray(axes, np.int64), "axes"),
-            ctx.const(np.asarray(steps, np.int64), "steps"),
+            ctx.const(np.asarray([starts[a] for a in keep], np.int64), "starts"),
+            ctx.const(np.asarray([ends[a] for a in keep], np.int64), "ends"),
+            ctx.const(np.asarray(keep, np.int64), "axes"),
+            ctx.const(np.asarray([steps[a] for a in keep], np.int64), "steps"),
         ],
     )
 
@@ -337,15 +535,22 @@ def _h_pad(ctx: _Ctx, eqn, ins):
         "pads",
     )
     padded = ctx.node("Pad", [ins[0], pads, ins[1]], mode="constant")
-    out_shape = eqn.outvars[0].aval.shape
-    starts = [max(-lo, 0) for lo in los]
-    ends = [s + e for s, e in zip(starts, out_shape)]
+    out_shape = tuple(int(s) for s in eqn.outvars[0].aval.shape)
+    # Slice only the cropped axes (negative lo/hi) — pass-through axes must
+    # not carry baked bounds (see _h_slice).
+    crop_axes = [a for a in range(len(los)) if los[a] < 0 or his[a] < 0]
+    ba_out = _batch_axes(ctx, eqn.outvars[0])
+    if ba_out and any(a in ba_out for a in crop_axes):
+        raise UnsupportedPrimitiveError("crop-pad on a batch-derived axis")
+    starts = [max(-los[a], 0) for a in crop_axes]
+    ends = [s + out_shape[a] for s, a in zip(starts, crop_axes)]
     return ctx.node(
         "Slice",
         [
             padded[0],
             ctx.const(np.asarray(starts, np.int64), "starts"),
             ctx.const(np.asarray(ends, np.int64), "ends"),
+            ctx.const(np.asarray(crop_axes, np.int64), "axes"),
         ],
     )
 
@@ -434,15 +639,62 @@ def _h_conv(ctx: _Ctx, eqn, ins):
     params = eqn.params
     dn = params["dimension_numbers"]
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
-    if any(d != 1 for d in params["lhs_dilation"]):
-        raise UnsupportedPrimitiveError("transposed convolution (lhs_dilation)")
     if params.get("batch_group_count", 1) != 1:
         raise UnsupportedPrimitiveError("batch_group_count != 1")
     # lhs_spec = (batch_axis, feature_axis, *spatial_axes) as positions in
     # the operand; transposing by the spec itself yields NCHW order.
     x = ctx.node("Transpose", [ins[0]], perm=list(lhs_spec))[0]
     w = ctx.node("Transpose", [ins[1]], perm=list(rhs_spec))[0]
+    # Transposed convolution (flax ConvTranspose lowers to lhs_dilation>1):
+    # materialize the zero-dilated input, then run a regular Conv. Zero
+    # insertion per spatial axis: unsqueeze, concat d-1 zero copies on the
+    # new axis, merge (n, d) -> n*d, trim the trailing d-1 zeros. All
+    # shapes static except batch, which rides the Reshape copy-dim trick.
+    lhs_shape = tuple(int(s) for s in eqn.invars[0].aval.shape)
+    nchw_shape = [lhs_shape[i] for i in lhs_spec]
+    ba_lhs = _batch_axes(ctx, eqn.invars[0])
+    nchw_ba = (
+        frozenset(j for j, src in enumerate(lhs_spec) if src in ba_lhs)
+        if ba_lhs is not None
+        else None
+    )
+    np_dtype = np.dtype(eqn.invars[0].aval.dtype)
+    for j, dil in enumerate(params["lhs_dilation"]):
+        dil = int(dil)
+        if dil == 1:
+            continue
+        axis = 2 + j
+        n = nchw_shape[axis]
+        axes_c = ctx.const(np.asarray([axis + 1], np.int64), "axes")
+        u = ctx.node("Unsqueeze", [x, axes_c])[0]
+        zero = ctx.const(np.zeros((), np_dtype), "zero")
+        z = ctx.node("Mul", [u, zero])[0]
+        cat = ctx.node("Concat", [u] + [z] * (dil - 1), axis=axis + 1)[0]
+        merged = list(nchw_shape)
+        merged[axis] = n * dil
+        if nchw_ba is not None:
+            mshape = (
+                ctx.dyn_shape_tensor(merged, nchw_ba)
+                if nchw_ba
+                else ctx.shape_const(merged, batch_axis0=False)
+            )
+        else:
+            mshape = ctx.shape_const(merged, batch_axis0=True)
+        x = ctx.node("Reshape", [cat, mshape])[0]
+        new_n = n * dil - (dil - 1)
+        x = ctx.node(
+            "Slice",
+            [
+                x,
+                ctx.const(np.asarray([0], np.int64), "starts"),
+                ctx.const(np.asarray([new_n], np.int64), "ends"),
+                ctx.const(np.asarray([axis], np.int64), "axes"),
+            ],
+        )[0]
+        nchw_shape[axis] = new_n
     pads_cfg = params["padding"]
+    if any(lo < 0 or hi < 0 for lo, hi in pads_cfg):
+        raise UnsupportedPrimitiveError("conv with negative padding")
     pads = [lo for lo, _ in pads_cfg] + [hi for _, hi in pads_cfg]
     conv = ctx.node(
         "Conv",
@@ -509,6 +761,15 @@ def _h_reduce_window(ctx: _Ctx, eqn, ins):
     return ctx.node("Transpose", pooled, perm=_inv_perm(perm))
 
 
+def _h_split(ctx: _Ctx, eqn, ins):
+    sizes = [int(s) for s in eqn.params["sizes"]]
+    axis = int(eqn.params["axis"])
+    split_c = ctx.const(np.asarray(sizes, np.int64), "split")
+    return ctx.node(
+        "Split", [ins[0], split_c], n_outputs=len(sizes), axis=axis
+    )
+
+
 def _h_select_n(ctx: _Ctx, eqn, ins):
     which, *cases = ins
     pred_dtype = np.dtype(eqn.invars[0].aval.dtype)
@@ -545,9 +806,96 @@ def _h_sort(ctx: _Ctx, eqn, ins):
 
 
 def _h_gather(ctx: _Ctx, eqn, ins):
-    # Only the jnp.take_along_axis / jnp.take patterns produced by our task
-    # models are supported; generic lax.gather is intentionally out of scope.
-    raise UnsupportedPrimitiveError("gather (generic)")
+    """lax.gather -> GatherND / Gather for the patterns jnp emits.
+
+    Three shapes cover every gather our models trace (deformable-attention
+    point sampling, jnp.take with scalar / vector indices); anything else
+    raises rather than risking a silent mislowering.
+    """
+    dnums = eqn.params["dimension_numbers"]
+    operand_aval = eqn.invars[0].aval
+    indices_aval = eqn.invars[1].aval
+    out_aval = eqn.outvars[0].aval
+    slice_sizes = tuple(int(s) for s in eqn.params["slice_sizes"])
+    op_shape = tuple(int(s) for s in operand_aval.shape)
+    batch = tuple(int(d) for d in dnums.operand_batching_dims)
+    start_map = tuple(int(d) for d in dnums.start_index_map)
+    collapsed = tuple(int(d) for d in dnums.collapsed_slice_dims)
+    offsets = tuple(int(d) for d in dnums.offset_dims)
+    out_rank = len(out_aval.shape)
+
+    # Pattern A — batched multi-dim point lookup (GatherND with batch_dims):
+    # operand (B..., i1..ik, f...), indices (B..., n, k); batch dims are the
+    # leading operand dims, indexed dims follow, trailing dims are fetched
+    # whole. E.g. deformable-attention sampling (H, W) -> feature vectors.
+    n_batch = len(batch)
+    n_idx = len(start_map)
+    if (
+        batch == tuple(range(n_batch))
+        and tuple(int(d) for d in dnums.start_indices_batching_dims)
+        == tuple(range(n_batch))
+        and start_map == tuple(range(n_batch, n_batch + n_idx))
+        and collapsed == start_map
+        and all(slice_sizes[d] == 1 for d in batch + start_map)
+        and all(
+            slice_sizes[d] == op_shape[d]
+            for d in range(n_batch + n_idx, len(op_shape))
+        )
+        and offsets == tuple(range(out_rank - (len(op_shape) - n_batch - n_idx), out_rank))
+    ):
+        idx = ctx.node("Cast", [ins[1]], to=op.INT64)
+        return ctx.node("GatherND", [ins[0], idx[0]], batch_dims=n_batch)
+
+    # Patterns B/C — single-axis take (ONNX Gather): no batching, one
+    # indexed axis a, full slices elsewhere.
+    if (
+        not batch
+        and len(start_map) == 1
+        and collapsed == start_map
+        and all(
+            slice_sizes[d] == (1 if d == start_map[0] else op_shape[d])
+            for d in range(len(op_shape))
+        )
+    ):
+        axis = start_map[0]
+        idx_shape = tuple(int(s) for s in indices_aval.shape)
+        idx = ctx.node("Cast", [ins[1]], to=op.INT64)[0]
+        if idx_shape in ((1,), ()):
+            # Scalar take: drop the trailing index-vector dim -> 0-D index.
+            if idx_shape == (1,):
+                idx = ctx.node(
+                    "Reshape",
+                    [idx, ctx.const(np.asarray([], np.int64), "scalar_shape")],
+                )[0]
+            return ctx.node("Gather", [ins[0], idx], axis=axis)
+        if (
+            len(idx_shape) == 2
+            and idx_shape[1] == 1
+            and offsets == tuple(i for i in range(out_rank) if i != axis)
+        ):
+            # Vector take along axis `axis`, index dim lands in place.
+            idx = ctx.node(
+                "Reshape",
+                [idx, ctx.const(np.asarray([idx_shape[0]], np.int64), "shape")],
+            )[0]
+            return ctx.node("Gather", [ins[0], idx], axis=axis)
+    raise UnsupportedPrimitiveError(
+        f"gather pattern {dnums} slice_sizes={slice_sizes}"
+    )
+
+
+def _h_top_k(ctx: _Ctx, eqn, ins):
+    k = int(eqn.params["k"])
+    k_c = ctx.const(np.asarray([k], np.int64), "k")
+    values, indices = ctx.node(
+        "TopK", [ins[0], k_c], n_outputs=2, axis=-1, largest=1, sorted=1
+    )
+    idx_dtype = np.dtype(eqn.outvars[1].aval.dtype)
+    if idx_dtype != np.int64:
+        indices = ctx.node(
+            "Cast", [indices], to=op.np_dtype_to_onnx(idx_dtype)
+        )[0]
+    return [values, indices]
 
 
 _HANDLERS: Dict[str, Callable] = {}
@@ -559,6 +907,7 @@ for _name in _COMPARE:
 _HANDLERS.update(
     {
         "ne": _h_ne,
+        "rem": _h_rem,
         "square": _h_square,
         "rsqrt": _h_rsqrt,
         "erfc": _h_erfc,
@@ -587,11 +936,13 @@ _HANDLERS.update(
         "conv_general_dilated": _h_conv,
         "reduce_window_max": _h_reduce_window,
         "reduce_window_sum": _h_reduce_window,
+        "split": _h_split,
         "select_n": _h_select_n,
         "clamp": _h_clamp,
         "is_finite": _h_is_finite,
         "sort": _h_sort,
         "gather": _h_gather,
+        "top_k": _h_top_k,
     }
 )
 
@@ -624,18 +975,24 @@ class _Builder:
         self.env[id(var)] = entry
 
     def tensor_name(self, var) -> str:
-        """Graph name for a value, materializing constants as initializers."""
+        """Graph name for a value, materializing constants as initializers.
+
+        Goes through the batch-aware materialization so a batch-derived
+        constant (e.g. a broadcast query embedding that constant-folded)
+        becomes a runtime-batch Expand instead of a baked initializer.
+        """
         kind, value = self.read(var)
         if kind == "tensor":
             return value
-        arr = _np(value)
-        if arr.ndim == 0:
-            # ONNX elementwise ops broadcast scalars fine; keep 0-D.
-            pass
-        name = self.ctx.const(arr, "w")
+        entry = self._materialize_const(value, _batch_axes(self.ctx, var))
+        if entry[0] == "tensor":
+            name = entry[1]
+        else:
+            name = self.ctx.const(entry[1], "w")
+            entry = ("tensor", name)
         # Cache the materialized name so the same const isn't re-added.
         if not isinstance(var, jax_core.Literal):
-            self.write(var, ("tensor", name))
+            self.write(var, entry)
         return name
 
     # -- main walk --------------------------------------------------------
@@ -668,6 +1025,8 @@ class _Builder:
         if all_const:
             outs = self.fold(eqn, [v for _, v in in_entries])
             for var, value in zip(eqn.outvars, outs):
+                # Keep folding as const; tensor_name materializes (batch-
+                # aware) only when a non-foldable consumer needs the value.
                 self.write(var, ("const", _np(value)))
             return
         handler = _HANDLERS.get(name)
@@ -691,6 +1050,60 @@ class _Builder:
         outs = inner.process(sub, entries)
         return outs[: len(eqn.outvars)]
 
+    def _materialize_const(
+        self, value: Any, batch_axes: Optional[frozenset]
+    ) -> Tuple[str, Any]:
+        """Env entry for a folded constant, batch-aware.
+
+        Under dynamic batch, a folded constant with a batch-derived dim
+        cannot be embedded as-is (e.g. query embeddings that were broadcast
+        across the batch — the initializer would pin batch at its traced
+        size). When the value is uniform along the batch axis, embed one
+        row and Expand it to the RUNTIME batch via Shape(input). A
+        genuinely batch-indexed constant (rows differ, e.g. iota over
+        batch) has no dynamic encoding — bake it and let the export's
+        multi-batch verification surface the limitation.
+        """
+        arr = _np(value)
+        batch = self.ctx.dynamic_batch_of
+        if batch is None:
+            return ("const", arr)
+        if batch_axes is not None:
+            if not batch_axes:
+                return ("const", arr)
+            if batch_axes != frozenset({0}):
+                logger.warning(
+                    "Folded constant with batch-derived axes %s (shape %s) "
+                    "baked at the traced batch — dynamic batch may not hold",
+                    sorted(batch_axes),
+                    arr.shape,
+                )
+                return ("const", arr)
+        elif arr.ndim == 0 or arr.shape[0] != batch:
+            # Legacy heuristic (no dim info): leading dim == traced batch.
+            return ("const", arr)
+        row = arr[:1]
+        uniform = (
+            np.array_equal(arr, np.broadcast_to(row, arr.shape), equal_nan=True)
+            if arr.dtype.kind == "f"
+            else bool((arr == row).all())
+        )
+        if not uniform:
+            if batch_axes is not None:
+                logger.warning(
+                    "Batch-indexed folded constant (shape %s, rows differ) "
+                    "baked at the traced batch — dynamic batch may not hold",
+                    arr.shape,
+                )
+            return ("const", arr)
+        cname = self.ctx.const(row, "bcast")
+        tail = self.ctx.const(np.asarray(arr.shape[1:], np.int64), "shape_tail")
+        expand_shape = self.ctx.node(
+            "Concat", [self.ctx.runtime_batch_1d(), tail], axis=0
+        )[0]
+        out = self.ctx.node("Expand", [cname, expand_shape])
+        return ("tensor", out[0])
+
     def fold(self, eqn, values: List[np.ndarray]) -> List[Any]:
         jax_vals = [jnp.asarray(v) for v in values]
         out = eqn.primitive.bind(*jax_vals, **eqn.params)
@@ -706,13 +1119,19 @@ def build_graph(
     output_names: List[str],
     graph_name: str = "lightly_train_tpu",
     dynamic_batch_size: Optional[int] = None,
+    batch_axes: Optional[Dict[int, frozenset]] = None,
 ) -> op.Graph:
     """Compile a closed jaxpr into an ONNX Graph.
 
     ``dynamic_batch_size``: the traced batch size to treat as dynamic
     (axis 0 of every graph input), or None for a fully static graph.
+    ``batch_axes``: id(var) -> batch-derived axes from the two-trace
+    lockstep walk (see ``_lockstep_batch_axes``); None falls back to the
+    size-comparison heuristics.
     """
     ctx = _Ctx(batch_size=dynamic_batch_size)
+    ctx.batch_axes = batch_axes
+    ctx.main_input = input_names[0] if input_names else None
     builder = _Builder(ctx)
     in_entries: List[Tuple[str, Any]] = [
         ("tensor", name) for name in input_names
@@ -741,7 +1160,20 @@ def build_graph(
             ctx.nodes.append(op.Node("Identity", [value], [name]))
         aval = var.aval
         shape = [int(s) for s in aval.shape]
-        if dynamic_batch_size is not None and shape and shape[0] == dynamic_batch_size:
+        ba = _batch_axes(ctx, var)
+        if ba is not None:
+            for axis in ba:
+                size = shape[axis]
+                shape[axis] = (  # type: ignore[call-overload]
+                    "batch"
+                    if size == dynamic_batch_size
+                    else f"{size // dynamic_batch_size}*batch"
+                )
+        elif (
+            dynamic_batch_size is not None
+            and shape
+            and shape[0] == dynamic_batch_size
+        ):
             shape[0] = "batch"  # type: ignore[call-overload]
         outputs.append(
             op.encode_value_info(
@@ -832,6 +1264,7 @@ def export_fn_to_onnx(
     if input_names is None:
         input_names = [f"input_{i}" for i in range(len(closed.jaxpr.invars))]
     batch = None
+    batch_axes: Optional[Dict[int, frozenset]] = None
     if dynamic_batch:
         shapes = [tuple(v.aval.shape) for v in closed.jaxpr.invars]
         batch = int(shapes[0][0])
@@ -840,12 +1273,34 @@ def export_fn_to_onnx(
                 "dynamic_batch export must be traced with batch_size >= 2 "
                 "(batch 1 is indistinguishable from broadcast dims)"
             )
+        # Second trace at batch+1: dims whose size differs between the two
+        # jaxprs are batch-derived — evidence, not size-matching (which
+        # misfires when an unrelated axis happens to equal the batch).
+        def _bump(leaf):
+            shape = tuple(getattr(leaf, "shape", ()))
+            dtype = np.dtype(getattr(leaf, "dtype", np.float32))
+            if shape and int(shape[0]) == batch:
+                shape = (batch + 1,) + shape[1:]
+            return jax.ShapeDtypeStruct(shape, dtype)
+
+        try:
+            bumped = jax.tree_util.tree_map(_bump, tuple(example_args))
+            with jax.default_device(cpu):
+                closed_b = jax.make_jaxpr(fn)(*bumped)
+            batch_axes = _lockstep_batch_axes(closed, closed_b)
+        except _LockstepMismatchError as e:
+            logger.warning(
+                "Two-trace batch inference unavailable (%s); falling back "
+                "to size-comparison heuristics for dynamic batch",
+                e,
+            )
     with jax.default_device(cpu):
         graph = build_graph(
             closed,
             input_names=input_names,
             output_names=output_names,
             dynamic_batch_size=batch,
+            batch_axes=batch_axes,
         )
     if fp16:
         convert_graph_to_fp16(

@@ -245,6 +245,23 @@ def _eval_node(op_type: str, ins: Sequence[Any], attrs: Dict[str, Any]):
         return x.reshape(shape)
     if op_type == "Transpose":
         return np.transpose(x, attrs.get("perm"))
+    if op_type == "Unsqueeze":
+        axes = (
+            [int(a) for a in np.asarray(ins[1]).tolist()]
+            if len(ins) > 1 and ins[1] is not None
+            else [int(a) for a in attrs["axes"]]
+        )
+        out = x
+        for a in sorted(axes):
+            out = np.expand_dims(out, a)
+        return out
+    if op_type == "Squeeze":
+        axes = (
+            tuple(int(a) for a in np.asarray(ins[1]).tolist())
+            if len(ins) > 1 and ins[1] is not None
+            else tuple(attrs["axes"]) if "axes" in attrs else None
+        )
+        return np.squeeze(x, axis=axes)
     if op_type == "Expand":
         target = [int(s) for s in np.asarray(ins[1]).tolist()]
         return np.broadcast_to(
@@ -341,8 +358,51 @@ def _eval_node(op_type: str, ins: Sequence[Any], attrs: Dict[str, Any]):
             )
             mean = mean * np.prod(kernel) / counts
         return mean.astype(x.dtype)
+    if op_type == "Split":
+        axis = int(attrs.get("axis", 0))
+        if len(ins) > 1 and ins[1] is not None:
+            sizes = [int(s) for s in np.asarray(ins[1]).tolist()]
+        else:
+            count = int(attrs["num_outputs"])
+            sizes = [x.shape[axis] // count] * count
+        return list(np.split(x, np.cumsum(sizes)[:-1], axis=axis))
     if op_type == "Where":
         return np.where(ins[0], ins[1], ins[2])
+    if op_type == "Gather":
+        axis = int(attrs.get("axis", 0))
+        return np.take(x, np.asarray(ins[1]).astype(np.int64), axis=axis)
+    if op_type == "GatherND":
+        batch_dims = int(attrs.get("batch_dims", 0))
+        data, indices = np.asarray(ins[0]), np.asarray(ins[1]).astype(np.int64)
+        if batch_dims == 0:
+            k = indices.shape[-1]
+            flat_idx = indices.reshape(-1, k)
+            out = np.stack([data[tuple(row)] for row in flat_idx])
+            return out.reshape(indices.shape[:-1] + data.shape[k:])
+        # Batched: iterate the flattened batch prefix.
+        bshape = data.shape[:batch_dims]
+        k = indices.shape[-1]
+        data_flat = data.reshape((-1,) + data.shape[batch_dims:])
+        idx_flat = indices.reshape((len(data_flat), -1, k))
+        outs = []
+        for b in range(len(data_flat)):
+            rows = [data_flat[b][tuple(row)] for row in idx_flat[b]]
+            outs.append(np.stack(rows))
+        out = np.stack(outs)
+        return out.reshape(
+            bshape
+            + indices.shape[batch_dims:-1]
+            + data.shape[batch_dims + k :]
+        )
+    if op_type == "TopK":
+        k = int(np.asarray(ins[1]).ravel()[0])
+        axis = int(attrs.get("axis", -1))
+        largest = int(attrs.get("largest", 1))
+        data = np.asarray(x)
+        order = np.argsort(-data if largest else data, axis=axis, kind="stable")
+        idx = np.take(order, np.arange(k), axis=axis)
+        values = np.take_along_axis(data, idx, axis=axis)
+        return [values, idx.astype(np.int64)]
     if op_type == "Constant":
         if "value" in attrs:
             return attrs["value"]

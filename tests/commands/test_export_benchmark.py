@@ -145,6 +145,20 @@ def test_export_savedmodel_classification(tmp_path, cls_run):
     assert meta["task"] == "image_classification"
 
 
+def test_benchmark_onnx_backend(det_run):
+    """ONNX backend: exported bytes through the numpy evaluator, plus mAP
+    computed entirely from the ONNX artifact (portability check)."""
+    result = lt.benchmark_object_detection(
+        checkpoint=str(det_run / "out" / "exported_models" / "exported_last"),
+        image_size=32, num_warmup=1, num_runs=2, backend="onnx",
+        data={"images": str(det_run / "images"),
+              "labels": str(det_run / "labels")},
+    )
+    assert result["backend"] == "onnx"
+    assert result["latency_ms"]["mean"] > 0
+    assert "map" in result and 0.0 <= result["map"]["map"] <= 1.0
+
+
 def test_benchmark_savedmodel_backend(det_run):
     pytest.importorskip("tensorflow")
     result = lt.benchmark_object_detection(
