@@ -450,6 +450,13 @@ class PicoDetTrainModel(ObjectDetectionTrainModel):
         params = variables.pop("params")
         return {"backbone": params}, dict(variables)
 
+    def convert_to_deploy(self, variables):
+        """PicoDet has nothing to fuse: plain conv+BN stacks, no RepVgg
+        branches (the LT-DETR override does not apply — it assumes the
+        hybrid-encoder config this model doesn't carry). Deploy form ==
+        eval form; BN folds are left to the serving compiler."""
+        return self, variables
+
     def _forward(self, params, model_state, images, train, rng=None):
         variables = {"params": params["backbone"], **model_state}
         mutable = [k for k in model_state] if (model_state and train) else False

@@ -149,3 +149,93 @@ def test_depth_anything_export(images):
     model = DepthAnythingModel.build("dinov3/dav3-relative-test", dtype=jnp.float32)
     params = model.init(jax.random.key(0), jnp.asarray(images))
     _roundtrip(lambda v, x: model.forward(v, x), params, images, atol=1e-4)
+
+
+def _build_task_model(family):
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+
+    wrapped = get_wrapped_model("dinov3/vittest16", dtype=jnp.float32)
+    if family == "eomt_instance":
+        from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+            EoMTInstanceSegmentationArgs,
+            EoMTInstanceSegmentationTrainModel,
+        )
+
+        return EoMTInstanceSegmentationTrainModel(
+            wrapped, EoMTInstanceSegmentationArgs(num_classes=5, max_instances=8)
+        )
+    if family == "eomt_panoptic":
+        from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+            EoMTPanopticSegmentationArgs,
+            EoMTPanopticSegmentationTrainModel,
+        )
+
+        return EoMTPanopticSegmentationTrainModel(
+            wrapped, EoMTPanopticSegmentationArgs(num_classes=5, max_instances=8)
+        )
+    if family == "picodet":
+        from lightly_train_tpu.tasks.detection.picodet import (
+            PicoDetArgs,
+            PicoDetTrainModel,
+        )
+
+        return PicoDetTrainModel(
+            get_wrapped_model("torchvision/shufflenet_v2_x0_5", dtype=jnp.float32),
+            PicoDetArgs(num_classes=5, max_detections=8),
+        )
+    if family == "linear_seg":
+        from lightly_train_tpu.tasks.semantic_segmentation_linear import (
+            LinearSemanticSegmentationArgs,
+            LinearSemanticSegmentationTrainModel,
+        )
+
+        return LinearSemanticSegmentationTrainModel(
+            wrapped, LinearSemanticSegmentationArgs(num_classes=5)
+        )
+    if family == "multihead_cls":
+        from lightly_train_tpu.tasks.multihead import (
+            ImageClassificationMultiheadArgs,
+            ImageClassificationMultiheadTrainModel,
+        )
+
+        return ImageClassificationMultiheadTrainModel(
+            wrapped, ImageClassificationMultiheadArgs(num_classes=4)
+        )
+    from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+        InstanceSegmentationLTDETRArgs,
+        LTDETRInstanceSegmentationTrainModel,
+    )
+
+    return LTDETRInstanceSegmentationTrainModel(
+        wrapped,
+        InstanceSegmentationLTDETRArgs(
+            num_queries=8,
+            num_decoder_layers=1,
+            d_model=32,
+            num_heads=2,
+            dim_feedforward=64,
+            max_detections=4,
+        ),
+    )
+
+
+@pytest.mark.parametrize(
+    "family",
+    [
+        "eomt_instance",
+        "eomt_panoptic",
+        "picodet",  # also covers the no-op convert_to_deploy override
+        "linear_seg",
+        "multihead_cls",
+        "ltdetr_seg",
+    ],
+)
+def test_all_task_families_export(family, images):
+    """Every remaining task family round-trips through ONNX (the reference
+    implements verify_onnx_export_outputs per task model)."""
+    model = _build_task_model(family)
+    params, state = model.init(jax.random.key(0), {"images": jnp.asarray(images)})
+    variables = {"params": params, **state}
+    if hasattr(model, "convert_to_deploy"):
+        model, variables = model.convert_to_deploy(variables)
+    _roundtrip(lambda v, x: model.predict(v, x), variables, images, atol=1e-4)
