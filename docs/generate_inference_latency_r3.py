@@ -206,6 +206,29 @@ def _ltdetr(backbone, size):
     return _time_fn(fn, deploy_vars, images)
 
 
+def _ltdetr_seg(backbone, size):
+    import jax
+    import jax.numpy as jnp
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+        InstanceSegmentationLTDETRArgs,
+        LTDETRInstanceSegmentationTrainModel,
+    )
+
+    wrapped = get_wrapped_model(backbone, dtype=jnp.bfloat16)
+    model = LTDETRInstanceSegmentationTrainModel(
+        wrapped, InstanceSegmentationLTDETRArgs()
+    )
+    rng = jax.random.key(0)
+    images = jax.random.uniform(rng, (1, size, size, 3), jnp.float32)
+    params, state = model.init(rng, {"images": images})
+    variables = {"params": params, **state}
+    deploy_model, deploy_vars = model.convert_to_deploy(variables)
+    fn = jax.jit(lambda v, x: deploy_model.predict(v, x))
+    return _time_fn(fn, deploy_vars, images)
+
+
 def _depth(name, size):
     import jax
     import jax.numpy as jnp
@@ -283,6 +306,10 @@ CONFIGS = {
     "dav3_relative_tiny_576": (
         lambda: _depth("dinov3/dav3-relative-tiny", 576),
         5.27, "dinov3/dav3-relative-tiny @576",
+    ),
+    "ltdetrv2_seg_s_640": (
+        lambda: _ltdetr_seg("ecvit/ecvitt", 640),
+        6.96, "ltdetrv2-seg-s-coco @640 (COCO instance seg)",
     ),
     "eomt_vits16_512_b16": (
         lambda: _throughput(_eomt_batched("dinov3/vits16", 171, 512), 16),

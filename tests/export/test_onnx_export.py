@@ -136,7 +136,7 @@ def test_dynamic_batch_requires_batch_ge_2():
         export_fn_to_onnx(lambda x: x * 2, (x,), input_names=["x"], dynamic_batch=True)
 
 
-def test_torch_cross_producer_codec_parity():
+def test_torch_cross_producer_codec_parity(monkeypatch):
     """Parse + execute a torch.onnx-produced model with the same codec.
 
     Proves the wire format interoperates with an independent ONNX producer
@@ -144,8 +144,12 @@ def test_torch_cross_producer_codec_parity():
     The ``onnx`` python package is absent in this image; the TorchScript
     exporter serializes through its own C++ writer and only touches the
     python package for a final load/annotate pass, which a two-method stub
-    satisfies.
+    satisfies. The stub is installed via monkeypatch (auto-removed) and
+    carries a real ModuleSpec — a bare sys.modules entry with
+    ``__spec__ = None`` breaks every later ``importlib.util.find_spec``
+    call in the process (it poisoned the torch-golden tests).
     """
+    import importlib.machinery
     import io
     import sys
     import types
@@ -155,6 +159,7 @@ def test_torch_cross_producer_codec_parity():
 
     if "onnx" not in sys.modules:
         stub = types.ModuleType("onnx")
+        stub.__spec__ = importlib.machinery.ModuleSpec("onnx", None)
 
         class _Loaded:
             def __init__(self, data):
@@ -165,7 +170,7 @@ def test_torch_cross_producer_codec_parity():
                 return self._data
 
         stub.load_model_from_string = lambda data: _Loaded(data)
-        sys.modules["onnx"] = stub
+        monkeypatch.setitem(sys.modules, "onnx", stub)
 
     m = nn.Sequential(
         nn.Conv2d(3, 4, 3, padding=1),
