@@ -109,10 +109,17 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         }
         return params, model_state
 
-    def _mask_logits(self, params, queries, images):
+    def _mask_logits(self, params, model_state, queries, images):
         """(B, Q, D) queries + images -> (B, Q, gh*gw) mask logits."""
+        variables = {"params": params["backbone"]["trunk"]}
+        # BN backbones (ECViT for the ltdetrv2 zoo) need their running
+        # stats; ViT backbones have none. Stats mirror the param scopes,
+        # so the trunk subtree addresses the wrapped module directly.
+        stats = (model_state or {}).get("batch_stats", {})
+        if isinstance(stats, dict) and stats.get("trunk"):
+            variables["batch_stats"] = stats["trunk"]
         trunk_out = self.wrapped.forward_features(
-            {"params": params["backbone"]["trunk"]}, images, train=False
+            variables, images, train=False
         )
         feats = trunk_out["features"]  # (B, gh, gw, Df)
         mh = params["mask_head"]
@@ -133,7 +140,7 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
             outputs, batch["seg_labels"], batch["boxes"], batch["seg_valid"]
         )
         mask_logits, (gh, gw) = self._mask_logits(
-            params, queries, batch["images"]
+            params, model_state, queries, batch["images"]
         )
         # Targets at patch resolution from the slot-id map.
         K = batch["seg_labels"].shape[1]
@@ -178,7 +185,7 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
             params, model_state, batch["images"], False
         )
         mask_logits, (gh, gw) = self._mask_logits(
-            params, queries, batch["images"]
+            params, model_state, queries, batch["images"]
         )
         logits_f, boxes_f = outputs[-1]
         C = self.args.num_classes
@@ -243,7 +250,7 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
             params, model_state, images, False
         )
         boxes, scores, labels = self._decode(outputs)
-        mask_logits, (gh, gw) = self._mask_logits(params, queries, images)
+        mask_logits, (gh, gw) = self._mask_logits(params, model_state, queries, images)
         B, Q = mask_logits.shape[:2]
         masks = (jax.nn.sigmoid(mask_logits) > self.args.mask_threshold)
         return boxes, scores, labels, masks.reshape(B, Q, gh, gw)

@@ -148,6 +148,42 @@ def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
     assert "val_mask_map" in val
 
 
+def test_ltdetr_seg_bn_backbone_mask_head():
+    """Regression: the mask head's trunk forward must thread batch_stats —
+    with an ECViT (BatchNorm) backbone it crashed with
+    ScopeCollectionNotFound; ViT backbones masked the bug (no BN)."""
+    import jax
+    import jax.numpy as jnp
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+        InstanceSegmentationLTDETRArgs,
+        LTDETRInstanceSegmentationTrainModel,
+    )
+
+    model = LTDETRInstanceSegmentationTrainModel(
+        get_wrapped_model("ecvit/ecvittest", dtype=jnp.float32),
+        InstanceSegmentationLTDETRArgs(
+            num_queries=8, num_decoder_layers=1, d_model=32, num_heads=2,
+            dim_feedforward=64, max_detections=4, mask_dim=16,
+        ),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 64, 64, 3)), jnp.float32
+    )
+    params, state = model.init(jax.random.key(0), {"images": x})
+    assert "batch_stats" in state  # the regression needs a BN backbone
+    variables = {"params": params, **state}
+    eval_out = jax.tree_util.tree_leaves(model.predict(variables, x))
+    deploy, deploy_vars = model.convert_to_deploy(variables)
+    deploy_out = jax.tree_util.tree_leaves(deploy.predict(deploy_vars, x))
+    for a, b in zip(eval_out, deploy_out):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-5, rtol=1e-4,
+        )
+
+
 def test_decode_rle_uncompressed():
     from lightly_train_tpu.tasks.eomt_instance_panoptic import decode_rle
 
