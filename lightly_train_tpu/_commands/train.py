@@ -330,7 +330,20 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         )
 
     def on_checkpoint(step: int, s: TrainState) -> None:
-        ckpt_mgr.save(step, jax.device_get(s))
+        host_state = jax.device_get(s)
+        ckpt_mgr.save(step, host_state)
+        # Refresh the user-facing artifact alongside every periodic
+        # checkpoint so a usable backbone exists mid-run (the reference's
+        # ModelExport callback rewrites exported_last.pt every n epochs,
+        # _callbacks/export.py:28-60).
+        if is_main_process():
+            export_model(
+                out_dir / "exported_models" / "exported_last",
+                config.model,
+                host_state.params["student"],
+                model_state=host_state.model_state or None,
+                extra_meta={"method": config.method, "steps": step},
+            )
 
     # ---- train ------------------------------------------------------------
     from lightly_train_tpu._optim.fused_update import build_fused_updater

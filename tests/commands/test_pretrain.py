@@ -126,6 +126,37 @@ def test_pretrain_resume(tmp_path, image_dir):
     assert int(state.step) == 3
 
 
+def test_pretrain_exports_at_every_checkpoint(tmp_path, image_dir, monkeypatch):
+    """exported_last refreshes at each periodic checkpoint, not only at the
+    end of the run (reference ModelExport callback, _callbacks/export.py:28),
+    so a usable backbone exists if training is interrupted."""
+    from lightly_train_tpu._commands import train as train_mod
+
+    real_export = train_mod.export_model
+    exported_steps = []
+
+    def spy(out_path, model, params, **kw):
+        exported_steps.append(kw.get("extra_meta", {}).get("steps"))
+        return real_export(out_path, model, params, **kw)
+
+    monkeypatch.setattr(train_mod, "export_model", spy)
+    out = tmp_path / "out"
+    kwargs = _common_kwargs()
+    kwargs["steps"] = 3
+    lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, checkpoint_every=2, **kwargs,
+    )
+    # Mid-run export at the step-2 checkpoint, final export at step 3.
+    assert 2 in exported_steps
+    assert exported_steps[-1] == 3
+    meta = json.loads(
+        (out / "exported_models" / "exported_last" / "metadata.json").read_text()
+    )
+    assert meta["steps"] == 3
+
+
 def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
