@@ -85,6 +85,38 @@ def export_model(
     logger.info("Exported model '%s' to %s", model_name, out_path)
 
 
+def resolve_pretrained_source(
+    checkpoint: str, model_name: str
+) -> tuple[Dict[str, Any], str]:
+    """Resolve a user ``checkpoint`` argument to (variables, model_name).
+
+    Accepts an exported-artifact directory, a raw torch ``.pth``/``.pt``
+    file (converted for ``model_name``), or the literal ``"auto"`` to fetch
+    the model's registered public weights — the same contract on pretrain
+    (further-pretraining init, reference ``_commands/train.py:134-141``)
+    and on every ``train_*`` fine-tune entry point.
+
+    ``variables`` is a flax variables dict ({"params": ..., possibly
+    "batch_stats": ...}); an exported artifact overrides ``model_name``
+    with the name it was exported under.
+    """
+    ckpt = checkpoint
+    if ckpt == "auto":
+        from lightly_train_tpu.models.pretrained_urls import fetch_pretrained
+
+        ckpt = str(fetch_pretrained(model_name))
+    path = Path(ckpt)
+    if path.is_file():
+        # Raw torch checkpoint (Meta / timm / torchvision naming).
+        from lightly_train_tpu.models.convert import (
+            load_torch_checkpoint_for_model,
+        )
+
+        return load_torch_checkpoint_for_model(path, model_name), model_name
+    artifact = load_exported_model(path)
+    return artifact["variables"], artifact["model_name"]
+
+
 def load_exported_model(path: Path) -> Dict[str, Any]:
     """Read an exported artifact: {model_name, variables, params, ...meta}.
 

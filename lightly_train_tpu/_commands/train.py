@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Literal, Optional, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from pydantic import field_validator
+from pydantic import field_validator, model_validator
 
 from lightly_train_tpu._checkpoint.checkpoint import (
     CheckpointManager,
@@ -106,6 +106,12 @@ class TrainConfig(PydanticConfig):
     log_augmentations: bool = True
     nan_check: bool = True
     checkpoint_every: Union[int, Auto] = AUTO
+    # Further-pretrain from a previous run: load MODEL WEIGHTS ONLY (student
+    # backbone + EMA-teacher refresh) from an exported artifact, a raw torch
+    # .pth, or "auto" (registered public weights); optimizer state and
+    # schedules start fresh (reference ``_commands/train.py:134-141``).
+    # Mutually exclusive with resume_interrupted.
+    checkpoint: Optional[str] = None
     # Capture a jax.profiler trace of steps [profile_start, profile_start+
     # profile_steps) into out/profile (TensorBoard/XProf-viewable) — the
     # TPU-native upgrade of the reference's step timer (SURVEY.md §5.1).
@@ -114,6 +120,16 @@ class TrainConfig(PydanticConfig):
     profile_steps: int = 5
     resume_interrupted: bool = False
     overwrite: bool = False
+
+    @model_validator(mode="after")
+    def _checkpoint_xor_resume(self) -> "TrainConfig":
+        if self.checkpoint is not None and self.resume_interrupted:
+            raise ValueError(
+                "checkpoint= and resume_interrupted=True cannot be combined: "
+                "checkpoint starts a NEW run from previous weights, "
+                "resume_interrupted continues an interrupted run. Set one."
+            )
+        return self
 
 
 def pretrain(
@@ -271,6 +287,49 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         (2, config.canonical_size, config.canonical_size, 3), dtype=jnp.uint8
     )
     params, model_state, method_state = method.init(rng, sample)
+    if config.checkpoint is not None:
+        from lightly_train_tpu._checkpoint.checkpoint import (
+            resolve_pretrained_source,
+        )
+        from lightly_train_tpu._commands.train_task import _merge_pretrained
+
+        pretrained, _ = resolve_pretrained_source(
+            config.checkpoint, config.model
+        )
+        params = {
+            **params,
+            "student": _merge_pretrained(
+                params["student"], pretrained["params"]
+            ),
+        }
+        for k, v in pretrained.items():
+            if k != "params":
+                model_state[k] = (
+                    _merge_pretrained(model_state[k], v)
+                    if k in model_state
+                    else v
+                )
+        # EMA-teacher methods snapshot the student at init; refresh the
+        # snapshot so the teacher starts from the loaded weights too (the
+        # reference loads weights before its teacher conversion).
+        if (
+            isinstance(method_state, dict)
+            and isinstance(method_state.get("teacher"), dict)
+            and "student" in method_state["teacher"]
+        ):
+            method_state = {
+                **method_state,
+                "teacher": {
+                    **method_state["teacher"],
+                    "student": jax.tree_util.tree_map(
+                        jnp.copy, params["student"]
+                    ),
+                },
+            }
+        logger.info(
+            "Initialized student weights from checkpoint '%s'",
+            config.checkpoint,
+        )
     optimizer = build_optimizer(
         optim_args,
         lr_schedule,

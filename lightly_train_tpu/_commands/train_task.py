@@ -26,7 +26,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from lightly_train_tpu._checkpoint.checkpoint import (
     CheckpointManager,
     export_model,
-    load_exported_model,
 )
 from lightly_train_tpu._configs.config import AUTO, Auto, PydanticConfig
 from lightly_train_tpu._configs.validate import pydantic_model_validate
@@ -642,24 +641,14 @@ def _load_backbone(config: TrainTaskConfig):
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     pretrained = None
     model_name = config.model
-    ckpt = config.checkpoint
-    if ckpt == "auto":
-        from lightly_train_tpu.models.pretrained_urls import fetch_pretrained
+    if config.checkpoint is not None:
+        from lightly_train_tpu._checkpoint.checkpoint import (
+            resolve_pretrained_source,
+        )
 
-        ckpt = str(fetch_pretrained(model_name))
-    if ckpt is not None:
-        path = Path(ckpt)
-        if path.is_file():
-            # Raw torch checkpoint (Meta / timm / torchvision naming).
-            from lightly_train_tpu.models.convert import (
-                load_torch_checkpoint_for_model,
-            )
-
-            pretrained = load_torch_checkpoint_for_model(path, model_name)
-        else:
-            artifact = load_exported_model(path)
-            model_name = artifact["model_name"]
-            pretrained = artifact["variables"]
+        pretrained, model_name = resolve_pretrained_source(
+            config.checkpoint, model_name
+        )
     else:
         from lightly_train_tpu.models.pretrained_urls import PRETRAINED_URLS
 

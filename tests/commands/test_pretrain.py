@@ -157,6 +157,54 @@ def test_pretrain_exports_at_every_checkpoint(tmp_path, image_dir, monkeypatch):
     assert meta["steps"] == 3
 
 
+def test_pretrain_further_from_checkpoint(tmp_path, image_dir):
+    """checkpoint= starts a NEW run from a previous run's exported weights
+    (weights only — fresh optimizer/schedule; reference
+    _commands/train.py:134-141). With lr=0 the loaded weights must survive a
+    step bit-for-bit, proving the merge happened."""
+    import jax
+
+    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
+
+    out_a = tmp_path / "a"
+    lt.pretrain(
+        out=str(out_a), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, **_common_kwargs(),
+    )
+    artifact = out_a / "exported_models" / "exported_last"
+    kwargs = _common_kwargs()
+    kwargs.update(steps=1, learning_rate=0.0)
+    out_b = tmp_path / "b"
+    lt.pretrain(
+        out=str(out_b), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, checkpoint=str(artifact), **kwargs,
+    )
+    pa = load_exported_model(artifact)["params"]
+    pb = load_exported_model(out_b / "exported_models" / "exported_last")[
+        "params"
+    ]
+    flat_a = jax.tree_util.tree_leaves_with_path(pa)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(pb))
+    assert flat_a and len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
+
+
+def test_pretrain_checkpoint_conflicts_with_resume(tmp_path, image_dir):
+    from lightly_train_tpu.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="resume_interrupted"):
+        lt.pretrain(
+            out=str(tmp_path / "out"), data=str(image_dir),
+            model="torchvision/resnettest", method="simclr",
+            method_args={"image_size": 32},
+            checkpoint=str(tmp_path / "nowhere"),
+            resume_interrupted=True, **_common_kwargs(),
+        )
+
+
 def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
