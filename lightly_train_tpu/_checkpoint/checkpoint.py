@@ -64,12 +64,17 @@ def export_model(
     backbone_params: Any,
     model_state: Optional[Dict[str, Any]] = None,
     extra_meta: Optional[Dict[str, Any]] = None,
+    embed_head: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Write the inference artifact: variables (orbax) + metadata JSON.
 
     ``model_state`` carries non-param collections (BatchNorm stats) so CNN
     backbones are inference-complete. Loaded by ``load_model``/``embed``/task
-    fine-tuning as the pretrained backbone initialization.
+    fine-tuning as the pretrained backbone initialization. ``embed_head``
+    (optional, with ``embed_dim`` in ``extra_meta``) stores the trained
+    embedding projection as a sibling tree the ``embed`` command applies —
+    the reference's two artifact parts, model vs embedding_model
+    (``_commands/export.py`` part=).
     """
     out_path = Path(out_path).resolve()
     out_path.mkdir(parents=True, exist_ok=True)
@@ -77,6 +82,8 @@ def export_model(
     variables = {"params": backbone_params, **(model_state or {})}
     variables = jax.device_get(variables)
     ckptr.save(out_path / "params", variables, force=True)
+    if embed_head is not None:
+        ckptr.save(out_path / "embed_head", jax.device_get(embed_head), force=True)
     ckptr.wait_until_finished()
     meta = {"model_name": model_name, "format_version": 1}
     if extra_meta:
@@ -128,4 +135,7 @@ def load_exported_model(path: Path) -> Dict[str, Any]:
     meta = json.loads((path / "metadata.json").read_text())
     ckptr = ocp.StandardCheckpointer()
     variables = ckptr.restore(path / "params")
-    return {**meta, "variables": variables, "params": variables["params"]}
+    out = {**meta, "variables": variables, "params": variables["params"]}
+    if (path / "embed_head").exists():
+        out["embed_head"] = ckptr.restore(path / "embed_head")
+    return out

@@ -60,11 +60,24 @@ def embed_from_config(config: EmbedConfig) -> Path:
 
     variables = artifact["variables"]
 
+    # Artifacts pretrained with embed_dim carry the trained projection head
+    # as a sidecar; embeddings come out at the configured dimension
+    # (reference EmbeddingModel, ``_models/embedding_model.py:22-80``).
+    embed_head_vars = artifact.get("embed_head")
+    embed_head = None
+    if embed_head_vars is not None:
+        from lightly_train_tpu.models.embedding import _EmbedHead
+
+        embed_head = _EmbedHead(int(artifact["embed_dim"]), dtype=dtype)
+
     @jax.jit
     def forward(imgs: jax.Array) -> jax.Array:
         x = imgs.astype(dtype) / 255.0
         out_feats = wrapped.forward_features(variables, x, train=False)
-        return wrapped.forward_pool(out_feats).astype(jnp.float32)
+        pooled = wrapped.forward_pool(out_feats)
+        if embed_head is not None:
+            pooled = embed_head.apply(embed_head_vars, pooled)
+        return pooled.astype(jnp.float32)
 
     b_sharding = batch_sharding(mesh)
     embeddings: List[np.ndarray] = []

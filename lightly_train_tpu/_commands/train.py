@@ -74,6 +74,12 @@ class TrainConfig(PydanticConfig):
     model_args: Dict[str, Any] = {}
     method: str = "distillation"
     method_args: Dict[str, Any] = {}
+    # Pretrain an embedding model of this dimension: a trainable linear
+    # projection (1x1 conv on the NHWC feature map) sits between the
+    # backbone and the SSL heads, and ``embed`` applies it at inference
+    # (reference ``_commands/train.py:60,113-115,394`` EmbeddingModel).
+    # None = raw backbone features.
+    embed_dim: Optional[int] = None
     # Reference-style transform overrides applied to every view (plus
     # optional "global_view"/"local_view" sub-dicts) — the user-facing
     # ``transform_args`` of ``lightly_train.pretrain``
@@ -203,6 +209,14 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
     # ---- model + method ---------------------------------------------------
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     wrapped = get_wrapped_model(config.model, dtype=dtype, **config.model_args)
+    if config.embed_dim is not None:
+        from lightly_train_tpu.models.embedding import project_wrapped
+
+        wrapped = project_wrapped(wrapped, config.embed_dim, dtype)
+        logger.info(
+            "Training an embedding model: %s features project to dim %d",
+            config.model, config.embed_dim,
+        )
     method_cls, method_args_cls = get_method_cls(config.method)
     method_args = pydantic_model_validate(method_args_cls, config.method_args)
 
@@ -296,19 +310,33 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         pretrained, _ = resolve_pretrained_source(
             config.checkpoint, config.model
         )
-        params = {
-            **params,
-            "student": _merge_pretrained(
-                params["student"], pretrained["params"]
-            ),
-        }
-        for k, v in pretrained.items():
-            if k != "params":
-                model_state[k] = (
-                    _merge_pretrained(model_state[k], v)
-                    if k in model_state
-                    else v
-                )
+        if config.embed_dim is not None:
+            # Projected model: the artifact's bare backbone lands in the
+            # "backbone" subtree; the "embed" projection stays fresh.
+            student = dict(params["student"])
+            student["backbone"] = _merge_pretrained(
+                student["backbone"], pretrained["params"]
+            )
+            params = {**params, "student": student}
+            for k, v in pretrained.items():
+                if k != "params" and k in model_state:
+                    model_state[k] = _merge_pretrained(
+                        model_state[k], {"backbone": v}
+                    )
+        else:
+            params = {
+                **params,
+                "student": _merge_pretrained(
+                    params["student"], pretrained["params"]
+                ),
+            }
+            for k, v in pretrained.items():
+                if k != "params":
+                    model_state[k] = (
+                        _merge_pretrained(model_state[k], v)
+                        if k in model_state
+                        else v
+                    )
         # EMA-teacher methods snapshot the student at init; refresh the
         # snapshot so the teacher starts from the loaded weights too (the
         # reference loads weights before its teacher conversion).
@@ -388,6 +416,28 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
             metrics.get("profiling/images_per_sec", 0.0),
         )
 
+    def _export_student(step: int, student_params: Any, model_state: Any) -> None:
+        extra: Dict[str, Any] = {"method": config.method, "steps": step}
+        embed_head = None
+        if config.embed_dim is not None:
+            # Split the projected model back into the bare-backbone artifact
+            # (fine-tune compatible) + the embedding head sidecar.
+            embed_head = {"params": {"embed": student_params["embed"]}}
+            student_params = student_params["backbone"]
+            model_state = {
+                coll: sub.get("backbone", sub)
+                for coll, sub in (model_state or {}).items()
+            }
+            extra["embed_dim"] = config.embed_dim
+        export_model(
+            out_dir / "exported_models" / "exported_last",
+            config.model,
+            student_params,
+            model_state=model_state or None,
+            extra_meta=extra,
+            embed_head=embed_head,
+        )
+
     def on_checkpoint(step: int, s: TrainState) -> None:
         host_state = jax.device_get(s)
         ckpt_mgr.save(step, host_state)
@@ -396,13 +446,7 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         # ModelExport callback rewrites exported_last.pt every n epochs,
         # _callbacks/export.py:28-60).
         if is_main_process():
-            export_model(
-                out_dir / "exported_models" / "exported_last",
-                config.model,
-                host_state.params["student"],
-                model_state=host_state.model_state or None,
-                extra_meta={"method": config.method, "steps": step},
-            )
+            _export_student(step, host_state.params["student"], host_state.model_state)
 
     # ---- train ------------------------------------------------------------
     from lightly_train_tpu._optim.fused_update import build_fused_updater
@@ -466,12 +510,10 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
 
     # ---- export -----------------------------------------------------------
     if is_main_process():
-        export_model(
-            out_dir / "exported_models" / "exported_last",
-            config.model,
+        _export_student(
+            int(state.step),
             jax.device_get(state.params)["student"],
-            model_state=jax.device_get(state.model_state) or None,
-            extra_meta={"method": config.method, "steps": int(state.step)},
+            jax.device_get(state.model_state),
         )
     jsonl.close()
     return state

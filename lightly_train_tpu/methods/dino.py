@@ -113,12 +113,19 @@ class DINO(Method):
         return params, model_state, method_state
 
     def _forward(self, params, model_state, images, train, rng):
+        """Pooled student/teacher features; train mode threads BatchNorm
+        running stats (classic DINO trains CNN backbones too). Returns
+        (pooled, new_model_state)."""
         variables = {"params": params, **model_state}
         rngs = {"droppath": rng} if train else None
+        mutable = [k for k in model_state] if (model_state and train) else False
         out = self.wrapped.forward_features(
-            variables, images, train=train, rngs=rngs
+            variables, images, train=train, rngs=rngs, mutable=mutable
         )
-        return self.wrapped.forward_pool(out)
+        if mutable:
+            out, new_state = out
+            return self.wrapped.forward_pool(out), dict(new_state)
+        return self.wrapped.forward_pool(out), model_state
 
     def loss_fn(self, params, model_state, method_state, views, rng, step,
                 total_steps):
@@ -130,7 +137,7 @@ class DINO(Method):
 
         globals_cat = jnp.concatenate([g1, g2], axis=0)
         teacher = method_state["teacher"]
-        t_pool = self._forward(
+        t_pool, _ = self._forward(
             jax.lax.stop_gradient(teacher["student"]), model_state, globals_cat,
             False, rng,
         )
@@ -146,14 +153,14 @@ class DINO(Method):
             t_logits, method_state["center"], teacher_temp
         ).reshape(2, B, -1)
 
-        s_pool_g = self._forward(
+        s_pool_g, model_state = self._forward(
             params["student"], model_state, globals_cat, True, kg
         )
         s_g = self.head.apply({"params": params["head"]}, s_pool_g).reshape(
             2, B, -1
         )
         locals_cat = jnp.concatenate(locals_list, axis=0)
-        s_pool_l = self._forward(
+        s_pool_l, model_state = self._forward(
             params["student"], model_state, locals_cat, True, kl
         )
         s_l = self.head.apply({"params": params["head"]}, s_pool_l).reshape(

@@ -205,6 +205,57 @@ def test_pretrain_checkpoint_conflicts_with_resume(tmp_path, image_dir):
         )
 
 
+def test_pretrain_embed_dim_trains_head_and_embeds(tmp_path, image_dir):
+    """embed_dim inserts a trainable projection between backbone and SSL
+    heads (reference _commands/train.py:60,394 EmbeddingModel); the artifact
+    carries the head as a sidecar, embed applies it, and the bare backbone
+    stays fine-tune compatible."""
+    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
+
+    out = tmp_path / "out"
+    lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, embed_dim=24, **_common_kwargs(),
+    )
+    artifact_dir = out / "exported_models" / "exported_last"
+    artifact = load_exported_model(artifact_dir)
+    assert artifact["embed_dim"] == 24
+    head = artifact["embed_head"]["params"]["embed"]
+    assert head["kernel"].shape[-1] == 24
+    # Bare backbone layout: no "backbone"/"embed" nesting in params.
+    assert "embed" not in artifact["params"] and "backbone" not in artifact["params"]
+
+    emb_path = tmp_path / "emb.csv"
+    lt.embed(
+        out=str(emb_path), data=str(image_dir),
+        checkpoint=str(artifact_dir), format="csv", image_size=32,
+        batch_size=8, precision="fp32",
+    )
+    row = emb_path.read_text().splitlines()[0].split(",")
+    assert len(row) == 1 + 24  # filename + embed_dim values
+
+
+def test_pretrain_embed_dim_with_ema_teacher(tmp_path, image_dir):
+    """EMA-teacher methods train with the projected model (teacher mirrors
+    the projected params tree) and still export a bare-backbone artifact."""
+    out = tmp_path / "out"
+    lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="dino",
+        method_args={
+            "global_image_size": 32, "local_image_size": 16,
+            "local_view_count": 2,
+            "hidden_dim": 32, "bottleneck_dim": 16, "output_dim": 32,
+        },
+        embed_dim=24, **_common_kwargs(),
+    )
+    meta = json.loads(
+        (out / "exported_models" / "exported_last" / "metadata.json").read_text()
+    )
+    assert meta["embed_dim"] == 24
+
+
 def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
