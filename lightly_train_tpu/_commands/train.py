@@ -58,7 +58,9 @@ logger = get_logger("pretrain")
 
 class TrainConfig(PydanticConfig):
     out: str
-    data: Optional[str] = None
+    # One directory or a list of directories scanned recursively for images
+    # (reference ``data: PathLike | Sequence[PathLike]``).
+    data: Union[str, List[str], None] = None
     model: str = "dinov2/vitb14"
 
     @field_validator("model", mode="before")
@@ -140,7 +142,7 @@ class TrainConfig(PydanticConfig):
 
 def pretrain(
     out: str,
-    data: Optional[str] = None,
+    data: Union[str, List[str], None] = None,
     model: str = "dinov2/vitb14",
     method: str = "distillation",
     **kwargs: Any,
@@ -194,7 +196,12 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
     canonical_hw = (config.canonical_size, config.canonical_size)
     if config.data is not None:
         if is_main_process() and not mmap_path.exists():
-            files = list_image_files(Path(config.data))
+            dirs = (
+                [config.data]
+                if isinstance(config.data, str)
+                else list(config.data)
+            )
+            files = [f for d in dirs for f in list_image_files(Path(d))]
             write_items_to_file(files, mmap_path)
         filenames = MemoryMappedSequence(mmap_path)
         dataset = ImageDataset(

@@ -256,6 +256,31 @@ def test_pretrain_embed_dim_with_ema_teacher(tmp_path, image_dir):
     assert meta["embed_dim"] == 24
 
 
+def test_pretrain_multiple_data_dirs(tmp_path):
+    """data accepts a list of directories (reference data:
+    PathLike | Sequence[PathLike]). epochs=1 over 8+8 images at batch 8
+    must resolve to 2 steps — proof both dirs were scanned."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    dirs = []
+    for name in ("a", "b"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(8):
+            arr = rng.integers(0, 256, size=(40, 48, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.png")
+        dirs.append(str(d))
+    kwargs = _common_kwargs()
+    kwargs.pop("steps")
+    state = lt.pretrain(
+        out=str(tmp_path / "out"), data=dirs,
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, epochs=1, **kwargs,
+    )
+    assert int(state.step) == 2
+
+
 def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
