@@ -24,6 +24,7 @@ from lightly_train_tpu._checkpoint.checkpoint import (
 from lightly_train_tpu._configs.config import PydanticConfig
 from lightly_train_tpu._configs.validate import pydantic_model_validate
 from lightly_train_tpu._logging import get_logger, set_up_console_logging
+from lightly_train_tpu.errors import ConfigError
 
 logger = get_logger("export")
 
@@ -58,18 +59,40 @@ def export_from_config(config: ExportConfig) -> Path:
     set_up_console_logging()
     artifact = load_exported_model(Path(config.checkpoint))
     out_path = Path(config.out)
+    embed_head = artifact.get("embed_head")
+    if config.part == "embedding_model" and embed_head is None:
+        raise ConfigError(
+            "The checkpoint has no embedding head: pretrain with embed_dim= "
+            "to train one, or export part='model' (reference export part=, "
+            "_commands/export.py)."
+        )
+    # Flat per-leaf head entries for the state-dict formats.
+    head_flat = (
+        {f"embed_head.{k}": v
+         for k, v in flatten_params(embed_head["params"]).items()}
+        if config.part == "embedding_model"
+        else {}
+    )
     if config.format == "package_default":
+        model_state = {
+            k: v for k, v in artifact["variables"].items() if k != "params"
+        }
         export_model(
             out_path,
             artifact["model_name"],
             artifact["params"],
-            extra_meta={k: v for k, v in artifact.items()
-                        if k not in ("params", "model_name")},
+            model_state=model_state or None,
+            extra_meta={
+                k: v
+                for k, v in artifact.items()
+                if k not in ("params", "variables", "embed_head", "model_name")
+            },
+            embed_head=embed_head if config.part == "embedding_model" else None,
         )
         return out_path
     out_path.parent.mkdir(parents=True, exist_ok=True)
     if config.format == "numpy_state_dict":
-        flat = flatten_params(artifact["params"])
+        flat = {**flatten_params(artifact["params"]), **head_flat}
         np.savez(out_path, **flat)
     else:
         import torch
@@ -94,6 +117,7 @@ def export_from_config(config: ExportConfig) -> Path:
             flat = convert_flax_vit_to_torch_state_dict(params, depth)
         else:
             flat = flatten_params(params)
+        flat = {**flat, **head_flat}
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in flat.items()},
                    out_path)
     logger.info("Exported %s (%d tensors) to %s", config.format, len(flat),
