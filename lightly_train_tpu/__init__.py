@@ -30,11 +30,25 @@ from lightly_train_tpu._commands.train_task import (
 from lightly_train_tpu.tasks.model_io import load_model, load_model_from_checkpoint
 from lightly_train_tpu.methods.method_helpers import list_methods
 from lightly_train_tpu.models.package_registry import list_models
+from lightly_train_tpu.types import (
+    BenchmarkResult,
+    BenchmarkStatistics,
+    DescriptiveStatistics,
+    EmbeddingFormat,
+    ModelFormat,
+    ModelPart,
+)
 
 # Deprecated alias kept for reference parity (`train` wraps `pretrain`).
 train = pretrain
 
 __all__ = [
+    "BenchmarkResult",
+    "BenchmarkStatistics",
+    "DescriptiveStatistics",
+    "EmbeddingFormat",
+    "ModelFormat",
+    "ModelPart",
     "benchmark_object_detection",
     "embed",
     "evaluate_knn",

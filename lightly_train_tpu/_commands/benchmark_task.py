@@ -13,7 +13,6 @@ evaluator — portability check, not a speed contender).
 
 from __future__ import annotations
 
-import statistics
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Literal, Optional
@@ -206,17 +205,13 @@ def benchmark_from_config(config: BenchmarkConfig) -> Dict[str, Any]:
         jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) * 1000)
 
+    from lightly_train_tpu.types import DescriptiveStatistics
+
     result: Dict[str, Any] = {
         "backend": config.backend,
         "device": str(jax.devices()[0].platform),
         "image_size": config.image_size,
-        "latency_ms": {
-            "mean": statistics.mean(times),
-            "median": statistics.median(times),
-            "p90": sorted(times)[int(0.9 * len(times))],
-            "min": min(times),
-            "max": max(times),
-        },
+        "latency_ms": DescriptiveStatistics.from_times(times).dump(),
     }
 
     if config.data is not None:

@@ -26,6 +26,7 @@ from lightly_train_tpu._logging import get_logger, set_up_console_logging
 from lightly_train_tpu.models.package_registry import get_wrapped_model
 from lightly_train_tpu.parallel import get_default_mesh
 from lightly_train_tpu.parallel.mesh import batch_sharding
+from lightly_train_tpu.types import EmbeddingFormat
 
 logger = get_logger("embed")
 
@@ -34,7 +35,7 @@ class EmbedConfig(PydanticConfig):
     out: str
     data: str
     checkpoint: str
-    format: Literal["csv", "lightly_csv", "npz", "torch"] = "npz"
+    format: EmbeddingFormat = EmbeddingFormat.NPZ
     image_size: int = 224
     batch_size: int = 128
     precision: Literal["bf16", "fp32"] = "fp32"

@@ -13,7 +13,7 @@ the requested format:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Literal
+from typing import Any, Dict
 
 import numpy as np
 
@@ -25,6 +25,7 @@ from lightly_train_tpu._configs.config import PydanticConfig
 from lightly_train_tpu._configs.validate import pydantic_model_validate
 from lightly_train_tpu._logging import get_logger, set_up_console_logging
 from lightly_train_tpu.errors import ConfigError
+from lightly_train_tpu.types import ModelFormat, ModelPart
 
 logger = get_logger("export")
 
@@ -42,10 +43,8 @@ def flatten_params(params: Any, prefix: str = "") -> Dict[str, np.ndarray]:
 class ExportConfig(PydanticConfig):
     out: str
     checkpoint: str
-    part: Literal["model", "embedding_model"] = "model"
-    format: Literal[
-        "package_default", "numpy_state_dict", "torch_state_dict"
-    ] = "package_default"
+    part: ModelPart = ModelPart.MODEL
+    format: ModelFormat = ModelFormat.PACKAGE_DEFAULT
 
 
 def export(out: str, checkpoint: str, **kwargs: Any) -> Path:
@@ -120,6 +119,6 @@ def export_from_config(config: ExportConfig) -> Path:
         flat = {**flat, **head_flat}
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in flat.items()},
                    out_path)
-    logger.info("Exported %s (%d tensors) to %s", config.format, len(flat),
-                out_path)
+    logger.info("Exported %s (%d tensors) to %s", config.format.value,
+                len(flat), out_path)
     return out_path

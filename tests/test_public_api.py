@@ -30,6 +30,33 @@ TPU_NATIVE_EXTRAS = [
     "extract_video_frames",
 ]
 
+# Reference __all__ type/enum names (non-callable surface).
+REFERENCE_TYPES = [
+    "BenchmarkResult",
+    "BenchmarkStatistics",
+    "DescriptiveStatistics",
+    "EmbeddingFormat",
+    "ModelFormat",
+    "ModelPart",
+]
+
+
+def test_reference_types_present():
+    missing = [n for n in REFERENCE_TYPES if not hasattr(lt, n)]
+    assert missing == []
+    assert lt.EmbeddingFormat("lightly_csv").value == "lightly_csv"
+    assert lt.ModelPart.EMBEDDING_MODEL == "embedding_model"
+    assert lt.ModelFormat.PACKAGE_DEFAULT == "package_default"
+    stats = lt.DescriptiveStatistics.from_times([1.0, 2.0, 3.0])
+    assert stats.mean == 2.0 and stats.min == 1.0 and stats.p90 == 3.0
+    result = lt.BenchmarkResult.from_dict({
+        "backend": "jax", "image_size": 640,
+        "latency_ms": {"mean": 4.0, "median": 4.0, "min": 3.0, "max": 5.0},
+        "map": 0.5,
+    })
+    assert result.statistics.throughput_img_s == 250.0
+    assert result.metric_values["map"] == 0.5
+
 
 def test_reference_api_complete():
     missing = [n for n in REFERENCE_API if not callable(getattr(lt, n, None))]
