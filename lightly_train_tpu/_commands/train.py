@@ -110,7 +110,9 @@ class TrainConfig(PydanticConfig):
     num_workers: int = 8
     seed: int = 0
     log_every: int = 50
-    loggers: List[str] = ["jsonl"]
+    # List of names, or reference-style dict (name -> kwargs | None: None
+    # disables a default backend) — ``_commands/train.py:179-182``.
+    loggers: Union[List[str], Dict[str, Optional[Dict[str, Any]]]] = ["jsonl"]
     log_augmentations: bool = True
     nan_check: bool = True
     checkpoint_every: Union[int, Auto] = AUTO

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any, Callable, Dict, Literal, Optional, Tuple, Union
+from typing import Any, Callable, Dict, List, Literal, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from lightly_train_tpu._checkpoint.checkpoint import (
 from lightly_train_tpu._configs.config import AUTO, Auto, PydanticConfig
 from lightly_train_tpu._configs.validate import pydantic_model_validate
 from lightly_train_tpu._data.task_loader import TaskTrainLoader, TaskValLoader
-from lightly_train_tpu._loggers.jsonl import JSONLLogger
+from lightly_train_tpu._loggers.multi import build_loggers
 from lightly_train_tpu._logging import (
     get_logger,
     set_up_console_logging,
@@ -79,6 +79,9 @@ class TrainTaskConfig(PydanticConfig):
     num_workers: int = 8
     seed: int = 0
     log_every: int = 50
+    # List of names or reference-style dict (name -> kwargs | None)
+    # (``_loggers/multi.py`` build_loggers).
+    loggers: Union[List[str], Dict[str, Optional[Dict[str, Any]]]] = ["jsonl"]
     val_every: Union[int, Auto] = AUTO
     save_every: Union[int, Auto] = AUTO
     # Per-task transform schema overrides (reference ``TaskTransformArgs``,
@@ -506,7 +509,7 @@ def run_task_training(
         state = jax.device_put(state, NamedSharding(mesh, P()))
         logger.info("Resumed from step %d", int(state.step))
 
-    jsonl = JSONLLogger(out_dir)
+    jsonl = build_loggers(out_dir, config.loggers)
     jsonl.log_hyperparams(
         {
             **config.dump(),

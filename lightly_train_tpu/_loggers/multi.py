@@ -11,7 +11,7 @@ surface and log on process 0 only.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 from lightly_train_tpu._loggers.jsonl import JSONLLogger
 from lightly_train_tpu._logging import get_logger
@@ -148,13 +148,29 @@ _BACKENDS = {
 }
 
 
-def build_loggers(out_dir: Path, names: List[str]) -> MultiLogger:
-    """names like ["jsonl", "tensorboard"]; unknown names raise."""
+def build_loggers(
+    out_dir: Path,
+    spec: Union[List[str], Dict[str, Optional[Dict[str, Any]]]],
+) -> MultiLogger:
+    """Build the logger fan-out from a list of names or a config dict.
+
+    List form: ``["jsonl", "tensorboard"]``. Dict form (reference
+    ``loggers:`` semantics, ``_commands/train.py:179-182``): name -> kwargs
+    dict to configure a backend, or -> None to disable a default one, e.g.
+    ``{"wandb": {"project": "exp"}, "jsonl": None}``. The dict form starts
+    from the default ("jsonl" on). Unknown names raise.
+    """
+    if isinstance(spec, dict):
+        merged: Dict[str, Optional[Dict[str, Any]]] = {"jsonl": {}}
+        merged.update(spec)
+        entries = [(n, kw) for n, kw in merged.items() if kw is not None]
+    else:
+        entries = [(n, {}) for n in spec]
     loggers = []
-    for name in names:
+    for name, kwargs in entries:
         if name not in _BACKENDS:
             raise ValueError(
                 f"Unknown logger '{name}'. Options: {sorted(_BACKENDS)}"
             )
-        loggers.append(_BACKENDS[name](out_dir))
+        loggers.append(_BACKENDS[name](out_dir, **(kwargs or {})))
     return MultiLogger(loggers)

@@ -281,6 +281,21 @@ def test_pretrain_multiple_data_dirs(tmp_path):
     assert int(state.step) == 2
 
 
+def test_pretrain_loggers_dict_form(tmp_path, image_dir):
+    """Reference loggers= semantics: dict of name -> kwargs | None, where
+    None disables a default backend (_commands/train.py:179-182)."""
+    out = tmp_path / "out"
+    lt.pretrain(
+        out=str(out), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32},
+        loggers={"jsonl": None, "tensorboard": {}},
+        **_common_kwargs(),
+    )
+    assert not (out / "metrics.jsonl").exists()
+    assert (out / "tensorboard").exists()
+
+
 def test_list_models_and_methods_api():
     assert "dinov2/vitb14" in lt.list_models()
     assert "distillation" in lt.list_methods()
