@@ -94,8 +94,9 @@ def export_model(
 
 def resolve_pretrained_source(
     checkpoint: str, model_name: str
-) -> tuple[Dict[str, Any], str]:
-    """Resolve a user ``checkpoint`` argument to (variables, model_name).
+) -> tuple[Dict[str, Any], str, Optional[Dict[str, Any]]]:
+    """Resolve a user ``checkpoint`` argument to
+    (variables, model_name, embed_head | None).
 
     Accepts an exported-artifact directory, a raw torch ``.pth``/``.pt``
     file (converted for ``model_name``), or the literal ``"auto"`` to fetch
@@ -105,7 +106,8 @@ def resolve_pretrained_source(
 
     ``variables`` is a flax variables dict ({"params": ..., possibly
     "batch_stats": ...}); an exported artifact overrides ``model_name``
-    with the name it was exported under.
+    with the name it was exported under and carries its ``embed_dim``
+    projection head when it was pretrained with one.
     """
     ckpt = checkpoint
     if ckpt == "auto":
@@ -119,9 +121,17 @@ def resolve_pretrained_source(
             load_torch_checkpoint_for_model,
         )
 
-        return load_torch_checkpoint_for_model(path, model_name), model_name
+        return (
+            load_torch_checkpoint_for_model(path, model_name),
+            model_name,
+            None,
+        )
     artifact = load_exported_model(path)
-    return artifact["variables"], artifact["model_name"]
+    return (
+        artifact["variables"],
+        artifact["model_name"],
+        artifact.get("embed_head"),
+    )
 
 
 def load_exported_model(path: Path) -> Dict[str, Any]:

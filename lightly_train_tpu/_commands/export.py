@@ -65,10 +65,10 @@ def export_from_config(config: ExportConfig) -> Path:
             "to train one, or export part='model' (reference export part=, "
             "_commands/export.py)."
         )
-    # Flat per-leaf head entries for the state-dict formats.
+    # Flat per-leaf head entries for the numpy state dict (flax layout).
     head_flat = (
-        {f"embed_head.{k}": v
-         for k, v in flatten_params(embed_head["params"]).items()}
+        {f"embed_head/{k}": v
+         for k, v in flatten_params(embed_head["params"]["embed"]).items()}
         if config.part == "embedding_model"
         else {}
     )
@@ -76,15 +76,17 @@ def export_from_config(config: ExportConfig) -> Path:
         model_state = {
             k: v for k, v in artifact["variables"].items() if k != "params"
         }
+        skip_meta = {"params", "variables", "embed_head", "model_name"}
+        if config.part != "embedding_model":
+            # The head is dropped, so the metadata must not claim one.
+            skip_meta.add("embed_dim")
         export_model(
             out_path,
             artifact["model_name"],
             artifact["params"],
             model_state=model_state or None,
             extra_meta={
-                k: v
-                for k, v in artifact.items()
-                if k not in ("params", "variables", "embed_head", "model_name")
+                k: v for k, v in artifact.items() if k not in skip_meta
             },
             embed_head=embed_head if config.part == "embedding_model" else None,
         )
@@ -116,7 +118,15 @@ def export_from_config(config: ExportConfig) -> Path:
             flat = convert_flax_vit_to_torch_state_dict(params, depth)
         else:
             flat = flatten_params(params)
-        flat = {**flat, **head_flat}
+        if config.part == "embedding_model":
+            # torch consumers expect nn.Linear naming and (out, in) weight
+            # layout, not the flax (in, out) kernel.
+            head = embed_head["params"]["embed"]
+            flat = {
+                **flat,
+                "embed_head.weight": np.asarray(head["kernel"]).T,
+                "embed_head.bias": np.asarray(head["bias"]),
+            }
         torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in flat.items()},
                    out_path)
     logger.info("Exported %s (%d tensors) to %s", config.format.value,

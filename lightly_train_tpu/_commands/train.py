@@ -316,16 +316,35 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
         )
         from lightly_train_tpu._commands.train_task import _merge_pretrained
 
-        pretrained, _ = resolve_pretrained_source(
+        pretrained, src_name, src_embed_head = resolve_pretrained_source(
             config.checkpoint, config.model
         )
+        if src_name != config.model:
+            # A disjoint param tree would merge as a silent no-op; refuse
+            # loudly instead of "pretraining from checkpoint" from scratch.
+            raise ConfigError(
+                f"checkpoint was exported for model '{src_name}' but this "
+                f"run pretrains '{config.model}'. Pass model='{src_name}' "
+                "or a matching checkpoint."
+            )
         if config.embed_dim is not None:
             # Projected model: the artifact's bare backbone lands in the
-            # "backbone" subtree; the "embed" projection stays fresh.
+            # "backbone" subtree; the artifact's trained projection (when
+            # its width matches) continues too, else it re-initializes.
             student = dict(params["student"])
             student["backbone"] = _merge_pretrained(
                 student["backbone"], pretrained["params"]
             )
+            if src_embed_head is not None:
+                head = src_embed_head["params"]["embed"]
+                if head["kernel"].shape == student["embed"]["kernel"].shape:
+                    student["embed"] = head
+                else:
+                    logger.warning(
+                        "Checkpoint embed head %s does not match embed_dim="
+                        "%d; the projection re-initializes.",
+                        head["kernel"].shape, config.embed_dim,
+                    )
             params = {**params, "student": student}
             for k, v in pretrained.items():
                 if k != "params" and k in model_state:

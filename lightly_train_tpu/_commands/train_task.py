@@ -649,7 +649,7 @@ def _load_backbone(config: TrainTaskConfig):
             resolve_pretrained_source,
         )
 
-        pretrained, model_name = resolve_pretrained_source(
+        pretrained, model_name, _ = resolve_pretrained_source(
             config.checkpoint, model_name
         )
     else:

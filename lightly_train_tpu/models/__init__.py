@@ -1,4 +1,4 @@
-from lightly_train_tpu.models.embedding import EmbeddingModel
+from lightly_train_tpu.models.embedding import ProjectedFeaturesModule, project_wrapped
 from lightly_train_tpu.models.package_registry import (
     get_wrapped_model,
     list_models,
@@ -7,7 +7,8 @@ from lightly_train_tpu.models.package_registry import (
 from lightly_train_tpu.models.wrapper import WrappedModel
 
 __all__ = [
-    "EmbeddingModel",
+    "ProjectedFeaturesModule",
+    "project_wrapped",
     "WrappedModel",
     "get_wrapped_model",
     "list_models",

@@ -1,10 +1,10 @@
-"""EmbeddingModel: backbone + optional linear embedding head.
+"""Embedding projection: backbone + trainable linear embedding head.
 
-Rebuild of ``src/lightly_train/_models/embedding_model.py:22-80``: wraps any
-WrappedModel and optionally projects pooled features to ``embed_dim`` with a
-linear layer (the reference uses a 1x1 Conv on the feature map; on pooled
-features that is a Dense).
-"""
+Rebuild of ``src/lightly_train/_models/embedding_model.py:22-80`` as the
+``embed_dim`` pathway: during pretraining ``project_wrapped`` joins a shared
+Dense (the NHWC analog of the reference's 1x1 Conv) to every feature output;
+at inference ``_EmbedHead`` applies the exported head sidecar to pooled
+features (identical by linearity)."""
 
 from __future__ import annotations
 
@@ -78,38 +78,3 @@ def project_wrapped(wrapped: WrappedModel, embed_dim: int, dtype: Any):
     )
 
 
-@dataclasses.dataclass(frozen=True)
-class EmbeddingModel:
-    wrapped: WrappedModel
-    embed_dim: Optional[int] = None  # None -> raw backbone features
-
-    @property
-    def out_dim(self) -> int:
-        return self.embed_dim if self.embed_dim is not None else self.wrapped.feature_dim
-
-    def init(self, rng: jax.Array, sample: jax.Array) -> Dict[str, Any]:
-        k_backbone, k_head = jax.random.split(rng)
-        variables = {"backbone": self.wrapped.init(k_backbone, sample)}
-        if self.embed_dim is not None:
-            head = _EmbedHead(self.embed_dim)
-            pooled_dim = self.wrapped.feature_dim
-            variables["head"] = head.init(
-                k_head, jnp.zeros((1, pooled_dim), dtype=jnp.float32)
-            )
-        return variables
-
-    def embed(
-        self,
-        variables: Dict[str, Any],
-        images: jax.Array,
-        train: bool = False,
-        rngs: Optional[Dict[str, jax.Array]] = None,
-    ) -> jax.Array:
-        """(B, H, W, 3) images -> (B, out_dim) embeddings."""
-        out = self.wrapped.forward_features(
-            variables["backbone"], images, train=train, rngs=rngs
-        )
-        pooled = self.wrapped.forward_pool(out)
-        if self.embed_dim is not None:
-            pooled = _EmbedHead(self.embed_dim).apply(variables["head"], pooled)
-        return pooled

@@ -79,6 +79,9 @@ class _LTDETRModule(nn.Module):
         # "trunk" (all backbone modules take a single cfg attribute).
         trunk = type(self.wrapped.module)(self.wrapped.module.cfg, name="trunk")
         out = trunk(images, train=False)  # backbone submodule
+        # Consumers with mutable=["intermediates"] (the instance-seg mask
+        # head) reuse the trunk features instead of a second trunk forward.
+        self.sow("intermediates", "trunk_features", out["features"])
         stage_feats = out.get("stage_features")
         if stage_feats is not None and len(stage_feats) >= 3:
             feats = stage_feats[-3:]  # /8, /16, /32 for CNNs

@@ -69,13 +69,13 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
             variables, images, train=train, rngs=rngs, mutable=mutable
         )
         queries = aux["intermediates"]["decoder"]["final_queries"][0]
+        # Trunk features sown by _LTDETRModule: the mask head projects them
+        # directly — no second backbone forward.
+        feats = aux["intermediates"]["trunk_features"][0]
         new_model_state = {
             k: v for k, v in aux.items() if k != "intermediates"
         } or model_state
-        # Pixel features: recompute /8 level from the first encoder output is
-        # costly; instead use a learned projection of the backbone features
-        # held in a separate "mask_head" param group.
-        return outputs, queries, new_model_state
+        return outputs, queries, feats, new_model_state
 
     def init(self, rng, sample_batch):
         k1, k2, k3 = jax.random.split(rng, 3)
@@ -109,19 +109,8 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         }
         return params, model_state
 
-    def _mask_logits(self, params, model_state, queries, images):
-        """(B, Q, D) queries + images -> (B, Q, gh*gw) mask logits."""
-        variables = {"params": params["backbone"]["trunk"]}
-        # BN backbones (ECViT for the ltdetrv2 zoo) need their running
-        # stats; ViT backbones have none. Stats mirror the param scopes,
-        # so the trunk subtree addresses the wrapped module directly.
-        stats = (model_state or {}).get("batch_stats", {})
-        if isinstance(stats, dict) and stats.get("trunk"):
-            variables["batch_stats"] = stats["trunk"]
-        trunk_out = self.wrapped.forward_features(
-            variables, images, train=False
-        )
-        feats = trunk_out["features"]  # (B, gh, gw, Df)
+    def _mask_logits(self, params, feats, queries):
+        """(B, Q, D) queries + (B, gh, gw, Df) trunk features -> mask logits."""
         mh = params["mask_head"]
         q_emb = queries @ mh["query_proj"]["kernel"] + mh["query_proj"]["bias"]
         p_emb = feats @ mh["pixel_proj"]["kernel"] + mh["pixel_proj"]["bias"]
@@ -133,15 +122,13 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
 
     def loss_fn(self, params, model_state, batch, rng, step):
         del step
-        outputs, queries, new_model_state = self._apply_with_masks(
+        outputs, queries, feats, new_model_state = self._apply_with_masks(
             params, model_state, batch["images"], True, rng
         )
         det_loss, metrics = detection_criterion(
             outputs, batch["seg_labels"], batch["boxes"], batch["seg_valid"]
         )
-        mask_logits, (gh, gw) = self._mask_logits(
-            params, model_state, queries, batch["images"]
-        )
+        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
         # Targets at patch resolution from the slot-id map.
         K = batch["seg_labels"].shape[1]
         B = batch["seg_map"].shape[0]
@@ -181,12 +168,10 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         return det_loss + mask_loss, (new_model_state, metrics)
 
     def val_step(self, params, model_state, batch):
-        outputs, queries, _ = self._apply_with_masks(
+        outputs, queries, feats, _ = self._apply_with_masks(
             params, model_state, batch["images"], False
         )
-        mask_logits, (gh, gw) = self._mask_logits(
-            params, model_state, queries, batch["images"]
-        )
+        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
         logits_f, boxes_f = outputs[-1]
         C = self.args.num_classes
         scores = jax.nn.sigmoid(logits_f[..., :C])
@@ -246,11 +231,11 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
             k: v for k, v in variables.items()
             if k not in ("params", "intermediates")
         }
-        outputs, queries, _ = self._apply_with_masks(
+        outputs, queries, feats, _ = self._apply_with_masks(
             params, model_state, images, False
         )
         boxes, scores, labels = self._decode(outputs)
-        mask_logits, (gh, gw) = self._mask_logits(params, model_state, queries, images)
+        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
         B, Q = mask_logits.shape[:2]
         masks = (jax.nn.sigmoid(mask_logits) > self.args.mask_threshold)
         return boxes, scores, labels, masks.reshape(B, Q, gh, gw)

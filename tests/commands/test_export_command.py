@@ -81,8 +81,9 @@ def test_export_numpy_state_dict_parts(tmp_path, pretrain_run):
     )
     m = np.load(out_m)
     e = np.load(out_e)
-    assert not any(k.startswith("embed_head.") for k in m.files)
-    head_keys = [k for k in e.files if k.startswith("embed_head.")]
+    assert not any(k.startswith("embed_head/") for k in m.files)
+    head_keys = [k for k in e.files if k.startswith("embed_head/")]
+    assert sorted(head_keys) == ["embed_head/bias", "embed_head/kernel"]
     assert head_keys and set(e.files) - set(head_keys) == set(m.files)
 
 
@@ -94,7 +95,8 @@ def test_export_torch_state_dict(tmp_path, pretrain_run):
         format="torch_state_dict", part="embedding_model",
     )
     sd = torch.load(out, weights_only=True)
-    assert any(k.startswith("embed_head.") for k in sd)
+    assert sd["embed_head.weight"].shape[0] == 24  # (out, in) torch layout
+    assert sd["embed_head.bias"].shape == (24,)
     assert all(isinstance(v, torch.Tensor) for v in sd.values())
 
 

@@ -192,6 +192,59 @@ def test_pretrain_further_from_checkpoint(tmp_path, image_dir):
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
 
 
+def test_pretrain_checkpoint_model_mismatch_raises(tmp_path, image_dir):
+    """A checkpoint exported for another model must refuse loudly — the
+    disjoint-tree merge would otherwise silently train from scratch."""
+    from lightly_train_tpu.errors import ConfigError
+
+    out_a = tmp_path / "a"
+    lt.pretrain(
+        out=str(out_a), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, **_common_kwargs(),
+    )
+    with pytest.raises(ConfigError, match="resnettest"):
+        lt.pretrain(
+            out=str(tmp_path / "b"), data=str(image_dir),
+            model="dinov3/vittest16", method="simclr",
+            method_args={"image_size": 32},
+            checkpoint=str(out_a / "exported_models" / "exported_last"),
+            **_common_kwargs(),
+        )
+
+
+def test_pretrain_checkpoint_continues_embed_head(tmp_path, image_dir):
+    """Further-pretraining with embed_dim continues the artifact's TRAINED
+    projection head instead of re-initializing it."""
+    import jax
+
+    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
+
+    out_a = tmp_path / "a"
+    lt.pretrain(
+        out=str(out_a), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, embed_dim=24, **_common_kwargs(),
+    )
+    artifact = out_a / "exported_models" / "exported_last"
+    kwargs = _common_kwargs()
+    kwargs.update(steps=1, learning_rate=0.0)
+    lt.pretrain(
+        out=str(tmp_path / "b"), data=str(image_dir),
+        model="torchvision/resnettest", method="simclr",
+        method_args={"image_size": 32}, embed_dim=24,
+        checkpoint=str(artifact), **kwargs,
+    )
+    head_a = load_exported_model(artifact)["embed_head"]
+    head_b = load_exported_model(
+        tmp_path / "b" / "exported_models" / "exported_last"
+    )["embed_head"]
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(head_a), jax.tree_util.tree_leaves(head_b)
+    ):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 def test_pretrain_checkpoint_conflicts_with_resume(tmp_path, image_dir):
     from lightly_train_tpu.errors import ConfigError
 

@@ -7,7 +7,6 @@ import pytest
 
 from lightly_train_tpu.errors import UnknownModelError
 from lightly_train_tpu.models import (
-    EmbeddingModel,
     get_wrapped_model,
     list_models,
 )
@@ -94,15 +93,38 @@ def test_resnet_forward_and_batchstats(sample):
     assert out["features"].shape == (2, 1, 1, 64)
 
 
-def test_embedding_model(sample):
+def test_projected_wrapped_model(sample):
+    """The embed_dim pathway: every feature output projects to embed_dim,
+    the param tree splits into {backbone, embed}, and applying the
+    sidecar-format head after pooling equals projecting before pooling
+    (linearity — what embed relies on)."""
+    import jax.numpy as jnp
+
+    from lightly_train_tpu.models.embedding import _EmbedHead, project_wrapped
+
     m = get_wrapped_model("dinov3/convnext-test")
-    emb = EmbeddingModel(m, embed_dim=16)
-    variables = emb.init(jax.random.key(0), sample)
-    z = emb.embed(variables, sample)
-    assert z.shape == (2, 16)
-    emb_raw = EmbeddingModel(m, embed_dim=None)
-    variables = emb_raw.init(jax.random.key(0), sample)
-    assert emb_raw.embed(variables, sample).shape == (2, 64)
+    proj = project_wrapped(m, 16, jnp.float32)
+    assert proj.feature_dim == 16
+    variables = proj.init(jax.random.key(0), sample)
+    assert set(variables["params"]) == {"backbone", "embed"}
+    out = proj.forward_features(variables, sample)
+    assert out["features"].shape[-1] == 16
+    assert proj.forward_pool(out).shape == (2, 16)
+
+    # Sidecar application (embed command): pool raw, then apply the head.
+    raw = m.forward_features(
+        {"params": variables["params"]["backbone"],
+         **{k: v["backbone"] for k, v in variables.items() if k != "params"}},
+        sample,
+    )
+    pooled_raw = m.forward_pool(raw)
+    head_vars = {"params": {"embed": variables["params"]["embed"]}}
+    z = _EmbedHead(16).apply(head_vars, pooled_raw)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        np.asarray(z), np.asarray(proj.forward_pool(out)), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_vit_droppath_rng_train_mode():

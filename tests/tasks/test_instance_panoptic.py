@@ -149,9 +149,11 @@ def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
 
 
 def test_ltdetr_seg_bn_backbone_mask_head():
-    """Regression: the mask head's trunk forward must thread batch_stats —
-    with an ECViT (BatchNorm) backbone it crashed with
-    ScopeCollectionNotFound; ViT backbones masked the bug (no BN)."""
+    """Regression: the mask head once re-ran the trunk with params-only
+    variables — an ECViT (BatchNorm) backbone crashed with
+    ScopeCollectionNotFound (ViT backbones masked the bug). The mask head
+    now reuses the sown trunk features; this drives the BN config through
+    eval predict and deploy-fused predict and checks they agree."""
     import jax
     import jax.numpy as jnp
 
