@@ -60,14 +60,19 @@ class _LockstepMismatchError(Exception):
 
 
 def _lockstep_batch_axes(
-    closed_a: jax_core.ClosedJaxpr, closed_b: jax_core.ClosedJaxpr
+    closed_a: jax_core.ClosedJaxpr,
+    closed_b: jax_core.ClosedJaxpr,
+    batch: int,
 ) -> Dict[int, frozenset]:
     """id(var in trace A) -> axes whose size differs between the traces.
 
     The two jaxprs come from tracing the same function at batch B and B+1;
     structural identity (same eqn sequence) is required — a shape-dependent
     Python branch in the model breaks it, in which case the caller falls
-    back to the static-batch heuristics with a warning.
+    back to the static-batch heuristics with a warning. A differing dim
+    must be exactly k*B -> k*(B+1): the compiler encodes batch-derived
+    dims as multiples of the runtime batch, so an affine B+c dim would
+    silently mis-shape at other batch sizes — mismatch instead.
     """
     axes: Dict[int, frozenset] = {}
 
@@ -76,14 +81,28 @@ def _lockstep_batch_axes(
         sb = tuple(int(s) for s in getattr(vb.aval, "shape", ()))
         if len(sa) != len(sb):
             raise _LockstepMismatchError(f"rank mismatch {sa} vs {sb}")
-        axes[id(va)] = frozenset(
-            i for i, (x, y) in enumerate(zip(sa, sb)) if x != y
-        )
+        diff = []
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            if x == y:
+                continue
+            k, r = divmod(x, batch)
+            if r != 0 or y != k * (batch + 1):
+                raise _LockstepMismatchError(
+                    f"dim {i}: {x}->{y} is not a pure multiple of the batch"
+                )
+            diff.append(i)
+        axes[id(va)] = frozenset(diff)
 
     def rec(ja, jb) -> None:
         if len(ja.eqns) != len(jb.eqns):
             raise _LockstepMismatchError(
                 f"eqn count {len(ja.eqns)} vs {len(jb.eqns)}"
+            )
+        if len(ja.constvars) != len(jb.constvars) or len(ja.invars) != len(
+            jb.invars
+        ):
+            raise _LockstepMismatchError(
+                "constvar/invar count mismatch between traces"
             )
         for va, vb in zip(
             list(ja.constvars) + list(ja.invars),
@@ -171,21 +190,26 @@ class _Ctx:
         for k, v in attrs.items():
             if v is None:
                 continue
-            if isinstance(v, bool):
+            if isinstance(v, (bool, np.bool_)):
                 attributes.append(op.Attribute(k, i=int(v)))
-            elif isinstance(v, int):
-                attributes.append(op.Attribute(k, i=v))
-            elif isinstance(v, float):
-                attributes.append(op.Attribute(k, f=v))
+            elif isinstance(v, (int, np.integer)):
+                attributes.append(op.Attribute(k, i=int(v)))
+            elif isinstance(v, (float, np.floating)):
+                attributes.append(op.Attribute(k, f=float(v)))
             elif isinstance(v, str):
                 attributes.append(op.Attribute(k, s=v.encode()))
             elif isinstance(v, np.ndarray):
                 attributes.append(op.Attribute(k, t=v))
             elif isinstance(v, (list, tuple)) and all(
-                isinstance(e, int) for e in v
+                isinstance(e, (int, np.integer)) for e in v
             ):
-                attributes.append(op.Attribute(k, ints=list(v)))
-            elif isinstance(v, (list, tuple)):
+                # np.int64 is not an int: without the Integral check a
+                # perm/pads list from jaxpr params would silently encode
+                # as a floats attribute that real runtimes reject.
+                attributes.append(op.Attribute(k, ints=[int(e) for e in v]))
+            elif isinstance(v, (list, tuple)) and all(
+                isinstance(e, (float, np.floating)) for e in v
+            ):
                 attributes.append(op.Attribute(k, floats=[float(e) for e in v]))
             else:  # pragma: no cover - builder misuse
                 raise TypeError(f"attr {k}={v!r}")
@@ -667,8 +691,12 @@ def _h_conv(ctx: _Ctx, eqn, ins):
         n = nchw_shape[axis]
         axes_c = ctx.const(np.asarray([axis + 1], np.int64), "axes")
         u = ctx.node("Unsqueeze", [x, axes_c])[0]
-        zero = ctx.const(np.zeros((), np_dtype), "zero")
-        z = ctx.node("Mul", [u, zero])[0]
+        # Structural zeros (NOT Mul(x, 0): inf/NaN activations would
+        # poison the interleaved positions where lax inserts exact zeros).
+        ushape = ctx.node("Shape", [u])[0]
+        z = ctx.node(
+            "Expand", [ctx.const(np.zeros((1,), np_dtype), "zeros"), ushape]
+        )[0]
         cat = ctx.node("Concat", [u] + [z] * (dil - 1), axis=axis + 1)[0]
         merged = list(nchw_shape)
         merged[axis] = n * dil
@@ -805,6 +833,29 @@ def _h_sort(ctx: _Ctx, eqn, ins):
     raise UnsupportedPrimitiveError("sort")
 
 
+def _clamped_gather_indices(ctx: _Ctx, idx: str, eqn, upper) -> str:
+    """Honor lax gather OOB modes: ONNX Gather/GatherND is undefined out of
+    bounds, so CLIP (and jnp's default clamp-on-read indexing) lowers to
+    Max/Min on the indices. FILL_OR_DROP degrades to clamping with a
+    warning — the two differ only when an index is actually out of range.
+    PROMISE_IN_BOUNDS needs nothing."""
+    from jax.lax import GatherScatterMode
+
+    mode = eqn.params.get("mode")
+    if mode == GatherScatterMode.PROMISE_IN_BOUNDS:
+        return idx
+    if mode == GatherScatterMode.FILL_OR_DROP:
+        logger.warning(
+            "gather with FILL_OR_DROP mode exports with CLIP semantics "
+            "(ONNX has no fill); outputs differ only for out-of-bounds "
+            "indices"
+        )
+    lo = ctx.const(np.asarray(0, np.int64), "zero")
+    hi = ctx.const(np.asarray(upper, np.int64), "idx_max")
+    clamped = ctx.node("Max", [idx, lo])[0]
+    return ctx.node("Min", [clamped, hi])[0]
+
+
 def _h_gather(ctx: _Ctx, eqn, ins):
     """lax.gather -> GatherND / Gather for the patterns jnp emits.
 
@@ -843,8 +894,12 @@ def _h_gather(ctx: _Ctx, eqn, ins):
         )
         and offsets == tuple(range(out_rank - (len(op_shape) - n_batch - n_idx), out_rank))
     ):
-        idx = ctx.node("Cast", [ins[1]], to=op.INT64)
-        return ctx.node("GatherND", [ins[0], idx[0]], batch_dims=n_batch)
+        idx = ctx.node("Cast", [ins[1]], to=op.INT64)[0]
+        upper = np.asarray(
+            [op_shape[d] - 1 for d in start_map], np.int64
+        )  # broadcasts over the trailing index-vector dim
+        idx = _clamped_gather_indices(ctx, idx, eqn, upper)
+        return ctx.node("GatherND", [ins[0], idx], batch_dims=n_batch)
 
     # Patterns B/C — single-axis take (ONNX Gather): no batching, one
     # indexed axis a, full slices elsewhere.
@@ -860,6 +915,9 @@ def _h_gather(ctx: _Ctx, eqn, ins):
         axis = start_map[0]
         idx_shape = tuple(int(s) for s in indices_aval.shape)
         idx = ctx.node("Cast", [ins[1]], to=op.INT64)[0]
+        idx = _clamped_gather_indices(
+            ctx, idx, eqn, np.asarray(op_shape[axis] - 1, np.int64)
+        )
         if idx_shape in ((1,), ()):
             # Scalar take: drop the trailing index-vector dim -> 0-D index.
             if idx_shape == (1,):
@@ -1098,9 +1156,15 @@ class _Builder:
             return ("const", arr)
         cname = self.ctx.const(row, "bcast")
         tail = self.ctx.const(np.asarray(arr.shape[1:], np.int64), "shape_tail")
-        expand_shape = self.ctx.node(
-            "Concat", [self.ctx.runtime_batch_1d(), tail], axis=0
-        )[0]
+        lead = self.ctx.runtime_batch_1d()
+        k = arr.shape[0] // batch
+        if k > 1:
+            # Merged k*B leading dim (e.g. views concatenated over batch):
+            # the runtime target is k * batch, not batch.
+            lead = self.ctx.node(
+                "Mul", [lead, self.ctx.const(np.asarray([k], np.int64), "k")]
+            )[0]
+        expand_shape = self.ctx.node("Concat", [lead, tail], axis=0)[0]
         out = self.ctx.node("Expand", [cname, expand_shape])
         return ("tensor", out[0])
 
@@ -1141,7 +1205,19 @@ def build_graph(
     inputs = []
     for name, var in zip(input_names, closed.jaxpr.invars):
         shape: List[Any] = [int(s) for s in var.aval.shape]
-        if dynamic_batch_size is not None and shape:
+        ba_in = _batch_axes(ctx, var)
+        if ba_in is not None:
+            # Lockstep evidence: only dims that actually scaled with the
+            # batch get the symbol (a second input with a coincidental
+            # leading dim stays static).
+            for axis in ba_in:
+                size = int(var.aval.shape[axis])
+                shape[axis] = (
+                    "batch"
+                    if size == dynamic_batch_size
+                    else f"{size // dynamic_batch_size}*batch"
+                )
+        elif dynamic_batch_size is not None and shape:
             shape[0] = "batch"
         inputs.append(
             op.encode_value_info(
@@ -1202,8 +1278,19 @@ def convert_graph_to_fp16(
     Cast targets retargeted, and float graph I/O stays float32 behind
     boundary Casts (the TensorRT-facing convention).
     """
+    def _to_fp16(arr: np.ndarray) -> np.ndarray:
+        # Saturate finite values to the fp16 range (the reference's
+        # onnxconverter pipeline clamps): a finite fp32 threshold like
+        # finfo(float32).max must not overflow to inf, which would break
+        # comparisons such as the is_finite lowering. Infinities stay.
+        fmax = np.float32(np.finfo(np.float16).max)
+        clipped = np.where(
+            np.isfinite(arr), np.clip(arr, -fmax, fmax), arr
+        )
+        return clipped.astype(np.float16)
+
     graph.initializers = [
-        (name, arr.astype(np.float16) if arr.dtype == np.float32 else arr)
+        (name, _to_fp16(arr) if arr.dtype == np.float32 else arr)
         for name, arr in graph.initializers
     ]
     for node in graph.nodes:
@@ -1287,12 +1374,15 @@ def export_fn_to_onnx(
             bumped = jax.tree_util.tree_map(_bump, tuple(example_args))
             with jax.default_device(cpu):
                 closed_b = jax.make_jaxpr(fn)(*bumped)
-            batch_axes = _lockstep_batch_axes(closed, closed_b)
-        except _LockstepMismatchError as e:
+            batch_axes = _lockstep_batch_axes(closed, closed_b, batch)
+        except Exception as e:
+            # Any second-trace failure (shape-dependent Python branch,
+            # hardcoded-batch reshape, structural mismatch) falls back —
+            # not only the structured mismatch error.
             logger.warning(
-                "Two-trace batch inference unavailable (%s); falling back "
-                "to size-comparison heuristics for dynamic batch",
-                e,
+                "Two-trace batch inference unavailable (%s: %s); falling "
+                "back to size-comparison heuristics for dynamic batch",
+                type(e).__name__, e,
             )
     with jax.default_device(cpu):
         graph = build_graph(

@@ -295,6 +295,7 @@ _TENSOR_SCHEMA: Dict[int, Tuple[str, Any, bool]] = {
     7: ("int64_data", "packed_varint", False),
     8: ("name", "string", False),
     9: ("raw_data", "bytes", False),
+    10: ("double_data", "packed_double", False),
     13: ("external_data", "bytes", True),
     14: ("data_location", "varint", False),
 }
@@ -442,6 +443,15 @@ def decode_message(buf: bytes, schema: Dict[int, Tuple[str, Any, bool]]) -> Dict
             count = len(payload) // 4
             out.setdefault(name, []).extend(struct.unpack(f"<{count}f", payload))
             continue
+        elif kind == "packed_double":
+            if wire_type == 2:
+                count = len(payload) // 8
+                out.setdefault(name, []).extend(
+                    struct.unpack(f"<{count}d", payload)
+                )
+            else:  # wire type 1 already decoded to a python float above
+                out.setdefault(name, []).append(float(payload))
+            continue
         elif isinstance(kind, dict):
             value = decode_message(payload, kind)
         else:  # pragma: no cover
@@ -471,10 +481,18 @@ def tensor_to_numpy(tensor: Dict[str, Any]) -> np.ndarray:
         return arr.reshape(dims).copy()
     if tensor.get("float_data"):
         return np.asarray(tensor["float_data"], dtype=np.float32).reshape(dims)
+    if tensor.get("double_data"):
+        return np.asarray(tensor["double_data"], dtype=np.float64).reshape(dims)
     if tensor.get("int64_data"):
         return np.asarray(tensor["int64_data"], dtype=np.int64).reshape(dims)
     if tensor.get("int32_data"):
-        return np.asarray(tensor["int32_data"], dtype=dtype).reshape(dims)
+        ints = tensor["int32_data"]
+        if elem_type in (FLOAT16, BFLOAT16):
+            # The spec stores (b)float16 payloads as raw BIT PATTERNS in
+            # int32_data; value-converting would turn fp16 1.0 into 15360.0.
+            bits = np.asarray(ints, dtype=np.uint32).astype(np.uint16)
+            return bits.view(dtype).reshape(dims).copy()
+        return np.asarray(ints, dtype=dtype).reshape(dims)
     return np.zeros(dims, dtype=dtype)
 
 
