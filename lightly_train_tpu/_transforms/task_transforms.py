@@ -182,6 +182,17 @@ class SemanticSegmentationTransformArgs(TaskTransformArgs):
                 self.random_crop.height = self.image_size[0]
             if self.random_crop.width == "auto":
                 self.random_crop.width = self.image_size[1]
+            if (self.random_crop.height, self.random_crop.width) != tuple(
+                self.image_size
+            ):
+                from lightly_train_tpu.errors import ConfigValidationError
+
+                raise ConfigValidationError(
+                    "random_crop.height/width must equal image_size "
+                    f"({tuple(self.image_size)}): the crop IS the model "
+                    "input here. Set image_size= on the train_* call to "
+                    "change the training resolution."
+                )
         if (
             self.smallest_max_size is not None
             and self.smallest_max_size.max_size == "auto"
@@ -266,6 +277,12 @@ def build_train_transform(args: TaskTransformArgs, dtype: Any):
     rot = args.random_rotate
     scale_jitter = getattr(args, "scale_jitter", None)
     random_crop = getattr(args, "random_crop", None)
+    smallest = getattr(args, "smallest_max_size", None)
+    if smallest is not None and scale_jitter is not None:
+        logger.info(
+            "smallest_max_size set: it replaces scale_jitter in the "
+            "geometric chain (set scale_jitter=None to silence this)"
+        )
     rrc = getattr(args, "random_crop", None) if isinstance(
         args, ImageClassificationTransformArgs
     ) else None
@@ -296,6 +313,42 @@ def build_train_transform(args: TaskTransformArgs, dtype: Any):
                 boxes = T.sample_random_resized_crop(
                     keys[3], B, (H, W), rrc.min_scale, rrc.max_scale
                 )
+            elif args.resize_scale is not None:
+                # Reference val-style recipe when random_crop is disabled:
+                # resize shorter side to size*scale + center crop size
+                # (``image_classification_transform.py:153-185``). In
+                # staged-pixel space: a centered window of size/scale.
+                ch = jnp.full((B,), H / float(args.resize_scale))
+                cw = jnp.full((B,), W / float(args.resize_scale))
+                boxes = ((jnp.full((B,), H) - ch) / 2.0,
+                         (jnp.full((B,), W) - cw) / 2.0, ch, cw)
+        elif smallest is not None:
+            # SmallestMaxSize(msz) + RandomCrop: resize factor
+            # f = msz/min(H, W), crop window out_hw/f in staged pixels,
+            # uniform offsets, center-pad when the window exceeds the image
+            # (``eomt_transforms/semantic_segmentation.py:58-76``). When
+            # the resize does not fire (prob), a plain RandomCrop(out_hw)
+            # remains; random_crop.prob skips cropping entirely.
+            f = float(smallest.max_size) / float(min(H, W))
+            k_a, k_y, k_x, k_c = jax.random.split(keys[3], 4)
+            applied = jax.random.uniform(k_a, (B,)) < smallest.prob
+            h = jnp.where(applied, out_hw[0] / f, float(out_hw[0]))
+            w = jnp.where(applied, out_hw[1] / f, float(out_hw[1]))
+            if random_crop is not None and not random_crop.pad_if_needed:
+                h = jnp.minimum(h, float(H))
+                w = jnp.minimum(w, float(W))
+            u_y = jax.random.uniform(k_y, (B,))
+            u_x = jax.random.uniform(k_x, (B,))
+            y0 = jnp.where(h <= H, u_y * (H - h), -(h - H) / 2.0)
+            x0 = jnp.where(w <= W, u_x * (W - w), -(w - W) / 2.0)
+            if random_crop is not None and random_crop.prob < 1.0:
+                skip = jax.random.uniform(k_c, (B,)) >= random_crop.prob
+                y0 = jnp.where(skip, 0.0, y0)
+                x0 = jnp.where(skip, 0.0, x0)
+                h = jnp.where(skip, float(H), h)
+                w = jnp.where(skip, float(W), w)
+            boxes = (y0, x0, h, w)
+            fill = float(random_crop.fill) / 255.0 if random_crop else 0.0
         elif scale_jitter is not None or random_crop is not None:
             sj = scale_jitter or ScaleJitterArgs(
                 min_scale=1.0, max_scale=1.0, num_scales=1, prob=0.0
@@ -303,6 +356,10 @@ def build_train_transform(args: TaskTransformArgs, dtype: Any):
             boxes = T.sample_scale_jitter_crop(
                 keys[3], B, (H, W), out_hw,
                 sj.min_scale, sj.max_scale, sj.num_scales, sj.prob,
+                crop_prob=random_crop.prob if random_crop else 1.0,
+                pad_if_needed=(
+                    random_crop.pad_if_needed if random_crop else True
+                ),
             )
             fill = float(random_crop.fill) / 255.0 if random_crop else 0.0
 
@@ -349,20 +406,29 @@ def build_train_transform(args: TaskTransformArgs, dtype: Any):
                             do[..., 0], out[mk][:, ::-1, :], out[mk]
                         )
 
+        map_keys = [mk for mk in _MAP_KEYS if mk in batch]
         if rot90 is not None and rot90.prob > 0:
-            maps_key = next((mk for mk in _MAP_KEYS if mk in batch), None)
             images, rotated = T.random_rot90(
                 keys[4], rot90.prob, images,
-                out[maps_key] if maps_key else None,
+                [out[mk] for mk in map_keys] or None,
             )
-            if maps_key:
-                out[maps_key] = rotated
+            for mk, r in zip(map_keys, rotated or []):
+                out[mk] = r
 
         if rot is not None and rot.prob > 0:
-            # Arbitrary-angle rotation applies to images only (reference
-            # default None for every task recipe; id maps would need
-            # nearest-warp support).
-            images = A.random_rotate(keys[5], images, rot.prob, rot.degrees)
+            # Arbitrary-angle rotation; id maps rotate jointly with nearest
+            # sampling (reflect-101 border like the images).
+            if map_keys:
+                images, rotated = A.random_rotate(
+                    keys[5], images, rot.prob, rot.degrees,
+                    maps=[out[mk] for mk in map_keys],
+                )
+                for mk, r in zip(map_keys, rotated):
+                    out[mk] = r
+            else:
+                images = A.random_rotate(
+                    keys[5], images, rot.prob, rot.degrees
+                )
 
         if jitter is not None:
             images = A.color_jitter(

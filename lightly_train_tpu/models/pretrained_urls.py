@@ -15,7 +15,9 @@ the URL and the local-path alternative (every converter accepts a local
 from __future__ import annotations
 
 import hashlib
+import os
 import shutil
+import urllib.error
 import urllib.request
 from pathlib import Path
 from typing import Dict, Optional
@@ -69,23 +71,34 @@ def fetch_pretrained(
             dest.unlink()
         else:
             return dest
-    tmp = dest.with_suffix(dest.suffix + ".part")
+    # Unique temp name: concurrent processes (multi-host pods sharing the
+    # cache dir) must not interleave writes into one .part file; os.replace
+    # makes the final publish atomic, last-writer-wins with identical bytes.
+    tmp = dest.with_suffix(f"{dest.suffix}.{os.getpid()}.part")
     try:
         with urllib.request.urlopen(url, timeout=60) as r, open(
             tmp, "wb"
         ) as f:
             shutil.copyfileobj(r, f)
-    except OSError as e:
+    except urllib.error.HTTPError as e:
         tmp.unlink(missing_ok=True)
         raise RuntimeError(
-            f"Could not download {url} ({e}). If this environment has no "
-            "network egress, download the file elsewhere and pass its local "
-            "path (checkpoint=...) — the converter accepts the raw .pth."
+            f"Download of {url} failed with HTTP {e.code} {e.reason}. The "
+            "URL may have moved; pass a local checkpoint path "
+            "(checkpoint=...) instead."
+        ) from e
+    except Exception as e:  # URLError, IncompleteRead, timeout, disk...
+        tmp.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"Could not download {url} ({type(e).__name__}: {e}). If this "
+            "environment has no network egress, download the file elsewhere "
+            "and pass its local path (checkpoint=...) — the converter "
+            "accepts the raw .pth."
         ) from e
     if sha256 and _sha256(tmp) != sha256:
         tmp.unlink(missing_ok=True)
         raise RuntimeError(f"Checksum mismatch for {url}")
-    tmp.rename(dest)
+    os.replace(tmp, dest)
     logger.info("Downloaded %s -> %s", url, dest)
     return dest
 

@@ -568,15 +568,18 @@ def random_rotate(
     images: jax.Array,
     prob: float,
     degrees: float,
+    maps=None,
 ) -> jax.Array:
     """Per-image random rotation with reflect-101 border (albumentations
     ``Rotate`` as configured in ``view_transform.py:177-192``).
 
     Bilinear sampling on a rotated grid; runs at the (small) view resolution
-    after cropping, so the 4-corner gathers stay cheap.
+    after cropping, so the 4-corner gathers stay cheap. ``maps`` (optional
+    list of (B, H, W) integer id maps) rotate jointly with NEAREST sampling
+    on the same angles — returns (images, maps) in that case.
     """
     if prob <= 0.0 or degrees == 0.0:
-        return images
+        return images if maps is None else (images, list(maps))
     B, H, W, C = images.shape
     k_apply, k_angle = jax.random.split(key)
     apply = jax.random.uniform(k_apply, (B,)) < prob
@@ -623,7 +626,19 @@ def random_rotate(
         + gather(y1i, x0i) * fy * (1 - fx)
         + gather(y1i, x1i) * fy * fx
     )
-    return jnp.where(apply[:, None, None, None], out, images)
+    out_img = jnp.where(apply[:, None, None, None], out, images)
+    if maps is None:
+        return out_img
+    # Nearest-sampled id maps on the same per-sample angles.
+    yn = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
+    xn = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
+    lin = (yn * W + xn).reshape(B, H * W)
+    out_maps = []
+    for m in maps:
+        g = jnp.take_along_axis(m.reshape(B, H * W), lin, axis=1)
+        g = g.reshape(B, H, W)
+        out_maps.append(jnp.where(apply[:, None, None], g, m))
+    return out_img, out_maps
 
 
 def augment_view(

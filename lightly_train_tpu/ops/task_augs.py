@@ -139,6 +139,8 @@ def sample_scale_jitter_crop(
     max_scale: float,
     num_scales: int,
     prob: float = 1.0,
+    crop_prob: float = 1.0,
+    pad_if_needed: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Per-sample crop boxes for scale_jitter + random_crop(pad center).
 
@@ -146,11 +148,14 @@ def sample_scale_jitter_crop(
     ``1 - prob`` the scale step is skipped and the box is a plain (oh, ow)
     random crop of the staged image (albumentations OneOf(p=prob) followed by
     RandomCrop). Scales are the reference's ``np.linspace(min, max, num)``
-    grid (``eomt_transforms/utils.py:96-115``).
+    grid (``eomt_transforms/utils.py:96-115``). ``crop_prob`` < 1 skips the
+    whole crop for a sample (identity box over the staged image);
+    ``pad_if_needed=False`` clamps windows inside the image instead of
+    center-padding when the jittered window exceeds it.
     """
     H, W = in_hw
     oh, ow = out_hw
-    k_s, k_apply, k_y, k_x = jax.random.split(key, 4)
+    k_s, k_apply, k_y, k_x, k_crop = jax.random.split(key, 5)
     scales = jnp.linspace(min_scale, max_scale, max(num_scales, 1))
     s = scales[jax.random.randint(k_s, (batch,), 0, len(scales))]
     applied = jax.random.uniform(k_apply, (batch,)) < prob
@@ -170,6 +175,17 @@ def sample_scale_jitter_crop(
     x0r = jnp.where(rw >= ow, u_x * (rw - ow), -(ow - rw) / 2.0)
     y0 = y0r * H / rh
     x0 = x0r * W / rw
+    if not pad_if_needed:
+        h = jnp.minimum(h, float(H))
+        w = jnp.minimum(w, float(W))
+        y0 = jnp.clip(y0, 0.0, H - h)
+        x0 = jnp.clip(x0, 0.0, W - w)
+    if crop_prob < 1.0:
+        skip = jax.random.uniform(k_crop, (batch,)) >= crop_prob
+        y0 = jnp.where(skip, 0.0, y0)
+        x0 = jnp.where(skip, 0.0, x0)
+        h = jnp.where(skip, float(H), h)
+        w = jnp.where(skip, float(W), w)
     return y0, x0, h, w
 
 
@@ -236,5 +252,9 @@ def random_rot90(
         )
 
     out_img = _rot(images, (1, 2))
-    out_map = _rot(maps, (1, 2)) if maps is not None else None
-    return out_img, out_map
+    if maps is None:
+        return out_img, None
+    if isinstance(maps, (list, tuple)):
+        # Several id maps (e.g. masks + seg_map) share each sample's k.
+        return out_img, [_rot(m, (1, 2)) for m in maps]
+    return out_img, _rot(maps, (1, 2))

@@ -318,3 +318,132 @@ def test_raw_torch_checkpoint_initializes_task_backbone(tmp_path):
     got = np.asarray(state.params["backbone"]["patch_embed"]["kernel"])
     want = np.asarray(variables["params"]["patch_embed"]["kernel"])
     assert np.abs(got - want).max() < 0.05
+
+
+def test_random_rotate_rotates_maps_jointly():
+    """random_rotate must keep image/mask aligned (it used to rotate images
+    only, silently corrupting segmentation labels)."""
+    B, H = 2, 32
+    # Image IS the mask pattern: a half-plane split, rotated identically.
+    masks = np.zeros((B, H, H), np.int32)
+    masks[:, : H // 2] = 1
+    images = (masks[..., None] * 255).astype(np.uint8).repeat(3, axis=-1)
+    args = resolve_task_transform_args(
+        "semantic_segmentation",
+        {
+            "scale_jitter": None, "random_crop": None, "random_flip": None,
+            "color_jitter": None,
+            "random_rotate": {"prob": 1.0, "degrees": 45.0},
+            "normalize": {"mean": (0.0, 0.0, 0.0), "std": (1.0, 1.0, 1.0)},
+        },
+        (H, H),
+    )
+    fn = build_train_transform(args, jnp.float32)
+    out = jax.jit(fn)(
+        {"images": jnp.asarray(images), "masks": jnp.asarray(masks)},
+        jax.random.key(3),
+    )
+    img = np.asarray(out["images"])[..., 0]
+    m = np.asarray(out["masks"])
+    assert not np.array_equal(m, masks), "rotation must fire"
+    # Away from the bilinear transition band, mask == thresholded image.
+    confident = (img < 0.25) | (img > 0.75)
+    agree = (m == (img > 0.5)).mean(where=confident)
+    assert agree > 0.99
+
+
+def test_random_crop_prob_and_pad_if_needed():
+    """random_crop.prob < 1 skips cropping for ~that fraction of samples;
+    pad_if_needed=False never produces fill pixels."""
+    B, H = 64, 16
+    images = jnp.asarray(
+        np.full((B, H, H, 3), 128, np.uint8)
+    )
+    masks = jnp.asarray(np.ones((B, H, H), np.int32))
+    common = {
+        "color_jitter": None, "random_flip": None,
+        "scale_jitter": {"min_scale": 0.5, "max_scale": 0.5,
+                         "num_scales": 1, "prob": 1.0},
+    }
+    # prob=0: no crop at all -> no ignore fill despite zoom-out jitter.
+    args = resolve_task_transform_args(
+        "semantic_segmentation",
+        {**common, "random_crop": {"prob": 0.0}}, (H, H),
+    )
+    out = jax.jit(build_train_transform(args, jnp.float32))(
+        {"images": images, "masks": masks}, jax.random.key(0)
+    )
+    assert (np.asarray(out["masks"]) == 1).all()
+    # pad_if_needed=False: the window clamps inside the image -> no fill.
+    args = resolve_task_transform_args(
+        "semantic_segmentation",
+        {**common, "random_crop": {"pad_if_needed": False}}, (H, H),
+    )
+    out = jax.jit(build_train_transform(args, jnp.float32))(
+        {"images": images, "masks": masks}, jax.random.key(0)
+    )
+    assert (np.asarray(out["masks"]) == 1).all()
+    # Default (pad center) DOES fill at 0.5 zoom-out.
+    args = resolve_task_transform_args(
+        "semantic_segmentation", dict(common), (H, H),
+    )
+    out = jax.jit(build_train_transform(args, jnp.float32))(
+        {"images": images, "masks": masks}, jax.random.key(0)
+    )
+    assert (np.asarray(out["masks"]) == 255).any()
+
+
+def test_random_crop_size_must_match_image_size():
+    import pytest as _pytest
+
+    from lightly_train_tpu.errors import ConfigValidationError
+
+    with _pytest.raises(ConfigValidationError, match="image_size"):
+        resolve_task_transform_args(
+            "semantic_segmentation",
+            {"random_crop": {"height": 24, "width": 24}}, (32, 32),
+        )
+
+
+def test_smallest_max_size_window():
+    """smallest_max_size resizes the shorter side then crops: at
+    max_size == H the window equals out_hw (identity scale); at
+    max_size == 2H the window halves (zoom in, no fill)."""
+    B, H = 8, 32
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 256, (B, H, H, 3), np.uint8))
+    masks = jnp.asarray(np.ones((B, H, H), np.int32))
+    args = resolve_task_transform_args(
+        "semantic_segmentation",
+        {"smallest_max_size": {"max_size": 2 * H}, "scale_jitter": None,
+         "color_jitter": None, "random_flip": None},
+        (H, H),
+    )
+    out = jax.jit(build_train_transform(args, jnp.float32))(
+        {"images": images, "masks": masks}, jax.random.key(0)
+    )
+    # Zoom-in only: no ignore fill can appear.
+    assert (np.asarray(out["masks"]) == 1).all()
+    assert out["images"].shape == (B, H, H, 3)
+
+
+def test_classification_resize_scale_center_crop():
+    """random_crop=None + resize_scale: val-style shorter-side resize +
+    center crop (reference image_classification_transform.py:153-185) —
+    the border pixels must come from inside, not fill."""
+    B, H = 2, 32
+    images = np.zeros((B, H, H, 3), np.uint8)
+    images[:, H // 4 : 3 * H // 4, H // 4 : 3 * H // 4] = 200
+    args = resolve_task_transform_args(
+        "image_classification",
+        {"random_crop": None, "resize_scale": 2.0, "random_flip": None,
+         "color_jitter": None,
+         "normalize": {"mean": (0.0, 0.0, 0.0), "std": (1.0, 1.0, 1.0)}},
+        (H, H),
+    )
+    out = jax.jit(build_train_transform(args, jnp.float32))(
+        {"images": jnp.asarray(images)}, jax.random.key(0)
+    )
+    img = np.asarray(out["images"])
+    # Center crop of the middle half scaled up: everything bright.
+    assert (img > 0.5).mean() > 0.95
