@@ -134,26 +134,17 @@ def benchmark_from_config(config: BenchmarkConfig) -> Dict[str, Any]:
     )
 
     if config.backend == "onnx":
-        import os
-
         from lightly_train_tpu._export.jaxpr_to_onnx import export_fn_to_onnx
         from lightly_train_tpu._export.onnx_eval import evaluate_model
 
-        # Trace the portable lax attention path — ONNX has no pallas_call
-        # (same gate as export_onnx, _commands/export_task.py).
-        prior_gate = os.environ.get("LIGHTLY_TRAIN_VMEM_ATTENTION")
-        os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = "0"
-        try:
+        from lightly_train_tpu.ops.pallas.attention import portable_attention
+
+        with portable_attention():
             model_bytes, _, _ = export_fn_to_onnx(
                 lambda x: model.train_model.predict(model.variables, x),
                 (jax.ShapeDtypeStruct(spec_shape, jnp.float32),),
                 input_names=["images"],
             )
-        finally:
-            if prior_gate is None:
-                os.environ.pop("LIGHTLY_TRAIN_VMEM_ATTENTION", None)
-            else:
-                os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = prior_gate
 
         def fn(x, _bytes=model_bytes):
             return evaluate_model(_bytes, {"images": np.asarray(x)})

@@ -61,8 +61,8 @@ def evaluate_knn(
         out = wrapped.forward_features(variables, x, train=False)
         return wrapped.forward_pool(out).astype(jnp.float32)
 
-    def embed_split(root: str):
-        ds = ImageClassificationDataset(Path(root), hw)
+    def embed_split(root: str, classes=None):
+        ds = ImageClassificationDataset(Path(root), hw, classes=classes)
         feats, labels = [], []
         bs = config.batch_size
         for start in range(0, len(ds), bs):
@@ -84,7 +84,9 @@ def evaluate_knn(
         )
 
     train_z, train_y, classes = embed_split(config.data["train"])
-    val_z, val_y, _ = embed_split(config.data["val"])
+    # Pin the val split to the train label mapping: a class dir missing
+    # from val would otherwise shift every later index silently.
+    val_z, val_y, _ = embed_split(config.data["val"], classes=classes)
     acc = knn_accuracy(
         val_z, val_y, train_z, train_y,
         num_classes=len(classes), k=config.k,

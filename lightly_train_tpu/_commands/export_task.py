@@ -44,21 +44,17 @@ class ExportStableHLOConfig(PydanticConfig):
     # ``hybrid_encoder.py:76-108`` convert_to_deploy) when the task model
     # supports them.
     deploy: bool = True
+    # Lowering platforms recorded in the StableHLO artifact, e.g.
+    # ["cpu", "tpu"] for an artifact exported on a CPU box but served by
+    # the TPU C++ runner. None = the exporting machine's platform only.
+    platforms: Optional[list] = None
 
 
-def _build_predict_fn(
-    config: ExportStableHLOConfig, dtype_override: Optional[Any] = None
-):
-    """(predict_fn, task, input spec) for a task or pretraining artifact.
-
-    ``dtype_override``: compute/param dtype replacing the one implied by
-    ``config.precision`` — used by the ONNX fp16 export, which casts the
-    parameters so the traced graph itself is float16 (the analog of the
-    reference's post-export fp16 conversion, ``export_onnx.py:190-214``).
-    """
+def _build_predict_fn(config: ExportStableHLOConfig):
+    """(predict_fn, task, input spec, artifact) for a task or pretraining
+    artifact. The returned ``artifact`` lets callers reuse the (potentially
+    multi-GB) orbax restore for metadata instead of re-reading it."""
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
-    if dtype_override is not None:
-        dtype = dtype_override
 
     def _cast_params(tree: Any) -> Any:
         if dtype == jnp.float32:
@@ -74,7 +70,13 @@ def _build_predict_fn(
 
     artifact = load_exported_model(Path(config.checkpoint))
     if "task" in artifact:
-        model = load_model(Path(config.checkpoint), image_size=config.image_size)
+        from lightly_train_tpu.tasks.model_io import load_model_from_checkpoint
+
+        model = load_model_from_checkpoint(
+            Path(config.checkpoint),
+            image_size=config.image_size,
+            artifact=artifact,
+        )
         task = model.task
         train_model, variables_ = model.train_model, model.variables
         if config.deploy and hasattr(train_model, "convert_to_deploy"):
@@ -106,7 +108,7 @@ def _build_predict_fn(
         (config.batch_size, config.image_size, config.image_size, 3),
         jnp.float32,
     )
-    return predict_fn, task, spec
+    return predict_fn, task, spec, artifact
 
 
 def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
@@ -115,8 +117,11 @@ def export_stablehlo(out: str, checkpoint: str, **kwargs: Any) -> Path:
         ExportStableHLOConfig, {"out": out, "checkpoint": checkpoint, **kwargs}
     )
     set_up_console_logging()
-    predict_fn, task, spec = _build_predict_fn(config)
-    exported = jax_export.export(jax.jit(predict_fn))(spec)
+    predict_fn, task, spec, _ = _build_predict_fn(config)
+    exported = jax_export.export(
+        jax.jit(predict_fn),
+        platforms=[str(p) for p in config.platforms] if config.platforms else None,
+    )(spec)
     out_path = Path(config.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(exported.serialize())
@@ -191,7 +196,7 @@ def export_savedmodel(out: str, checkpoint: str, **kwargs: Any) -> Path:
             "for the TPU-native artifact."
         ) from e
 
-    predict_fn, task, spec = _build_predict_fn(config)
+    predict_fn, task, spec, _ = _build_predict_fn(config)
     tf_fn = jax2tf.convert(jax.jit(predict_fn), with_gradient=False)
     module = tf.Module()
     module.f = tf.function(
@@ -219,6 +224,7 @@ def export_savedmodel(out: str, checkpoint: str, **kwargs: Any) -> Path:
         restored = tf.saved_model.load(str(out_path))
         got = jax.tree_util.tree_leaves(restored.f(tf.constant(sample)))
         want = jax.tree_util.tree_leaves(predict_fn(jnp.asarray(sample)))
+        assert len(got) == len(want), (len(got), len(want))
         for a, b in zip(got, want):
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
@@ -283,14 +289,11 @@ def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
         verify=False,
         deploy=config.deploy,
     )
-    predict_fn, task, spec = _build_predict_fn(base)
+    predict_fn, task, spec, artifact = _build_predict_fn(base)
 
     # Metadata parity with the reference's onnx_export_metadata()
     # (export_onnx.py:65-81): version, classes, normalization, model name.
-    from lightly_train_tpu._checkpoint.checkpoint import load_exported_model
     from lightly_train_tpu.tasks.model_io import IMAGENET_MEAN, IMAGENET_STD
-
-    artifact = load_exported_model(Path(config.checkpoint))
     metadata = {
         "lightly_train_version": str(_version),
         "task": task,
@@ -306,15 +309,9 @@ def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
     if classes is not None:
         metadata["classes"] = json.dumps(classes)
 
-    # Trace the portable lax attention path, not the TPU Pallas kernel —
-    # ONNX has no equivalent of a pallas_call and the exported graph must
-    # run on any ONNX runtime. LIGHTLY_TRAIN_VMEM_ATTENTION is the
-    # documented kernel kill switch (ops/pallas/attention.py).
-    import os as _os
+    from lightly_train_tpu.ops.pallas.attention import portable_attention
 
-    prior_gate = _os.environ.get("LIGHTLY_TRAIN_VMEM_ATTENTION")
-    _os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = "0"
-    try:
+    with portable_attention():
         model_bytes, output_names, _ = export_fn_to_onnx(
             predict_fn,
             (spec,),
@@ -324,11 +321,6 @@ def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
             metadata_props=metadata,
             producer_version=str(_version),
         )
-    finally:
-        if prior_gate is None:
-            _os.environ.pop("LIGHTLY_TRAIN_VMEM_ATTENTION", None)
-        else:
-            _os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = prior_gate
     out_path = Path(config.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     out_path.write_bytes(model_bytes)
@@ -363,6 +355,7 @@ def export_onnx(out: str, checkpoint: str, **kwargs: Any) -> Path:
                 )
                 got = evaluate_model(model_bytes, {"images": sample})
                 want = jax.tree_util.tree_leaves(predict_fn(jnp.asarray(sample)))
+                assert len(got) == len(want), (len(got), len(want))
                 for g, w in zip(got, want):
                     np.testing.assert_allclose(
                         np.asarray(g, np.float32),

@@ -685,7 +685,9 @@ def train_image_classification(
     hw = (config.image_size, config.image_size)
     train_ds = ImageClassificationDataset(Path(data["train"]), hw)
     val_ds = (
-        ImageClassificationDataset(Path(data["val"]), hw)
+        ImageClassificationDataset(
+            Path(data["val"]), hw, classes=train_ds.classes
+        )
         if "val" in data
         else None
     )
@@ -814,7 +816,9 @@ def train_image_classification_multihead(
     hw = (config.image_size, config.image_size)
     train_ds = ImageClassificationDataset(Path(data["train"]), hw)
     val_ds = (
-        ImageClassificationDataset(Path(data["val"]), hw)
+        ImageClassificationDataset(
+            Path(data["val"]), hw, classes=train_ds.classes
+        )
         if "val" in data
         else None
     )

@@ -65,13 +65,14 @@ class PretrainLoader:
         n = len(self.dataset)
         epoch = 0
         proc = jax.process_index()
+        carry = np.empty((0,), dtype=np.int64)
         while True:
             rng = np.random.default_rng(self.seed + epoch)
-            perm = rng.permutation(n)
+            perm = np.concatenate([carry, rng.permutation(n)])
             # Pad to a multiple of the global batch by wrapping (tiny datasets
             # still produce full static-shape batches).
-            if n < self.global_batch_size:
-                reps = -(-self.global_batch_size // n)
+            if len(perm) < self.global_batch_size:
+                reps = -(-self.global_batch_size // max(len(perm), 1))
                 perm = np.tile(perm, reps)
             usable = len(perm) - (len(perm) % self.global_batch_size)
             for start in range(0, usable, self.global_batch_size):
@@ -80,6 +81,13 @@ class PretrainLoader:
                     proc * self.local_batch_size : (proc + 1)
                     * self.local_batch_size
                 ]
+            # drop_last=False: the epoch remainder leads the next epoch's
+            # stream (batches stay full static shape; no sample is skipped).
+            carry = (
+                perm[usable:]
+                if not self.drop_last
+                else np.empty((0,), dtype=np.int64)
+            )
             epoch += 1
 
     def _collate(self, items):
@@ -105,6 +113,17 @@ class PretrainLoader:
             max_workers=self.num_workers, thread_name_prefix="lt-decode"
         )
 
+        def _offer(item) -> bool:
+            """Bounded put that re-checks stop: an abandoned iterator must
+            not leave the producer parked forever in a full-queue put."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 # Keep a window of batches' futures pending so the pool
@@ -120,15 +139,17 @@ class PretrainLoader:
                     )
                 while not stop.is_set():
                     futures = window.get()
-                    out_q.put(self._collate([f.result() for f in futures]))
+                    if not _offer(self._collate([f.result() for f in futures])):
+                        return
                     window.put(
                         [
                             pool.submit(self.dataset.__getitem__, int(i))
                             for i in next(stream)
                         ]
                     )
-            except Exception as e:  # pragma: no cover - surfaced on get()
-                out_q.put(e)
+            except BaseException as e:  # incl. CancelledError on shutdown
+                if not stop.is_set():  # pragma: no cover - surfaced on get()
+                    _offer(e if isinstance(e, Exception) else RuntimeError(repr(e)))
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -166,6 +187,11 @@ class SyntheticLoader:
         canonical_hw: Tuple[int, int] = (256, 256),
         seed: int = 0,
     ):
+        if global_batch_size % jax.process_count() != 0:
+            raise ValueError(
+                f"global_batch_size {global_batch_size} must divide evenly "
+                f"across {jax.process_count()} processes"
+            )
         self.global_batch_size = global_batch_size
         self.local_batch_size = global_batch_size // jax.process_count()
         self.canonical_hw = canonical_hw

@@ -30,6 +30,7 @@ vendored DINOv2/v3 ViTs (``dinov2_vit_src/models/vision_transformer.py``,
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -429,6 +430,26 @@ def _multichip_mesh():
     if _ACTIVE_MESH.devices.size != jax.device_count():
         return None
     return _ACTIVE_MESH
+
+
+@contextlib.contextmanager
+def portable_attention():
+    """Force the portable lax attention path inside the block.
+
+    Export/benchmark paths trace graphs that must run off-TPU (ONNX,
+    interchange formats) — a pallas_call has no lowering there. Shared by
+    export_onnx and the onnx benchmark backend."""
+    import os
+
+    prior = os.environ.get("LIGHTLY_TRAIN_VMEM_ATTENTION")
+    os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = "0"
+    try:
+        yield
+    finally:
+        if prior is None:
+            os.environ.pop("LIGHTLY_TRAIN_VMEM_ATTENTION", None)
+        else:
+            os.environ["LIGHTLY_TRAIN_VMEM_ATTENTION"] = prior
 
 
 def use_vmem_attention() -> bool:

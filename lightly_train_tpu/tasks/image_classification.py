@@ -166,18 +166,34 @@ class ImageClassificationTrainModel(TaskTrainModel):
 class ImageClassificationDataset:
     """``root/<class_name>/<image>`` layout -> (image, label)."""
 
-    def __init__(self, root: Path, image_hw: Tuple[int, int] = (224, 224)):
+    def __init__(
+        self,
+        root: Path,
+        image_hw: Tuple[int, int] = (224, 224),
+        classes: Optional[List[str]] = None,
+    ):
+        """``classes`` pins the label mapping (pass the TRAIN split's list
+        when building a val split: a class dir missing from val would
+        otherwise silently shift every later index)."""
         root = Path(root)
         if not root.exists():
             raise DatasetError(f"Dataset root does not exist: {root}")
-        self.classes = sorted(
-            d.name for d in root.iterdir() if d.is_dir()
-        )
-        if not self.classes:
+        present = sorted(d.name for d in root.iterdir() if d.is_dir())
+        if not present:
             raise DatasetError(f"No class subdirectories under {root}")
+        if classes is None:
+            self.classes = present
+        else:
+            unknown = sorted(set(present) - set(classes))
+            if unknown:
+                raise DatasetError(
+                    f"Classes {unknown} under {root} are not in the train "
+                    f"split's class list {sorted(classes)}"
+                )
+            self.classes = list(classes)
         self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
         self.samples: List[Tuple[str, int]] = []
-        for c in self.classes:
+        for c in [c for c in self.classes if c in present]:
             for p in sorted((root / c).rglob("*")):
                 if p.suffix.lower() in IMAGE_EXTENSIONS and p.is_file():
                     self.samples.append((str(p), self.class_to_idx[c]))

@@ -132,9 +132,14 @@ class LoadedTaskModel:
 
 
 def load_model_from_checkpoint(
-    checkpoint: Union[str, Path], image_size: int = 224
+    checkpoint: Union[str, Path],
+    image_size: int = 224,
+    artifact: Optional[dict] = None,
 ) -> LoadedTaskModel:
-    artifact = load_exported_model(Path(checkpoint))
+    """``artifact``: a dict already returned by ``load_exported_model`` for
+    this checkpoint — skips a second (potentially multi-GB) orbax restore."""
+    if artifact is None:
+        artifact = load_exported_model(Path(checkpoint))
     if "task" not in artifact:
         raise CheckpointError(
             f"{checkpoint} is a pretraining artifact (no 'task' metadata); "

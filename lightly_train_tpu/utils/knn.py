@@ -47,8 +47,25 @@ def knn_accuracy(
     num_classes: int,
     k: int = 20,
     temperature: float = 0.07,
+    chunk_size: int = 4096,
 ) -> float:
-    pred = knn_predict(
-        query, train_features, train_labels, num_classes, k, temperature
-    )
-    return float(jnp.mean((pred == query_labels).astype(jnp.float32)))
+    """Chunks queries so the (Nq, Nt) similarity matrix never materializes
+    whole (ImageNet val x train would be ~256 GB); each chunk's matmul
+    still rides the MXU. The last chunk pads to the chunk shape so only
+    two programs compile."""
+    nq = int(query.shape[0])
+    correct = 0
+    for start in range(0, nq, chunk_size):
+        q = query[start : start + chunk_size]
+        n = int(q.shape[0])
+        if n < chunk_size and start > 0:
+            q = jnp.pad(q, ((0, chunk_size - n), (0, 0)))
+        pred = knn_predict(
+            q, train_features, train_labels, num_classes, k, temperature
+        )[:n]
+        correct += int(
+            jnp.sum(
+                (pred == query_labels[start : start + n]).astype(jnp.int32)
+            )
+        )
+    return correct / max(nq, 1)
