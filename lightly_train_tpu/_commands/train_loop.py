@@ -165,22 +165,18 @@ def make_train_step(
                     loss_acc + loss, metrics_acc,
                 ), None
 
-            # Shapes/dtypes of grads + metrics for the zero init.
-            grads_shape = jax.eval_shape(
-                lambda p: _grads_for_microbatch(
+            # Shapes/dtypes of grads + metrics for the zero init (one
+            # abstract trace of the forward+backward, not two).
+            def _gm_shapes(p):
+                out = _grads_for_microbatch(
                     p, state.model_state, state.method_state,
                     mb_images[0], None if mb_masks is None else mb_masks[0],
                     mb_keys[0], state.step,
-                )[1],
-                state.params,
-            )
-            metrics_shape = jax.eval_shape(
-                lambda p: _grads_for_microbatch(
-                    p, state.model_state, state.method_state,
-                    mb_images[0], None if mb_masks is None else mb_masks[0],
-                    mb_keys[0], state.step,
-                )[4],
-                state.params,
+                )
+                return out[1], out[4]
+
+            grads_shape, metrics_shape = jax.eval_shape(
+                _gm_shapes, state.params
             )
             zeros = lambda tree: jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), tree
@@ -292,15 +288,32 @@ def fit(
     batch_iter = iter(batches)
     data_wait = 0.0
     profiling = False
+    profiled = False
+    # One-step-lagged NaN check: (finite flag, device step, batch) of the
+    # PREVIOUS dispatched step. Fetching the scalar blocks only on a step
+    # that has a successor queued, so the device pipeline stays fed, and
+    # the capture holds the batch/step that actually produced the NaN (a
+    # boundary-only check captured whatever batch the boundary ran).
+    prev_check: Optional[tuple] = None
+
+    def _nan_check(entry) -> None:
+        flag, dev_step, prev_batch = entry
+        if float(flag) < 0.5:
+            nan_guard.check(
+                jnp.asarray(False), dev_step, prev_batch, base_key,
+                state.params,
+            )
+
     while current < total_steps:
         if profile_dir is not None:
-            if current == profile_start and not profiling:
+            if not profiling and not profiled and current >= profile_start:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
             elif profiling and current >= profile_start + profile_steps:
                 jax.block_until_ready(pending)
                 jax.profiler.stop_trace()
                 profiling = False
+                profiled = True
                 logger.info("Wrote profiler trace to %s", profile_dir)
         t_data = time.perf_counter()
         batch = next(batch_iter)
@@ -312,12 +325,13 @@ def fit(
         state, pending = train_step(state, batch, base_key)
         current += 1
         window_steps += 1
+        if nan_guard is not None and nan_guard.enabled:
+            if prev_check is not None:
+                _nan_check(prev_check)
+            # The step just dispatched ran with device step current-1.
+            prev_check = (pending["finite"], current - 1, batch)
         if current in burn_in or current % log_every == 0 or current == total_steps:
             metrics = {k: float(v) for k, v in pending.items()}  # device sync
-            if nan_guard is not None and metrics.get("finite", 1.0) < 0.5:
-                nan_guard.check(
-                    jnp.asarray(False), current, batch, base_key, state.params
-                )
             dt = time.perf_counter() - t_window
             metrics["profiling/images_per_sec"] = (
                 batch_size * window_steps / max(dt, 1e-9)
@@ -346,6 +360,8 @@ def fit(
     if profiling:
         jax.block_until_ready(pending)
         jax.profiler.stop_trace()
+    if nan_guard is not None and nan_guard.enabled and prev_check is not None:
+        _nan_check(prev_check)  # the final step's flag
     if on_checkpoint is not None:
         on_checkpoint(current, state)
     return state

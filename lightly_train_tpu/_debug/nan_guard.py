@@ -80,16 +80,30 @@ class NaNGuard:
         if not self.enabled or bool(finite_flag):
             return
         self.out_dir.mkdir(parents=True, exist_ok=True)
+
+        def _to_host(v: Any) -> np.ndarray:
+            # Multi-host mesh: the global batch spans non-addressable
+            # devices; save this process's shard (the replay driver accepts
+            # any batch size), instead of crashing in np.asarray.
+            if isinstance(v, jax.Array) and not v.is_fully_addressable:
+                return np.concatenate(
+                    [np.asarray(s.data) for s in v.addressable_shards], axis=0
+                )
+            return np.asarray(v)
+
         payload = {
             "step": np.asarray(step),
             "key": np.asarray(jax.random.key_data(base_key)),
         }
         if isinstance(batch, dict):
             for k, v in batch.items():
-                payload[f"batch_{k}"] = np.asarray(v)
+                payload[f"batch_{k}"] = _to_host(v)
         else:
-            payload["batch"] = np.asarray(batch)
-        path = self.out_dir / f"nan_capture_step{step}.npz"
+            payload["batch"] = _to_host(batch)
+        suffix = (
+            f"_proc{jax.process_index()}" if jax.process_count() > 1 else ""
+        )
+        path = self.out_dir / f"nan_capture_step{step}{suffix}.npz"
         np.savez_compressed(path, **payload)
         offenders = []
         if grads_or_params is not None:

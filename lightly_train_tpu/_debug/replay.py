@@ -114,16 +114,48 @@ def replay_nan_capture(
     # The per-step key is fold_in(base_key, state.step): pin the captured step.
     state = state.replace(step=jnp.asarray(step, jnp.int32))
 
+    accum = int(hp.get("grad_accum_steps", 1) or 1)
     train_step = make_train_step(
         method, optimizer, total_steps, aug_dtype=dtype,
-        grad_accum_steps=int(hp.get("grad_accum_steps", 1) or 1),
+        grad_accum_steps=accum,
         transform_args=hp.get("transform_args") or None,
     )
-    mb_key = jax.random.fold_in(base_key, state.step)
-    loss, grads, _, _, metrics = train_step.grads_for_microbatch(
-        state.params, state.model_state, state.method_state,
-        images, masks, mb_key, state.step,
-    )
+    step_key = jax.random.fold_in(base_key, state.step)
+    if accum > 1 and images.shape[0] % accum == 0:
+        # Reproduce training exactly: the step key splits per microbatch
+        # (train_loop.py mb_keys = split(step_key, k)); running the whole
+        # batch under the unsplit key would draw different augmentations.
+        mb_images = images.reshape(accum, -1, *images.shape[1:])
+        mb_masks = (
+            masks.reshape(accum, -1, *masks.shape[1:])
+            if masks is not None
+            else [None] * accum
+        )
+        mb_keys = jax.random.split(step_key, accum)
+        losses, grads, metrics = [], None, None
+        for i in range(accum):
+            l_i, g_i, _, _, m_i = train_step.grads_for_microbatch(
+                state.params, state.model_state, state.method_state,
+                mb_images[i], mb_masks[i], mb_keys[i], state.step,
+            )
+            losses.append(l_i)
+            grads = (
+                g_i if grads is None
+                else jax.tree_util.tree_map(jnp.add, grads, g_i)
+            )
+            metrics = (
+                m_i if metrics is None
+                else jax.tree_util.tree_map(jnp.add, metrics, m_i)
+            )
+        inv = 1.0 / accum
+        loss = sum(jnp.asarray(l) for l in losses) * inv
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+    else:
+        loss, grads, _, _, metrics = train_step.grads_for_microbatch(
+            state.params, state.model_state, state.method_state,
+            images, masks, step_key, state.step,
+        )
     grad_stats = OverflowStats.tree_abs_stats(grads)
     param_stats = OverflowStats.tree_abs_stats(state.params)
     offenders = sorted(

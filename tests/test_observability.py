@@ -144,3 +144,47 @@ def test_replay_nan_capture_end_to_end(tmp_path):
     assert report["finite"] is True
     assert report["offenders"] == []
     assert report["restored_checkpoint_step"] is not None
+
+
+def test_fit_loop_captures_the_failing_step_and_batch(tmp_path):
+    """The guard must capture the batch and DEVICE step of the step that
+    produced the non-finite flag — not whatever ran at a log boundary —
+    and the step value must match the fold_in key the device used."""
+    from lightly_train_tpu._commands.train_loop import fit
+    from lightly_train_tpu._debug.nan_guard import NaNGuard
+    from lightly_train_tpu.errors import NaNDetectedError
+    from lightly_train_tpu.methods.base import TrainState
+
+    def fake_step(state, batch, key):
+        # Non-finite exactly at device step 2 (the third dispatched step).
+        finite = jnp.asarray(state.step != 2)
+        new_state = TrainState(
+            step=state.step + 1, params=state.params,
+            model_state=state.model_state, opt_state=state.opt_state,
+            method_state=state.method_state,
+        )
+        return new_state, {"train_loss": jnp.asarray(1.0), "finite": finite}
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={"w": jnp.ones((2,))},
+        model_state={}, opt_state={}, method_state={},
+    )
+
+    def batches():
+        i = 0
+        while True:
+            yield jnp.full((4, 8, 8, 3), i, jnp.uint8)
+            i += 1
+
+    with pytest.raises(NaNDetectedError):
+        fit(
+            fake_step, state, batches(), total_steps=50,
+            log_every=50,  # boundary far after the failure
+            nan_guard=NaNGuard(tmp_path, enabled=True),
+        )
+    captures = sorted((tmp_path / "debug").glob("nan_capture_step*.npz"))
+    assert len(captures) == 1
+    with np.load(captures[0]) as data:
+        assert int(data["step"]) == 2  # the device step that failed
+        # The batch is the one fed to that step (fill value == index 2).
+        assert int(data["batch"].ravel()[0]) == 2
