@@ -43,6 +43,32 @@ def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / jnp.maximum(union, 1e-9)
 
 
+def paired_box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise IoU of aligned pairs. a, b: (..., 4) xyxy -> (...)."""
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = box_area(a) + box_area(b) - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def paired_generalized_box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Elementwise GIoU of aligned pairs (xyxy): the matched-pair loss needs
+    only the diagonal, not the (K, K) pairwise matrix."""
+    iou = paired_box_iou(a, b)
+    lt = jnp.minimum(a[..., :2], b[..., :2])
+    rb = jnp.maximum(a[..., 2:], b[..., 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    hull = wh[..., 0] * wh[..., 1]
+    inter_lt = jnp.maximum(a[..., :2], b[..., :2])
+    inter_rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    inter_wh = jnp.maximum(inter_rb - inter_lt, 0.0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    union = box_area(a) + box_area(b) - inter
+    return iou - (hull - union) / jnp.maximum(hull, 1e-9)
+
+
 def generalized_box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     """Pairwise GIoU (xyxy)."""
     iou = box_iou(a, b)

@@ -17,9 +17,10 @@ import jax
 import jax.numpy as jnp
 
 from lightly_train_tpu.tasks.detection.box_utils import (
-    box_iou,
     cxcywh_to_xyxy,
     generalized_box_iou,
+    paired_box_iou,
+    paired_generalized_box_iou,
 )
 from lightly_train_tpu.tasks.eomt_semantic_segmentation import hungarian_match
 
@@ -49,23 +50,6 @@ def detection_matching_cost(
         cxcywh_to_xyxy(boxes), cxcywh_to_xyxy(tgt_boxes)
     )
     return 2.0 * cost_class + 5.0 * cost_l1 + 2.0 * cost_giou
-
-
-def detection_loss_single(
-    logits: jax.Array,
-    boxes: jax.Array,
-    tgt_labels: jax.Array,
-    tgt_boxes: jax.Array,
-    tgt_valid: jax.Array,  # (B, K) bool
-    alpha: float = 0.75,
-    gamma: float = 2.0,
-) -> Dict[str, jax.Array]:
-    """One prediction level: match then VFL + L1 + GIoU."""
-    cost = detection_matching_cost(logits, boxes, tgt_labels, tgt_boxes)
-    assignment = hungarian_match(jax.lax.stop_gradient(cost), tgt_valid)
-    return detection_loss_from_assignment(
-        logits, boxes, tgt_labels, tgt_boxes, assignment, alpha, gamma
-    )
 
 
 def dfine_fgl_loss(
@@ -112,10 +96,7 @@ def dfine_fgl_loss(
         logp, jnp.clip(yl_i + 1, 0, nb - 1)[..., None], axis=-1
     )[..., 0]
     dfl = -(w_l * pl + w_r * pr)  # (B, K, 4)
-    iou = jnp.diagonal(
-        jax.vmap(
-            lambda a, b: box_iou(cxcywh_to_xyxy(a), cxcywh_to_xyxy(b))
-        )(br, tgt_boxes), axis1=1, axis2=2)
+    iou = paired_box_iou(cxcywh_to_xyxy(br), cxcywh_to_xyxy(tgt_boxes))
     w = jax.lax.stop_gradient(iou) * assigned
     n = jnp.maximum(jnp.sum(assigned), 1.0)
     return jnp.sum(jnp.mean(dfl, axis=-1) * w) / n
@@ -142,10 +123,9 @@ def detection_loss_from_assignment(
 
     # ---- varifocal classification loss (rtdetrv2_criterion.py) ----
     matched_boxes = jnp.take_along_axis(boxes, safe_q[..., None], axis=1)
-    iou = jax.vmap(
-        lambda a, b: box_iou(cxcywh_to_xyxy(a), cxcywh_to_xyxy(b))
-    )(matched_boxes, tgt_boxes)  # (B, K, K) -> diagonal is pair IoU
-    pair_iou = jnp.diagonal(iou, axis1=1, axis2=2)  # (B, K)
+    pair_iou = paired_box_iou(
+        cxcywh_to_xyxy(matched_boxes), cxcywh_to_xyxy(tgt_boxes)
+    )  # (B, K) aligned pairs
     pair_iou = jax.lax.stop_gradient(pair_iou) * assigned
 
     # Build per-query target score map (B, Q, C): IoU at matched (q, class).
@@ -167,13 +147,8 @@ def detection_loss_from_assignment(
 
     # ---- box losses on matched pairs ----
     l1 = jnp.sum(jnp.abs(matched_boxes - tgt_boxes), axis=-1)
-    giou_pair = jnp.diagonal(
-        jax.vmap(
-            lambda a, b: generalized_box_iou(
-                cxcywh_to_xyxy(a), cxcywh_to_xyxy(b)
-            )
-        )(matched_boxes, tgt_boxes),
-        axis1=1, axis2=2,
+    giou_pair = paired_generalized_box_iou(
+        cxcywh_to_xyxy(matched_boxes), cxcywh_to_xyxy(tgt_boxes)
     )
     loss_l1 = jnp.sum(l1 * assigned) / n_matched
     loss_giou = jnp.sum((1.0 - giou_pair) * assigned) / n_matched
@@ -223,5 +198,8 @@ def detection_criterion(
         total = total + level_total
         if li == len(outputs) - 1:
             metrics.update({k: v for k, v in losses.items()})
-    total = total / len(outputs)
+    # Reference criterion SUMS weighted aux-level losses
+    # (rtdetrv2_criterion.py:224-241 losses.update per level, train_model
+    # total_loss = sum(loss_dict.values())); averaging rescaled every
+    # reference-tuned hyperparameter by 1/levels.
     return total, metrics

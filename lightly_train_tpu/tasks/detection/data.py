@@ -16,7 +16,10 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from lightly_train_tpu._data.image_dataset import IMAGE_EXTENSIONS, decode_image
+from lightly_train_tpu._logging import get_logger
 from lightly_train_tpu.errors import DatasetError
+
+logger = get_logger("detection_data")
 
 
 class YOLOObjectDetectionDataset:
@@ -33,12 +36,26 @@ class YOLOObjectDetectionDataset:
     ):
         images_dir, labels_dir = Path(images_dir), Path(labels_dir)
         self.items: List[Tuple[str, Optional[str]]] = []
+        n_labeled = 0
         for p in sorted(images_dir.rglob("*")):
             if p.suffix.lower() in IMAGE_EXTENSIONS:
-                label = labels_dir / (p.stem + ".txt")
-                self.items.append((str(p), str(label) if label.exists() else None))
+                # Mirror the image's subpath under labels_dir (standard
+                # nested YOLO layout images/train/a.jpg -> labels/train/a.txt)
+                # with a flat-stem fallback.
+                label = labels_dir / p.relative_to(images_dir).with_suffix(".txt")
+                if not label.exists():
+                    label = labels_dir / (p.stem + ".txt")
+                have = label.exists()
+                n_labeled += int(have)
+                self.items.append((str(p), str(label) if have else None))
         if not self.items:
             raise DatasetError(f"No images under {images_dir}")
+        if n_labeled == 0:
+            raise DatasetError(
+                f"No label .txt files under {labels_dir} match the images "
+                f"under {images_dir} (checked mirrored subpaths and flat "
+                "stems) — every image would train as background."
+            )
         self.image_hw = image_hw
         self.max_boxes = max_boxes
         self.class_names = class_names
@@ -59,7 +76,16 @@ class YOLOObjectDetectionDataset:
                 if len(parts) >= 5:
                     rows.append([float(x) for x in parts[:5]])
             for i, row in enumerate(rows[: self.max_boxes]):
-                labels[i] = int(row[0])
+                cls = int(row[0])
+                if self.class_names is not None and not (
+                    0 <= cls < len(self.class_names)
+                ):
+                    raise DatasetError(
+                        f"Label {label_path} row {i} has class id {cls}, "
+                        f"outside [0, {len(self.class_names)}) — the class "
+                        "list and labels disagree."
+                    )
+                labels[i] = cls
                 boxes[i] = row[1:5]
                 valid[i] = True
         return {
@@ -90,8 +116,23 @@ class COCOObjectDetectionDataset:
             for c in sorted(ann.get("categories", []), key=lambda c: c["id"])
         ]
         by_image: Dict[int, List[dict]] = {}
+        n_crowd = 0
         for a in ann.get("annotations", []):
+            if a.get("iscrowd"):
+                # COCO crowd regions are ignore regions, not targets
+                # (pycocotools protocol); matching queries onto them would
+                # corrupt both training and mAP.
+                n_crowd += 1
+                continue
+            if a.get("category_id") not in self.cat_to_idx:
+                raise DatasetError(
+                    f"Annotation {a.get('id')} has category_id "
+                    f"{a.get('category_id')} not present in the categories "
+                    f"list of {annotations_json}."
+                )
             by_image.setdefault(a["image_id"], []).append(a)
+        if n_crowd:
+            logger.info("Ignoring %d iscrowd annotations", n_crowd)
         self.items = []
         for im in ann.get("images", []):
             path = images_dir / im["file_name"]
@@ -129,7 +170,7 @@ class COCOObjectDetectionDataset:
         for i, a in enumerate(anns[: self.max_boxes]):
             x, y, w, h = a["bbox"]  # absolute xywh
             boxes[i] = [(x + w / 2) / W, (y + h / 2) / H, w / W, h / H]
-            labels[i] = self.cat_to_idx.get(a["category_id"], 0)
+            labels[i] = self.cat_to_idx[a["category_id"]]
             valid[i] = True
         return {
             "images": image,

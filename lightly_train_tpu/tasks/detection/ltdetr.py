@@ -352,7 +352,9 @@ class ObjectDetectionTrainModel(TaskTrainModel):
                     losses["loss_vfl"] + 5.0 * losses["loss_l1"]
                     + 2.0 * losses["loss_giou"]
                 )
-            dn_total = dn_total / len(dn_outputs)
+            # Reference sums weighted dn losses over decoder levels
+            # (rtdetrv2_criterion.py:243-259; per-box normalization already
+            # accounts for the group count via dn_num_boxes).
             metrics = {**metrics, "dn_loss": dn_total}
             loss = loss + dn_total
         return loss, (new_model_state, metrics)

@@ -79,18 +79,28 @@ def compute_map_generic(
         if n_gt == 0:
             continue
         dets.sort(key=lambda x: -x[0])
+        # Per-detection IoU rows against the image's GTs are threshold-
+        # independent: compute once, reuse across the 10 thresholds.
+        det_ious = [
+            iou_fn(box[None], gts[img])[0] if len(gts[img]) else None
+            for (_, img, box) in dets
+        ]
         for ti, thr in enumerate(iou_thresholds):
             matched = [np.zeros(len(g), bool) for g in gts]
             tp = np.zeros(len(dets))
             fp = np.zeros(len(dets))
-            for di, (_, img, box) in enumerate(dets):
-                g = gts[img]
-                if len(g) == 0:
+            for di, (_, img, _box) in enumerate(dets):
+                ious = det_ious[di]
+                if ious is None:
                     fp[di] = 1
                     continue
-                ious = iou_fn(box[None], g)[0]
-                best = int(np.argmax(ious))
-                if ious[best] >= thr and not matched[img][best]:
+                # COCO protocol: match the highest-IoU UNMATCHED GT above
+                # the threshold (argmax over all GTs would count a
+                # detection FP when its best GT is taken but another
+                # still-free GT overlaps above threshold).
+                cand = np.where((ious >= thr) & ~matched[img])[0]
+                if len(cand):
+                    best = int(cand[np.argmax(ious[cand])])
                     matched[img][best] = True
                     tp[di] = 1
                 else:
@@ -105,7 +115,10 @@ def compute_map_generic(
                 p_at = precision[recall >= r]
                 ap += float(p_at.max()) if len(p_at) else 0.0
             aps[ti, ci] = ap / 101
+    # "map50" = AP at the threshold closest to 0.5 (exactly 0.5 with the
+    # default grid; a custom grid without 0.5 still gets a sane value).
+    i50 = int(np.argmin(np.abs(np.asarray(iou_thresholds) - 0.5)))
     return {
         "map": float(aps.mean()),
-        "map50": float(aps[0].mean()),
+        "map50": float(aps[i50].mean()),
     }

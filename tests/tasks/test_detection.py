@@ -437,3 +437,120 @@ def test_coco_skip_if_annotations_missing(tmp_path):
             tmp_path / "img", tmp_path / "ann.json", (32, 32),
             skip_if_annotations_missing=False,
         )
+
+
+def test_yolo_nested_labels_layout(tmp_path):
+    """Standard nested YOLO layout (images/train/a.jpg ->
+    labels/train/a.txt) must find its labels; a labels dir matching no
+    image must raise instead of silently training on background."""
+    from PIL import Image
+
+    from lightly_train_tpu.errors import DatasetError
+    from lightly_train_tpu.tasks.detection.data import (
+        YOLOObjectDetectionDataset,
+    )
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "labels" / "train").mkdir(parents=True)
+    Image.fromarray(
+        rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    ).save(tmp_path / "images" / "train" / "a.png")
+    (tmp_path / "labels" / "train" / "a.txt").write_text(
+        "1 0.5 0.5 0.4 0.4\n"
+    )
+    ds = YOLOObjectDetectionDataset(
+        tmp_path / "images", tmp_path / "labels", (32, 32)
+    )
+    item = ds[0]
+    assert item["box_valid"].sum() == 1 and item["labels"][0] == 1
+
+    (tmp_path / "empty_labels").mkdir()
+    with pytest.raises(DatasetError, match="background"):
+        YOLOObjectDetectionDataset(
+            tmp_path / "images", tmp_path / "empty_labels", (32, 32)
+        )
+
+
+def test_yolo_out_of_range_class_raises(tmp_path):
+    from PIL import Image
+
+    from lightly_train_tpu.errors import DatasetError
+    from lightly_train_tpu.tasks.detection.data import (
+        YOLOObjectDetectionDataset,
+    )
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        tmp_path / "images" / "a.png"
+    )
+    (tmp_path / "labels" / "a.txt").write_text("7 0.5 0.5 0.2 0.2\n")
+    ds = YOLOObjectDetectionDataset(
+        tmp_path / "images", tmp_path / "labels", (16, 16),
+        class_names=["x", "y"],
+    )
+    with pytest.raises(DatasetError, match="class id 7"):
+        ds[0]
+
+
+def test_coco_ignores_iscrowd_and_rejects_unknown_category(tmp_path):
+    import json as _json
+
+    from PIL import Image
+
+    from lightly_train_tpu.errors import DatasetError
+    from lightly_train_tpu.tasks.detection.data import (
+        COCOObjectDetectionDataset,
+    )
+
+    (tmp_path / "imgs").mkdir()
+    Image.fromarray(np.zeros((20, 20, 3), np.uint8)).save(
+        tmp_path / "imgs" / "a.png"
+    )
+    base = {
+        "images": [{"id": 1, "file_name": "a.png", "width": 20, "height": 20}],
+        "categories": [{"id": 5, "name": "thing"}],
+    }
+    ann = dict(base, annotations=[
+        {"id": 1, "image_id": 1, "category_id": 5,
+         "bbox": [2, 2, 6, 6], "iscrowd": 0},
+        {"id": 2, "image_id": 1, "category_id": 5,
+         "bbox": [0, 0, 20, 20], "iscrowd": 1},
+    ])
+    (tmp_path / "ann.json").write_text(_json.dumps(ann))
+    ds = COCOObjectDetectionDataset(
+        tmp_path / "imgs", tmp_path / "ann.json", (20, 20)
+    )
+    assert ds[0]["box_valid"].sum() == 1  # crowd region ignored
+
+    bad = dict(base, annotations=[
+        {"id": 3, "image_id": 1, "category_id": 99, "bbox": [1, 1, 2, 2]},
+    ])
+    (tmp_path / "bad.json").write_text(_json.dumps(bad))
+    with pytest.raises(DatasetError, match="category_id 99"):
+        COCOObjectDetectionDataset(
+            tmp_path / "imgs", tmp_path / "bad.json", (20, 20)
+        )
+
+
+def test_map_matches_best_unmatched_gt():
+    """COCO protocol: a detection whose argmax GT is taken must match the
+    best remaining GT above threshold, not count as FP."""
+    from lightly_train_tpu.tasks.detection.metrics import compute_map
+
+    # Two overlapping GTs; det1 takes GT0; det2 overlaps GT0 more but must
+    # fall through to GT1 (IoU ~0.6 >= 0.5).
+    targets = [{
+        "boxes": np.asarray([[0, 0, 10, 10], [0, 0, 8, 10]], np.float32),
+        "labels": np.asarray([0, 0], np.int32),
+    }]
+    predictions = [{
+        "boxes": np.asarray([[0, 0, 10, 10], [0, 0, 9, 10]], np.float32),
+        "scores": np.asarray([0.9, 0.8], np.float32),
+        "labels": np.asarray([0, 0], np.int32),
+    }]
+    out = compute_map(
+        predictions, targets, iou_thresholds=np.asarray([0.5])
+    )
+    assert out["map50"] == pytest.approx(1.0)  # both GTs recalled
