@@ -413,6 +413,9 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
     if config.resume_interrupted and ckpt_mgr.latest_step() is not None:
         state = ckpt_mgr.restore(state)
         state = shard_train_state(state, mesh)
+        # Continue the same shuffled stream (skip the consumed batches).
+        if hasattr(loader, "start_step"):
+            loader.start_step = int(state.step)
         logger.info("Resumed from step %d", int(state.step))
 
     jsonl = build_loggers(out_dir, config.loggers)

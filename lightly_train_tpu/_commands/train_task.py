@@ -98,7 +98,8 @@ class TrainTaskConfig(PydanticConfig):
 def _device_train_transform(
     batch: Dict[str, jax.Array], key: jax.Array, hflip_prob: float, dtype: Any
 ) -> Dict[str, jax.Array]:
-    """Shared device-side train transform: hflip (+ mask) and normalize."""
+    """Shared device-side train transform: hflip (joint with every spatial
+    label — masks, seg_map, and normalized cxcywh boxes) and normalize."""
     images = batch["images"].astype(jnp.float32) / 255.0
     out = dict(batch)
     if hflip_prob > 0:
@@ -106,9 +107,17 @@ def _device_train_transform(
             jax.random.uniform(key, (images.shape[0], 1, 1, 1)) < hflip_prob
         )
         images = jnp.where(do, images[:, :, ::-1, :], images)
-        if "masks" in batch:
-            masks = batch["masks"]
-            out["masks"] = jnp.where(do[..., 0], masks[:, :, ::-1], masks)
+        for mk in ("masks", "seg_map"):
+            if mk in batch:
+                m = batch[mk]
+                out[mk] = jnp.where(do[..., 0], m[:, :, ::-1], m)
+        if "boxes" in batch:
+            # Normalized cxcywh: mirroring the image sends cx -> 1 - cx.
+            b = batch["boxes"]
+            flipped = jnp.concatenate(
+                [1.0 - b[..., :1], b[..., 1:]], axis=-1
+            )
+            out["boxes"] = jnp.where(do[..., 0], flipped, b)
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
     std = jnp.asarray(IMAGENET_STD, jnp.float32)
     out["images"] = ((images - mean) / std).astype(dtype)
@@ -127,7 +136,7 @@ def _device_val_transform(
 
 
 def _merge_pretrained(
-    init_params: Any, pretrained: Any, _path: str = ""
+    init_params: Any, pretrained: Any, _path: str = "", _stats: Any = None
 ) -> Any:
     """Key-wise overlay of pretrained trunk params onto an initialized tree.
 
@@ -159,11 +168,23 @@ def _merge_pretrained(
                 "LIGHTLY_TRAIN_ALLOW_SHAPE_MISMATCH=1 to keep the fresh "
                 "init for mismatched leaves instead."
             )
+        if _stats is not None:
+            _stats["matched"] += 1
         return pretrained
     out = dict(init_params)
     for k, v in pretrained.items():
         if k in out:
-            out[k] = _merge_pretrained(out[k], v, f"{_path}/{k}")
+            out[k] = _merge_pretrained(out[k], v, f"{_path}/{k}", _stats)
+    if _path == "":
+        # Top-level call: a checkpoint whose key set is fully disjoint from
+        # the model would "merge" as a silent no-op and fine-tune from
+        # random init while logging success.
+        if _stats is not None and _stats["matched"] == 0:
+            raise ConfigError(
+                "The pretrained checkpoint shares no parameter names with "
+                "this model — it was exported for a different architecture "
+                "or nesting. Nothing was loaded."
+            )
     return out
 
 
@@ -317,7 +338,8 @@ def run_task_training(
         params = {
             **params,
             "backbone": _merge_pretrained(
-                params["backbone"], pretrained_variables["params"]
+                params["backbone"], pretrained_variables["params"],
+                _stats={"matched": 0},
             ),
         }
         for k, v in pretrained_variables.items():
@@ -350,6 +372,11 @@ def run_task_training(
 
     # ---- jitted steps -----------------------------------------------------
     accum = max(1, config.grad_accum_steps)
+    if batch_size % accum != 0:
+        raise ConfigError(
+            f"batch_size {batch_size} (after device round-up) must be "
+            f"divisible by grad_accum_steps {accum}."
+        )
 
     # Per-task train transform: tasks that declare a ``transform_kind`` get
     # the reference recipe (scale-jitter/crop/jitter for segmentation,
@@ -408,7 +435,10 @@ def run_task_training(
     @jax.jit
     def train_step(s: TaskTrainState, batch, base_key):
         k = jax.random.fold_in(base_key, s.step)
-        _, k_loss = jax.random.split(k)
+        # Distinct stream from prepare_batch's split(k) children — the
+        # previous split(k)[1] was bitwise identical to k_task_aug,
+        # correlating mosaic gates with DN-query noise every step.
+        k_loss = jax.random.fold_in(k, 1)
 
         def lw(p, b, kl, ms):
             return train_model.loss_fn(p, ms, b, kl, s.step)
@@ -507,6 +537,9 @@ def run_task_training(
     if config.resume_interrupted and ckpt_mgr.latest_step() is not None:
         state = ckpt_mgr.restore(jax.device_get(state))
         state = jax.device_put(state, NamedSharding(mesh, P()))
+        # Continue the same shuffled stream (skip the consumed batches)
+        # instead of retraining on epoch 0's first batches.
+        train_loader.start_step = int(state.step)
         logger.info("Resumed from step %d", int(state.step))
 
     jsonl = build_loggers(out_dir, config.loggers)
@@ -553,6 +586,7 @@ def run_task_training(
 
     # ---- loop -------------------------------------------------------------
     current = int(state.step)
+    start_step = current
     t_window = time.perf_counter()
     window = 0
     pending = None
@@ -567,10 +601,12 @@ def run_task_training(
         batch = next(train_iter)
         data_wait += time.perf_counter() - t_data
         batch = prepare_batch(batch, base_key, jnp.asarray(current, jnp.int32))
-        if current == int(state.step) and is_main_process():
-            # Label grid from the first batch (reference logs label/
+        if current == start_step and is_main_process():
+            # Label grid from the first batch only (reference logs label/
             # prediction grids for the first steps,
-            # ``train_task.py:1772-1778``).
+            # ``train_task.py:1772-1778``). `int(state.step)` here would be
+            # true EVERY step (both counters advance in lockstep) and its
+            # device sync would also stall the dispatch pipeline.
             _save_label_grid(out_dir, batch)
         state, pending = train_step(state, batch, base_key)
         current += 1
@@ -765,8 +801,13 @@ def train_object_detection(
     num_classes = int(
         data.get("num_classes")
         or len(getattr(train_ds, "class_names", []) or [])
-        or 80
+        or 0
     )
+    if num_classes <= 0:
+        raise ConfigError(
+            "num_classes could not be determined: pass data={'num_classes':"
+            " N, ...} (YOLO datasets carry no category list)."
+        )
     if use_picodet:
         # picodet-s / picodet-l model names (reference config.py:53-70).
         from lightly_train_tpu.tasks.detection.picodet import (
@@ -781,6 +822,16 @@ def train_object_detection(
         )
         train_model: Any = PicoDetTrainModel(None, task_args)
         meta = {"model_name": config.model, "architecture": "picodet"}
+        if config.checkpoint is not None:
+            # PicoDet's ESNet backbone has no pretrain package; silently
+            # dropping the user's checkpoint= would fine-tune from scratch
+            # while they believe otherwise.
+            raise ConfigError(
+                "checkpoint= is not supported for picodet models (the "
+                "ESNet backbone trains from scratch like the reference "
+                "PicoDet recipe); remove checkpoint= or pick a "
+                "'<backbone>-ltdetr' model."
+            )
         return run_task_training(
             config, train_model, train_ds, val_ds, meta, None
         )

@@ -55,6 +55,10 @@ class PretrainLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # Resume support: fast-forward the index stream past the batches
+        # steps [0, start_step) consumed, so a resumed run continues the
+        # same shuffled stream instead of re-reading epoch 0.
+        self.start_step = 0
         self.sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     def steps_per_epoch(self) -> int:
@@ -130,6 +134,8 @@ class PretrainLoader:
                 # always has work even while a finished batch sits in out_q.
                 window: "queue.Queue" = queue.Queue()
                 stream = self._index_stream()
+                for _ in range(self.start_step):  # resume fast-forward
+                    next(stream)
                 for _ in range(self.prefetch + 1):
                     window.put(
                         [

@@ -40,6 +40,7 @@ class TaskTrainLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        start_step: int = 0,
     ):
         self.dataset = dataset
         self.global_batch_size = global_batch_size
@@ -48,6 +49,10 @@ class TaskTrainLoader:
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        # Resume support: skip the batches steps [0, start_step) consumed so
+        # a resumed run continues the SAME shuffled stream instead of
+        # retraining on epoch 0's first batches.
+        self.start_step = start_step
         self.sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     def steps_per_epoch(self) -> int:
@@ -56,19 +61,24 @@ class TaskTrainLoader:
     def _indices(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)
         proc = jax.process_index()
-        epoch = 0
+        spe = self.steps_per_epoch()
+        epoch = self.start_step // spe
+        skip = self.start_step % spe
         while True:
             rng = np.random.default_rng(self.seed + epoch)
             perm = rng.permutation(n)
             if n < self.global_batch_size:
                 perm = np.tile(perm, -(-self.global_batch_size // n))
             usable = len(perm) - (len(perm) % self.global_batch_size)
-            for s in range(0, usable, self.global_batch_size):
+            for s in range(
+                skip * self.global_batch_size, usable, self.global_batch_size
+            ):
                 g = perm[s : s + self.global_batch_size]
                 yield g[
                     proc * self.local_batch_size : (proc + 1)
                     * self.local_batch_size
                 ]
+            skip = 0
             epoch += 1
 
     def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
@@ -81,6 +91,17 @@ class TaskTrainLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _offer(item) -> bool:
+            # Bounded put re-checking stop: an exited consumer must not
+            # leave the producer parked forever on the full queue.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -90,9 +111,11 @@ class TaskTrainLoader:
                         items = list(
                             pool.map(lambda i: self.dataset[int(i)], idx)
                         )
-                        out_q.put(_collate(items))
+                        if not _offer(_collate(items)):
+                            return
             except Exception as e:  # pragma: no cover
-                out_q.put(e)
+                if not stop.is_set():
+                    _offer(e)
 
         threading.Thread(target=producer, daemon=True).start()
         try:

@@ -554,3 +554,57 @@ def test_map_matches_best_unmatched_gt():
         predictions, targets, iou_thresholds=np.asarray([0.5])
     )
     assert out["map50"] == pytest.approx(1.0)  # both GTs recalled
+
+
+def test_shared_transform_flips_boxes_with_images():
+    """Regression: the shared hflip mirrored detection images but left the
+    cxcywh boxes (and seg_map) untouched — half the batches trained on
+    mirrored supervision."""
+    import jax
+
+    from lightly_train_tpu._commands.train_task import _device_train_transform
+
+    B, H = 4, 16
+    images = np.zeros((B, H, H, 3), np.uint8)
+    images[:, :, : H // 2] = 255  # left half bright
+    boxes = np.tile(np.asarray([[0.2, 0.5, 0.1, 0.2]], np.float32), (B, 1))
+    seg_map = np.zeros((B, H, H), np.int32)
+    seg_map[:, :, : H // 2] = 1
+    batch = {
+        "images": jnp.asarray(images),
+        "boxes": jnp.asarray(boxes)[:, None, :].repeat(2, 1),
+        "seg_map": jnp.asarray(seg_map),
+    }
+    out = _device_train_transform(
+        batch, jax.random.key(0), hflip_prob=1.0, dtype=jnp.float32
+    )
+    # Image mirrored: bright half moved right; box cx mirrored with it.
+    img = np.asarray(out["images"])
+    assert img[0, 0, 0].mean() < img[0, 0, -1].mean()
+    got = np.asarray(out["boxes"])
+    np.testing.assert_allclose(got[..., 0], 0.8)
+    np.testing.assert_allclose(
+        got[..., 1:], np.broadcast_to(boxes[0, 1:], got[..., 1:].shape)
+    )
+    assert (np.asarray(out["seg_map"])[0, :, -1] == 1).all()
+
+
+def test_task_loader_resume_continues_stream():
+    from lightly_train_tpu._data.task_loader import TaskTrainLoader
+    from lightly_train_tpu.parallel.mesh import MeshConfig
+
+    class _DS:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return {"images": np.full((2, 2, 3), i, np.uint8)}
+
+    mesh = MeshConfig().build()
+    full = TaskTrainLoader(_DS(), 4, mesh, seed=3)
+    resumed = TaskTrainLoader(_DS(), 4, mesh, seed=3, start_step=3)
+    want = [next(s) for s in [full._indices()] * 6][3:]
+    got_stream = resumed._indices()
+    got = [next(got_stream) for _ in range(3)]
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
