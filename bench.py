@@ -52,7 +52,11 @@ def main() -> None:
     from lightly_train_tpu._optim import build_optimizer, cosine_warmup
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = 32 if on_tpu else 4
+    # Batch must split over the data axis; round the smoke batch up to the
+    # device count (multi-chip TPU hosts scale the global batch likewise).
+    n_dev = jax.device_count()
+    batch = max(32 if on_tpu else 4, n_dev)
+    batch = -(-batch // n_dev) * n_dev
     canonical = 256 if on_tpu else 64
     model_name = "dinov2/vitb14" if on_tpu else "dinov2/vittest14"
     args = (
@@ -98,10 +102,26 @@ def main() -> None:
         fused_updater=fused_updater,
     )
 
-    imgs = jnp.asarray(
-        np.random.default_rng(0).integers(
-            0, 256, size=(batch, canonical, canonical, 3), dtype=np.uint8
-        )
+    # Shard exactly like the training runtime (train.py): state replicated
+    # (+fsdp axis when configured), batch over the data axis. On one chip
+    # this is identity; on a multi-chip host the step actually uses every
+    # chip, matching the per-chip normalization below.
+    from lightly_train_tpu.ops.pallas.attention import set_active_mesh
+    from lightly_train_tpu.parallel.mesh import (
+        MeshConfig, batch_sharding, shard_train_state,
+    )
+
+    mesh = MeshConfig().build()
+    set_active_mesh(mesh)
+    state = shard_train_state(state, mesh)
+
+    imgs = jax.device_put(
+        jnp.asarray(
+            np.random.default_rng(0).integers(
+                0, 256, size=(batch, canonical, canonical, 3), dtype=np.uint8
+            )
+        ),
+        batch_sharding(mesh),
     )
     key = jax.random.key(1)
 
@@ -197,7 +217,7 @@ def main() -> None:
             )
             loader = iter(PretrainLoader(
                 ds, global_batch_size=batch,
-                mesh=MeshConfig().build(), num_workers=8,
+                mesh=mesh, num_workers=8,
             ))
             next(loader)  # warm the pool
             t0 = time.perf_counter()
@@ -217,8 +237,10 @@ def main() -> None:
             sustained_img_s = (
                 batch * n_sustained / (time.perf_counter() - t0)
             )
-    except Exception:
-        pass
+    except Exception as e:
+        # Never hide a broken end-to-end path behind a silent 0.0.
+        print(f"# sustained/host pipeline unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     imgs_per_sec = batch * n_iters / dt
     n_chips = jax.device_count()

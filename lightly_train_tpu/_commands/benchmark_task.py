@@ -101,7 +101,8 @@ def _benchmark_native(config: BenchmarkConfig) -> Dict[str, Any]:
             [str(runner), config.pjrt_plugin, f"{shlo}.mlir",
              f"{shlo}.compile_options.pb", f"{tmp}/input.bin",
              ",".join(map(str, shape)), f"{tmp}/out",
-             str(config.num_warmup + config.num_runs)],
+             str(config.num_warmup + config.num_runs),
+             str(config.num_warmup)],
             capture_output=True, text=True, check=True,
         )
         m = re.search(

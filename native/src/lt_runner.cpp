@@ -29,6 +29,7 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <deque>
 #include <sstream>
 #include <string>
 #include <vector>
@@ -110,15 +111,19 @@ size_t DTypeBytes(PJRT_Buffer_Type t) {
 }  // namespace
 
 int main(int argc, char** argv) {
-  if (argc != 7 && argc != 8) {
+  if (argc < 7 || argc > 9) {
     std::fprintf(
         stderr,
         "usage: %s <plugin.so> <model.mlir> <compile_options.pb> "
-        "<input.bin> <B,H,W,C> <output_prefix> [repeat]\n",
+        "<input.bin> <B,H,W,C> <output_prefix> [repeat] [warmup]\n",
         argv[0]);
     return 1;
   }
-  const int repeat = argc == 8 ? std::atoi(argv[7]) : 1;
+  const int repeat = argc >= 8 ? std::atoi(argv[7]) : 1;
+  // Executions excluded from the latency statistics (the first execute is
+  // always untimed; `warmup` counts it), matching the Python backends'
+  // warmup-exclusion semantics in benchmark_task.py.
+  const int warmup = argc == 9 ? std::atoi(argv[8]) : 1;
   const std::string plugin_path = argv[1];
   const std::string mlir = ReadFile(argv[2]);
   const std::string compile_opts = ReadFile(argv[3]);
@@ -128,6 +133,17 @@ int main(int argc, char** argv) {
     std::stringstream ss(argv[5]);
     std::string item;
     while (std::getline(ss, item, ',')) dims.push_back(std::stoll(item));
+  }
+  {
+    size_t n_elems = 1;
+    for (int64_t d : dims) n_elems *= static_cast<size_t>(d);
+    if (input.size() != n_elems * sizeof(float)) {
+      std::fprintf(stderr,
+                   "input.bin holds %zu bytes but dims imply %zu "
+                   "(f32); refusing to read past the buffer\n",
+                   input.size(), n_elems * sizeof(float));
+      return 1;
+    }
   }
   const std::string out_prefix = argv[6];
 
@@ -162,8 +178,9 @@ int main(int argc, char** argv) {
   //   LT_RUNNER_OPTIONS="remote_compile=i1,topology=sv5e:1x1x1,..."
   // with 'i' = int64 value, 's' = string value.
   std::vector<PJRT_NamedValue> named_values;
-  std::vector<std::string> option_storage;  // keeps strings alive
-  option_storage.reserve(128);  // no reallocation: c_str() pointers are held
+  // deque: pointer-stable growth (a vector reallocation would dangle the
+  // c_str() pointers held in named_values).
+  std::deque<std::string> option_storage;
   const char* opts_env = std::getenv("LT_RUNNER_OPTIONS");
   std::string opts_str = opts_env ? opts_env : "";
   if (opts_str.empty() && plugin_path.find("axon") != std::string::npos) {
@@ -189,7 +206,12 @@ int main(int argc, char** argv) {
       nv.name_size = name.size();
       if (kind == 'i') {
         nv.type = PJRT_NamedValue_kInt64;
-        nv.int64_value = std::stoll(item.substr(eq + 2));
+        try {
+          nv.int64_value = std::stoll(item.substr(eq + 2));
+        } catch (const std::exception&) {
+          std::fprintf(stderr, "bad int option '%s'\n", item.c_str());
+          return 1;
+        }
         nv.value_size = 1;
       } else {
         option_storage.push_back(item.substr(eq + 2));
@@ -330,7 +352,11 @@ int main(int argc, char** argv) {
       double ms = std::chrono::duration<double, std::milli>(
                       std::chrono::steady_clock::now() - t0)
                       .count();
-      times_ms.push_back(ms);
+      if (r >= warmup) times_ms.push_back(ms);
+    }
+    if (times_ms.empty()) {
+      std::fprintf(stderr, "warmup >= repeat: no timed samples\n");
+      return 1;
     }
     std::sort(times_ms.begin(), times_ms.end());
     double sum = 0;
