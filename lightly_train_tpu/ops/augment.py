@@ -137,6 +137,13 @@ def view_config_with_overrides(
                 "threshold", cfg.solarize_threshold)
     if "channel_drop" in args:
         cd = args["channel_drop"]
+        keep = (cd or {}).get("num_channels_keep", 3)
+        if cd is not None and keep != 3:
+            # Reference incompatibility resolution (eomt_transforms/
+            # utils.py:36-73): the 3x3 color matrix and RGB grayscale
+            # weights cannot apply off 3 channels.
+            u["cj_prob"] = 0.0
+            u["gray_prob"] = 0.0
         if cd is None:
             u["channel_drop_keep"] = None
         else:
@@ -195,6 +202,13 @@ def _sample_crop_boxes(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sample (y0, x0, h, w) float crop boxes, one per image. Shapes (B,)."""
     H, W = in_hw
+    if scale == (1.0, 1.0):
+        # random_resize disabled (transform_args random_resize=None): a
+        # plain resize of the FULL image — the random aspect draw would
+        # otherwise still sub-crop (e.g. 224x194 at aspect 4/3).
+        full = jnp.zeros((batch,), jnp.float32)
+        return (full, full,
+                jnp.full((batch,), float(H)), jnp.full((batch,), float(W)))
     k_area, k_ratio, k_y, k_x = jax.random.split(key, 4)
     area = H * W * jax.random.uniform(
         k_area, (batch,), minval=scale[0], maxval=scale[1]
@@ -397,6 +411,11 @@ def color_jitter(
     h. All four ops are affine in RGB, so they compose into ONE per-image
     3x3 matrix + offset — a single pixel pass (b, 3, 3) einsum instead of
     four, which is what makes the fused on-device pipeline cheap.
+
+    Known approximation: torchvision clamps to [0, 1] after EACH op; the
+    composed matrix clips once at the end, so outputs differ wherever an
+    intermediate value leaves [0, 1] (strongly bright/dark pixels). This
+    is a deliberate tradeoff for the single-pass design.
     """
     B = images.shape[0]
     k_apply, kb, kc, ks, kh = jax.random.split(key, 5)

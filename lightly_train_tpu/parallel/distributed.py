@@ -38,12 +38,19 @@ def initialize_distributed(
     global _initialized
     if _initialized:
         return
-    should_init = (
-        coordinator_address is not None
-        or os.environ.get("JAX_COORDINATOR_ADDRESS")
-        or os.environ.get("COORDINATOR_ADDRESS")
+    # Forward an explicitly supplied coordinator (env or arg) — these env
+    # vars are OURS, not ones jax's cluster auto-detection reads, so the
+    # address must be passed through. num_processes/process_id fall back to
+    # the conventional launcher envs.
+    env_addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
     )
-    if should_init:
+    coordinator_address = coordinator_address or env_addr
+    if num_processes is None and os.environ.get("NUM_PROCESSES"):
+        num_processes = int(os.environ["NUM_PROCESSES"])
+    if process_id is None and os.environ.get("PROCESS_ID"):
+        process_id = int(os.environ["PROCESS_ID"])
+    if coordinator_address is not None:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -54,7 +61,9 @@ def initialize_distributed(
             jax.process_index(),
             jax.process_count(),
         )
-    _initialized = True
+        _initialized = True
+    # No-op path: do NOT latch, so a later explicit
+    # initialize_distributed(coordinator_address=...) still works.
 
 
 def get_process_index() -> int:

@@ -71,10 +71,17 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis_index: int = 0) -> Any:
     Leaves whose rank is <= batch_axis_index are replicated.
     """
 
+    multi_host = jax.process_count() > 1
+
     def _put(x: Any) -> Any:
         arr = np.asarray(x) if not isinstance(x, jax.Array) else x
         if arr.ndim > batch_axis_index:
-            return jax.device_put(arr, batch_sharding(mesh, batch_axis_index))
+            sharding = batch_sharding(mesh, batch_axis_index)
+            if multi_host:
+                # device_put rejects shardings spanning non-addressable
+                # devices; each process contributes its local slice.
+                return jax.make_array_from_process_local_data(sharding, arr)
+            return jax.device_put(arr, sharding)
         return jax.device_put(arr, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(_put, batch)

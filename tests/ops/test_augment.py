@@ -122,3 +122,44 @@ def test_matmul_and_gather_crop_parity():
     np.testing.assert_allclose(
         np.asarray(out_mm), np.asarray(out_gather), atol=1e-2
     )
+
+
+def test_random_resize_none_is_plain_resize():
+    """transform_args random_resize=None must disable cropping entirely —
+    the random aspect draw previously still sub-cropped the image."""
+    import jax
+
+    from lightly_train_tpu.ops.augment import (
+        ViewAugmentConfig,
+        augment_view_with_geometry,
+        view_config_with_overrides,
+    )
+
+    cfg = view_config_with_overrides(
+        ViewAugmentConfig(out_size=(16, 16), cj_prob=0.0, gray_prob=0.0,
+                          blur_prob=0.0, hflip_prob=0.0),
+        {"random_resize": None},
+    )
+    imgs = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (4, 20, 30, 3), np.uint8)
+    )
+    _, geom = augment_view_with_geometry(jax.random.key(0), imgs, cfg)
+    g = np.asarray(geom)
+    np.testing.assert_allclose(g[:, 0], 0.0)  # y0
+    np.testing.assert_allclose(g[:, 1], 0.0)  # x0
+    np.testing.assert_allclose(g[:, 2], 20.0)  # full height
+    np.testing.assert_allclose(g[:, 3], 30.0)  # full width
+
+
+def test_channel_drop_off_3_disables_color_ops():
+    from lightly_train_tpu.ops.augment import (
+        ViewAugmentConfig,
+        view_config_with_overrides,
+    )
+
+    cfg = view_config_with_overrides(
+        ViewAugmentConfig(),
+        {"channel_drop": {"num_channels_keep": 2,
+                          "weight_drop": (1.0, 1.0, 1.0)}},
+    )
+    assert cfg.cj_prob == 0.0 and cfg.gray_prob == 0.0
