@@ -292,8 +292,13 @@ def run_task_training(
         )
         batch_size = rounded
 
-    # Give the task model mesh access for shard-local augmentations.
+    # Give the task model mesh access for shard-local augmentations, and the
+    # resolved step budget for step-based schedules (EoMT attention-mask
+    # annealing must reach zero at the END of THIS run, not at the family's
+    # default_steps — a custom steps= would otherwise end training with
+    # masking still active while inference runs unmasked).
     train_model.mesh = mesh
+    train_model.total_steps = total_steps
     train_loader = TaskTrainLoader(
         train_dataset, batch_size, mesh, config.seed, config.num_workers
     )

@@ -62,11 +62,15 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
 
     def loss_fn(self, params, model_state, batch, rng, step):
         a = self.args
-        mask_probs = self._mask_probs(step, a.default_steps)
+        mask_probs = self._mask_probs(
+            step, getattr(self, "total_steps", None) or a.default_steps
+        )
+        # Disjoint PRNG streams (see eomt_semantic_segmentation.loss_fn).
+        rng_trunk, rng_loss, rng_dp = jax.random.split(rng, 3)
         outputs, grid_hw = self.trunk.apply(
             {"params": params["backbone"]},
             batch["images"].astype(self.cfg.dtype),
-            mask_probs, rng, True, rngs={"droppath": rng},
+            mask_probs, rng_trunk, True, rngs={"droppath": rng_dp},
         )
         total = 0.0
         if a.use_point_sampling:
@@ -76,7 +80,7 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
             for li, (cls_logits, mask_logits) in enumerate(outputs):
                 total = total + point_sampled_mask_loss(
                     cls_logits, mask_logits, grid_hw, id_map, valid,
-                    batch["seg_labels"], jax.random.fold_in(rng, li),
+                    batch["seg_labels"], jax.random.fold_in(rng_loss, li),
                     num_classes=a.num_classes,
                     class_weight=a.class_weight,
                     mask_weight=a.mask_weight,
@@ -152,7 +156,14 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
                 })
                 K = c["tgt_labels"].shape[1]
                 tmap = c["tgt_map"][b].reshape(-1)
-                tv = c["tgt_valid"][b]
+                tv = c["tgt_valid"][b].copy()
+                # NEAREST-downsampling the seg map to the patch grid can
+                # erase instances far smaller than a patch; an all-empty GT
+                # mask would be an unmatchable permanent FN, so drop the
+                # slot (evaluation runs at grid resolution by design).
+                for k in range(K):
+                    if tv[k] and not (tmap == k).any():
+                        tv[k] = False
                 masks = np.stack(
                     [(tmap == k) for k in range(K)], axis=0
                 )[tv]
@@ -263,7 +274,18 @@ class EoMTPanopticSegmentationTrainModel(EoMTInstanceSegmentationTrainModel):
                             tp += 1
                             tp_iou += iou
                             break
-                fp += len(pred_segs) - len(matched_pred)
+                # Standard PQ: unmatched predictions lying mostly on void/
+                # crowd pixels are dropped, not counted FP (pycocotools
+                # panopticapi rule) — argmax assigns EVERY pixel to some
+                # query, so crowd regions would otherwise be systematic FPs.
+                void = tmap == NO_SEGMENT
+                for pi, (q, pl, pm) in enumerate(pred_segs):
+                    if pi in matched_pred:
+                        continue
+                    area = float(pm.sum())
+                    if area > 0 and float((pm & void).sum()) / area > 0.5:
+                        continue
+                    fp += 1
                 fn += len(gt_segs) - len(matched_gt)
         denom = tp + 0.5 * fp + 0.5 * fn
         pq = tp_iou / denom if denom > 0 else 0.0
@@ -501,6 +523,15 @@ class COCOInstanceSegmentationDataset:
                 boxes[slot] = [
                     (x + bw / 2) / W, (y + bh / 2) / H, bw / W, bh / H
                 ]
+        # A degenerate polygon or a slot fully overwritten by a later
+        # overlapping annotation has zero pixels: matching a query to an
+        # all-background target corrupts training, and an empty GT mask is
+        # a permanent false negative in val mask-mAP.
+        present = np.bincount(
+            seg_map[seg_map != NO_SEGMENT].ravel(),
+            minlength=self.max_instances,
+        )
+        valid &= present[: self.max_instances] > 0
         return {
             "images": image,
             "seg_map": seg_map,

@@ -18,9 +18,10 @@ TPU-native design decisions:
 - Hungarian matching runs on host via ``jax.pure_callback`` (scipy LSA), the
   one sequential/data-dependent step (SURVEY.md §7 hard parts); costs and
   losses are computed on device.
-- Mask losses use full masks at patch resolution instead of the reference's
-  point sampling (an optimization, not a semantic difference — noted for
-  parity review).
+- Mask losses default to the reference's point-sampled formulation
+  (``use_point_sampling=True``: CE+dice at importance-sampled label-
+  resolution points, torch grid_sample-parity-tested); setting it False
+  falls back to full masks at patch resolution.
 """
 
 from __future__ import annotations
@@ -97,12 +98,16 @@ class _EoMTTrunk(nn.Module):
         x = x.reshape(B, gh * gw, cfg.embed_dim)
         # Parity with VisionTransformer param tree (unused at fine-tune time).
         self.param("mask_token", nn.initializers.zeros, (cfg.embed_dim,))
-        pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.normal(stddev=0.02),
-            (1, cfg.pos_embed_size * cfg.pos_embed_size, cfg.embed_dim),
-        )
-        x = x + interpolate_pos_embed(pos_embed, (gh, gw)).astype(x.dtype)
+        if cfg.use_pos_embed:
+            # DINOv2 backbones carry a learned pos table; DINOv3 uses RoPE
+            # only (vit.py:383) — creating one here would inject a fresh
+            # random table the pretrained artifact can never overwrite.
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.normal(stddev=0.02),
+                (1, cfg.pos_embed_size * cfg.pos_embed_size, cfg.embed_dim),
+            )
+            x = x + interpolate_pos_embed(pos_embed, (gh, gw)).astype(x.dtype)
         cls_token = self.param(
             "cls_token", nn.initializers.normal(stddev=0.02),
             (1, 1, cfg.embed_dim),
@@ -203,7 +208,9 @@ class _EoMTTrunk(nn.Module):
                 name=f"block{i}",
             )(x, rope, deterministic=not train, attn_mask=attn_mask)
             outputs.append(predict(
-                nn.LayerNorm(dtype=cfg.dtype, name="norm")(x)
+                nn.LayerNorm(
+                    epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm"
+                )(x)
                 if j == self.num_joint_blocks - 1
                 else x,
                 j,
@@ -615,15 +622,21 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
         a = self.args
         images = batch["images"]
         masks = batch["masks"]
-        total_steps = a.default_steps  # annealing horizon
+        # Annealing horizon: the RESOLVED run length (set by the runtime;
+        # falls back to the family default when driven standalone).
+        total_steps = getattr(self, "total_steps", None) or a.default_steps
         mask_probs = self._mask_probs(step, total_steps)
+        # Disjoint PRNG streams: the trunk folds small ints for the per-
+        # block annealing bernoullis, so loss-side fold_in(rng, li) would
+        # REUSE those exact keys; split once instead.
+        rng_trunk, rng_loss, rng_dp = jax.random.split(rng, 3)
         outputs, grid_hw = self.trunk.apply(
             {"params": params["backbone"]},
             images.astype(self.cfg.dtype),
             mask_probs,
-            rng,
+            rng_trunk,
             True,
-            rngs={"droppath": rng},
+            rngs={"droppath": rng_dp},
         )
         tgt_classes = jnp.arange(a.num_classes)[None, :].repeat(
             images.shape[0], 0
@@ -646,7 +659,7 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             if a.use_point_sampling:
                 loss_l = point_sampled_mask_loss(
                     cls_logits, mask_logits, grid_hw, id_map, valid,
-                    tgt_classes, jax.random.fold_in(rng, li),
+                    tgt_classes, jax.random.fold_in(rng_loss, li),
                     num_classes=a.num_classes,
                     class_weight=a.class_weight,
                     mask_weight=a.mask_weight,

@@ -69,6 +69,38 @@ def _build_train_model(task: str, architecture: str, model_name: str,
         return ObjectDetectionTrainModel(
             wrapped, pydantic_model_validate(ObjectDetectionArgs, task_args)
         )
+    if task == "instance_segmentation":
+        if architecture == "ltdetr":
+            from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+                InstanceSegmentationLTDETRArgs,
+                LTDETRInstanceSegmentationTrainModel,
+            )
+
+            return LTDETRInstanceSegmentationTrainModel(
+                wrapped,
+                pydantic_model_validate(
+                    InstanceSegmentationLTDETRArgs, task_args
+                ),
+            )
+        from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+            EoMTInstanceSegmentationArgs,
+            EoMTInstanceSegmentationTrainModel,
+        )
+
+        return EoMTInstanceSegmentationTrainModel(
+            wrapped,
+            pydantic_model_validate(EoMTInstanceSegmentationArgs, task_args),
+        )
+    if task == "panoptic_segmentation":
+        from lightly_train_tpu.tasks.eomt_instance_panoptic import (
+            EoMTPanopticSegmentationArgs,
+            EoMTPanopticSegmentationTrainModel,
+        )
+
+        return EoMTPanopticSegmentationTrainModel(
+            wrapped,
+            pydantic_model_validate(EoMTPanopticSegmentationArgs, task_args),
+        )
     raise UnknownTaskError(f"Unknown task '{task}' in artifact.")
 
 
@@ -127,6 +159,41 @@ class LoadedTaskModel:
                 "boxes": boxes,
                 "scores": np.asarray(scores)[0],
                 "labels": np.asarray(labels)[0],
+            }
+        if self.task == "instance_segmentation":
+            from PIL import Image
+
+            if len(out) == 4:  # LT-DETR head: (boxes, scores, labels, masks)
+                boxes, scores, labels, masks = out
+                boxes = np.asarray(boxes)[0] * np.asarray([W, H, W, H])
+            else:  # EoMT: (masks, scores, labels)
+                masks, scores, labels = out
+                boxes = None
+            up = np.stack([
+                np.asarray(Image.fromarray(m).resize((W, H), Image.NEAREST))
+                for m in np.asarray(masks)[0].astype(np.uint8)
+            ]).astype(bool)
+            result = {
+                "masks": up,
+                "scores": np.asarray(scores)[0],
+                "labels": np.asarray(labels)[0],
+            }
+            if boxes is not None:
+                result["boxes"] = boxes
+            return result
+        if self.task == "panoptic_segmentation":
+            from PIL import Image
+
+            seg_map, labels, scores = out
+            seg = np.asarray(
+                Image.fromarray(
+                    np.asarray(seg_map)[0].astype(np.int32), mode="I"
+                ).resize((W, H), Image.NEAREST)
+            )
+            return {
+                "segment_map": seg,
+                "labels": np.asarray(labels)[0],
+                "scores": np.asarray(scores)[0],
             }
         raise UnknownTaskError(self.task)
 

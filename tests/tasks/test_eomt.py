@@ -166,3 +166,52 @@ def test_greedy_matches_hungarian_on_random_costs():
                     t += float(cost[b, a[b, k], k])
         return t
     assert total(g) <= total(h) + 0.1 * abs(total(h)) + 1e-3
+
+
+def test_trunk_has_no_pos_embed_for_rope_backbones():
+    """DINOv3 backbones use RoPE only (use_pos_embed=False): the EoMT trunk
+    must not invent a learned pos table the pretrained artifact can never
+    overwrite (it would add frozen random noise to every patch token)."""
+    import jax
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+        EoMTSemanticSegmentationArgs,
+        EoMTSemanticSegmentationTrainModel,
+    )
+
+    model = EoMTSemanticSegmentationTrainModel(
+        get_wrapped_model("dinov3/vittest16"),
+        EoMTSemanticSegmentationArgs(num_classes=5),
+    )
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params, _ = model.init(jax.random.key(0), {"images": x, "masks": jnp.zeros((1, 32, 32), jnp.int32)})
+    assert "pos_embed" not in params["backbone"]
+    # DINOv2 backbones DO carry one, and it must still exist for loading.
+    model2 = EoMTSemanticSegmentationTrainModel(
+        get_wrapped_model("dinov2/vittest14"),
+        EoMTSemanticSegmentationArgs(num_classes=5),
+    )
+    x2 = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    p2, _ = model2.init(jax.random.key(0), {"images": x2, "masks": jnp.zeros((1, 28, 28), jnp.int32)})
+    assert "pos_embed" in p2["backbone"]
+
+
+def test_anneal_horizon_uses_resolved_steps():
+    """The attention-mask anneal must reach zero at the END of the actual
+    run (runtime sets total_steps), not at the family default_steps."""
+    import jax
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+        EoMTSemanticSegmentationArgs,
+        EoMTSemanticSegmentationTrainModel,
+    )
+
+    model = EoMTSemanticSegmentationTrainModel(
+        get_wrapped_model("dinov3/vittest16"),
+        EoMTSemanticSegmentationArgs(num_classes=5),
+    )
+    model.total_steps = 100  # as run_task_training sets it
+    probs_end = model._mask_probs(jnp.asarray(100), model.total_steps)
+    assert float(np.max(np.asarray(probs_end))) == 0.0

@@ -74,6 +74,17 @@ def test_instance_segmentation_end_to_end(tmp_path, coco_instance):
     )
     assert int(state.step) == 2
     assert "val_mask_map" in val
+    # load_model round-trip (instance artifacts previously raised
+    # UnknownTaskError) + predict postprocess at original resolution.
+    model = lt.load_model(
+        str(tmp_path / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    out = model.predict(
+        np.zeros((40, 40, 3), np.uint8)
+    )
+    assert out["masks"].shape[1:] == (40, 40)
+    assert "scores" in out and "labels" in out
 
 
 @pytest.fixture
@@ -127,6 +138,12 @@ def test_panoptic_end_to_end(tmp_path, coco_panoptic):
     )
     assert int(state.step) == 2
     assert "val_pq" in val and 0.0 <= val["val_pq"] <= 1.0
+    model = lt.load_model(
+        str(tmp_path / "out" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    out = model.predict(np.zeros((40, 40, 3), np.uint8))
+    assert out["segment_map"].shape == (40, 40)
 
 
 def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
@@ -146,6 +163,13 @@ def test_ltdetr_instance_segmentation_end_to_end(tmp_path, coco_instance):
     )
     assert int(state.step) == 2
     assert "val_mask_map" in val
+    model = lt.load_model(
+        str(tmp_path / "out_ltdetr" / "exported_models" / "exported_last"),
+        image_size=32,
+    )
+    out = model.predict(np.zeros((40, 40, 3), np.uint8))
+    assert out["masks"].shape[1:] == (40, 40)
+    assert out["boxes"].shape[-1] == 4  # detection head included
 
 
 def test_ltdetr_seg_bn_backbone_mask_head():
