@@ -86,7 +86,10 @@ def test_view_config_overrides_map_reference_keys():
     assert new.out_size == (96, 96)
     assert new.crop_scale == (0.2, 0.9)
     assert new.cj_prob == 0.0
-    assert new.gray_prob == 0.5
+    # channel_drop to 2 channels disables the 3-channel-only grayscale op
+    # (reference incompatibility rule; the old expectation of 0.5 codified
+    # a config that crashed at trace time).
+    assert new.gray_prob == 0.0
     assert new.blur_prob == 0.7 and new.blur_sigma == (0.2, 1.0)
     assert new.solarize_prob == 0.3
     assert new.rotation_prob == 0.25 and new.rotation_degrees == 10.0
