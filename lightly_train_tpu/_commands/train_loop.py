@@ -53,13 +53,14 @@ def make_train_step(
     needs_geometry = getattr(method, "needs_geometry", False)
     needs_masks = getattr(method, "needs_masks", False)
     if (needs_geometry or needs_masks) and any(
-        s.config.vflip_prob > 0 for s in view_specs
+        s.config.vflip_prob > 0 or s.config.rotation_prob > 0
+        for s in view_specs
     ):
         raise ValueError(
-            "vertical_prob > 0 is not supported with geometry/mask-"
-            "consuming methods (DetCon, DINOv31): the recorded crop "
-            "geometry carries hflip only, so vflipped views would pair "
-            "with unflipped masks/teacher features."
+            "vertical_prob/rotation > 0 is not supported with geometry/"
+            "mask-consuming methods (DetCon, DINOv31): the recorded crop "
+            "geometry carries hflip only, so vflipped/rotated views would "
+            "pair with unflipped masks/teacher features."
         )
 
     def _grads_for_microbatch(

@@ -148,7 +148,11 @@ class ImageDataset:
             mask = np.zeros(self.canonical_hw, np.int32)
         else:
             with Image.open(mask_path) as m:
-                m = m.convert("L").resize(
+                # Palette-mode (P) class-id PNGs must be read as raw indices
+                # (convert("L") would map through the palette to luminance).
+                if m.mode not in ("P", "L", "I", "I;16"):
+                    m = m.convert("L")
+                m = m.resize(
                     (self.canonical_hw[1], self.canonical_hw[0]), Image.NEAREST
                 )
                 mask = np.asarray(m, dtype=np.int32)

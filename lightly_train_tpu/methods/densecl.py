@@ -134,19 +134,22 @@ class DenseCL(Method):
         filled = method_state["queue_filled"] > 0
         qg = method_state["queue_global"]
         qd = method_state["queue_dense"]
-        loss_g = jnp.where(
+        # lax.cond, not jnp.where: where would EXECUTE the step-0 fallback
+        # (including a (B*n, B*n) dense logit matrix, ~157 MB at batch 32)
+        # on every step of the run just to discard it.
+        loss_g = jax.lax.cond(
             filled,
-            _info_nce(zg_s, zg_t, qg, a.temperature),
-            _info_nce(zg_s, zg_t, zg_t, a.temperature),
+            lambda: _info_nce(zg_s, zg_t, qg, a.temperature),
+            lambda: _info_nce(zg_s, zg_t, zg_t, a.temperature),
         )
         B, n, D = zd_s.shape
         zd_s_flat = zd_s.reshape(B * n, D)
         zd_pos_flat = zd_pos.reshape(B * n, D)
-        loss_d = jnp.where(
+        loss_d = jax.lax.cond(
             filled,
-            _info_nce(zd_s_flat, zd_pos_flat, qd, a.temperature),
-            _info_nce(zd_s_flat, zd_pos_flat, zd_t.reshape(B * n, D),
-                      a.temperature),
+            lambda: _info_nce(zd_s_flat, zd_pos_flat, qd, a.temperature),
+            lambda: _info_nce(zd_s_flat, zd_pos_flat,
+                              zd_t.reshape(B * n, D), a.temperature),
         )
         loss = (1 - a.lambda_dense) * loss_g + a.lambda_dense * loss_d
 

@@ -28,7 +28,11 @@ from lightly_train_tpu.ops.ema import cosine_schedule, ema_update
 class DetConBArgs(MethodArgs):
     image_size: int = 224
     num_masks: int = 16  # regions per image (grid cells or dataset mask ids)
-    num_samples: int = 5  # masks sampled per view for the loss
+    # Reference DetCon samples num_samples PRESENT masks per view; here all
+    # regions enter the loss and ABSENT regions (not visible in a crop) are
+    # masked out of positives and negatives instead — same effect with
+    # static shapes (no data-dependent sampling under jit).
+    num_samples: int = 5
     # True: pool within dataset-provided region masks (requires pretrain
     # mask_dir; mask crops follow the view's crop geometry). False: spatial
     # grid fallback (the reference's maskless mode).
@@ -46,6 +50,11 @@ def _grid_masks(hw: tuple, num_masks: int) -> jax.Array:
     """(h*w, num_masks) one-hot spatial grid assignment."""
     h, w = hw
     side = int(num_masks**0.5)
+    if side * side != num_masks:
+        raise ValueError(
+            f"num_masks={num_masks} must be a perfect square in grid mode "
+            "(dataset-mask mode accepts any count)."
+        )
     rows = jnp.minimum(
         (jnp.arange(h) * side) // h, side - 1
     )
@@ -120,18 +129,21 @@ class DetConB(Method):
             onehot = jax.nn.one_hot(
                 jnp.clip(grid_ids, 0, M - 1), M
             ).reshape(B, h * w, M)
+            counts = jnp.sum(onehot, axis=1)  # (B, M)
             pooled = jnp.einsum(
                 "bnd,bnm->bmd", feats.reshape(B, h * w, D), onehot
-            ) / jnp.maximum(jnp.sum(onehot, axis=1)[:, :, None], 1.0)
+            ) / jnp.maximum(counts[:, :, None], 1.0)
+            presence = counts > 0
         else:
             masks = _grid_masks((h, w), M)  # (n, M)
             pooled = jnp.einsum(
                 "bnd,nm->bmd", feats.reshape(B, h * w, D), masks
             ) / jnp.maximum(jnp.sum(masks, axis=0)[None, :, None], 1.0)
+            presence = jnp.ones((B, M), bool)
         z = self.projector.apply({"params": params["projector"]}, pooled)
         if use_predictor:
             z = self.predictor.apply({"params": params["predictor"]}, z)
-        return z, new_state  # (B, M, out_dim)
+        return z, presence, new_state  # (B, M, out_dim), (B, M)
 
     def loss_fn(self, params, model_state, method_state, views, rng, step,
                 total_steps):
@@ -142,7 +154,7 @@ class DetConB(Method):
         else:
             v0, v1 = views[:2]
             m0 = m1 = None
-        z_s, new_model_state = self._mask_pooled(
+        z_s, pres_s, new_model_state = self._mask_pooled(
             params, model_state, v0, True, rng, use_predictor=True,
             region_masks=m0,
         )
@@ -150,7 +162,7 @@ class DetConB(Method):
             "student": method_state["teacher"]["student"],
             "projector": method_state["teacher"]["projector"],
         }
-        z_t, _ = self._mask_pooled(
+        z_t, pres_t, _ = self._mask_pooled(
             jax.lax.stop_gradient(teacher), model_state, v1, False, rng,
             use_predictor=False, region_masks=m1,
         )
@@ -162,13 +174,18 @@ class DetConB(Method):
         zt = l2_normalize(z_t)
         logits = jnp.einsum("bmd,cnd->bmcn", zs, zt) / a.temperature
         logits = logits.reshape(B, M, B * M)
+        # Regions absent from a crop pool to a degenerate shared vector:
+        # exclude them from negatives and zero-weight their positive pairs
+        # (the reference samples only present masks).
+        neg_valid = pres_t.reshape(1, 1, B * M)
+        logits = jnp.where(neg_valid, logits, -1e9)
         labels = (
             jnp.arange(B)[:, None] * M + jnp.arange(M)[None, :]
         )  # (B, M): own index in flattened teacher masks
+        pair_w = (pres_s & pres_t).astype(jnp.float32)  # (B, M)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        loss = -jnp.mean(
-            jnp.take_along_axis(logp, labels[..., None], axis=-1)
-        )
+        ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(ce * pair_w) / jnp.maximum(jnp.sum(pair_w), 1.0)
         return loss, (new_model_state, method_state, {"detcon_loss": loss})
 
     def post_update(self, params, method_state, step, total_steps):
@@ -218,28 +235,29 @@ class DetConS(DetConB):
             v0, v1 = views[:2]
             m0 = m1 = None
         k0, k1 = jax.random.split(rng)
-        z0, new_model_state = self._mask_pooled(
+        z0, pres0, new_model_state = self._mask_pooled(
             params, model_state, v0, True, k0, use_predictor=False,
             region_masks=m0,
         )
-        z1, new_model_state = self._mask_pooled(
+        z1, pres1, new_model_state = self._mask_pooled(
             params, new_model_state, v1, True, k1, use_predictor=False,
             region_masks=m1,
         )
         B, M, D = z0.shape
         za = l2_normalize(z0)
         zb = l2_normalize(z1)
+        pair_w = (pres0 & pres1).astype(jnp.float32)
 
-        def direction(x, y):
+        def direction(x, y, pres_y):
             logits = jnp.einsum("bmd,cnd->bmcn", x, y) / a.temperature
             logits = logits.reshape(B, M, B * M)
+            logits = jnp.where(pres_y.reshape(1, 1, B * M), logits, -1e9)
             labels = jnp.arange(B)[:, None] * M + jnp.arange(M)[None, :]
             logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(
-                jnp.take_along_axis(logp, labels[..., None], axis=-1)
-            )
+            ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            return jnp.sum(ce * pair_w) / jnp.maximum(jnp.sum(pair_w), 1.0)
 
-        loss = 0.5 * (direction(za, zb) + direction(zb, za))
+        loss = 0.5 * (direction(za, zb, pres1) + direction(zb, za, pres0))
         return loss, (new_model_state, method_state, {"detcon_loss": loss})
 
     def post_update(self, params, method_state, step, total_steps):

@@ -74,10 +74,15 @@ class ImageClassificationMultiheadTrainModel(ImageClassificationTrainModel):
         del step
         images, labels = batch["images"], batch["labels"]
         backbone = params["backbone"]
-        if self.args.freeze_backbone:
+        frozen = self.args.freeze_backbone
+        if frozen:
             backbone = jax.lax.stop_gradient(backbone)
+        # A frozen probe backbone must run in EVAL mode: train=True would
+        # keep updating BatchNorm stats and apply droppath inside the
+        # supposedly fixed feature extractor, making per-head LR
+        # comparisons (this class's purpose) noisy.
         pooled, new_state = self._pooled(
-            {"backbone": backbone}, model_state, images, True, rng
+            {"backbone": backbone}, model_state, images, not frozen, rng
         )
         total = 0.0
         metrics = {}
@@ -86,7 +91,11 @@ class ImageClassificationMultiheadTrainModel(ImageClassificationTrainModel):
                 {"params": params["heads"][name]}, pooled
             ).astype(jnp.float32)
             logp = jax.nn.log_softmax(logits, axis=-1)
-            ce = -jnp.mean(logp[jnp.arange(labels.shape[0]), labels])
+            sm = float(getattr(self.args, "label_smoothing", 0.0) or 0.0)
+            onehot = jax.nn.one_hot(labels, logits.shape[-1])
+            if sm > 0.0:
+                onehot = onehot * (1.0 - sm) + sm / logits.shape[-1]
+            ce = -jnp.mean(jnp.sum(onehot * logp, axis=-1))
             total = total + ce
             metrics[f"loss_{name}"] = ce
         return total / len(self.head_names), (new_state, metrics)
@@ -186,6 +195,13 @@ class SemanticSegmentationMultiheadTrainModel(
 
     def loss_fn(self, params, model_state, batch, rng, step):
         del rng, step
+        if not self.args.freeze_backbone:
+            raise NotImplementedError(
+                "semantic_segmentation_multihead trains linear probes on a "
+                "FROZEN backbone (reference semantics); freeze_backbone="
+                "False is not supported here — use train_semantic_"
+                "segmentation for backbone fine-tuning."
+            )
         images, masks = batch["images"], batch["masks"]
         backbone = jax.lax.stop_gradient(params["backbone"])
         feats = self._feats({"backbone": backbone}, model_state, images)
@@ -205,7 +221,12 @@ class SemanticSegmentationMultiheadTrainModel(
     def val_step(self, params, model_state, batch):
         images, masks = batch["images"], batch["masks"]
         sample_valid = batch.get("valid")
-        feats = self._feats(params, model_state, images)
+        # Tiled validation above the training resolution, like the parent
+        # task (``val_tile_size`` set by run_task_training).
+        ts = getattr(self, "val_tile_size", None)
+        H, W = images.shape[1:3]
+        tiled = ts is not None and (H > ts or W > ts)
+        feats = None if tiled else self._feats(params, model_state, images)
         valid = masks != self.args.ignore_index
         if sample_valid is not None:
             valid = valid & sample_valid[:, None, None]
@@ -213,7 +234,20 @@ class SemanticSegmentationMultiheadTrainModel(
         nc = self.args.num_classes
         stats = {}
         for name in self.head_names:
-            logits = self._head_logits(params, name, feats, masks.shape[1:3])
+            if tiled:
+                from lightly_train_tpu.tasks.tiling import tiled_logits
+
+                logits = tiled_logits(
+                    lambda t, _n=name: self._head_logits(
+                        params, _n,
+                        self._feats(params, model_state, t), t.shape[1:3],
+                    ),
+                    images, nc, int(ts),
+                )
+            else:
+                logits = self._head_logits(
+                    params, name, feats, masks.shape[1:3]
+                )
             pred = jnp.argmax(logits, axis=-1)
             idx = labels * nc + jnp.where(valid, pred, 0)
             stats[f"confusion_{name}"] = jnp.bincount(

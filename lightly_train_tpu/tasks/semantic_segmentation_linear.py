@@ -64,11 +64,22 @@ class LinearSemanticSegmentationTrainModel(TaskTrainModel):
 
     def _logits(self, params, model_state, images, train, rng=None):
         variables = {"params": params["backbone"], **model_state}
+        backbone_train = train and not self.args.freeze_backbone
         rngs = {"droppath": rng} if (train and rng is not None) else None
-        out = self.wrapped.forward_features(
-            variables, images, train=train and not self.args.freeze_backbone,
-            rngs=rngs,
+        # BatchNorm backbones need their running stats mutable when the
+        # backbone trains (and the updated state must be RETURNED, not
+        # dropped).
+        mutable = (
+            [k for k in model_state] if (model_state and backbone_train)
+            else False
         )
+        out = self.wrapped.forward_features(
+            variables, images, train=backbone_train, rngs=rngs,
+            mutable=mutable,
+        )
+        if mutable:
+            out, new_state = out
+            model_state = dict(new_state)
         feats = out["features"]  # (B, h, w, D)
         logits = self.head.apply({"params": params["head"]}, feats)
         B, H, W, _ = images.shape
@@ -201,7 +212,12 @@ class MaskSemanticSegmentationDataset:
         img_path, mask_path = self.pairs[index]
         image = decode_image(img_path, self.image_hw)
         with Image.open(mask_path) as m:
-            m = m.convert("L").resize(
+            # Palette-mode (P) class-id PNGs (VOC style) must be read as raw
+            # indices — convert("L") maps them through the palette to
+            # luminance, corrupting every label.
+            if m.mode not in ("P", "L", "I", "I;16"):
+                m = m.convert("L")
+            m = m.resize(
                 (self.image_hw[1], self.image_hw[0]), Image.NEAREST
             )
             mask = np.asarray(m, dtype=np.int32)

@@ -215,3 +215,32 @@ def test_anneal_horizon_uses_resolved_steps():
     model.total_steps = 100  # as run_task_training sets it
     probs_end = model._mask_probs(jnp.asarray(100), model.total_steps)
     assert float(np.max(np.asarray(probs_end))) == 0.0
+
+
+def test_palette_masks_decode_as_class_ids(tmp_path):
+    """VOC-style palette (P-mode) PNGs hold class IDS as pixel values;
+    convert('L') would map them through the palette to luminance and
+    corrupt every label."""
+    from PIL import Image
+
+    from lightly_train_tpu.tasks.semantic_segmentation_linear import (
+        MaskSemanticSegmentationDataset,
+    )
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "masks").mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        tmp_path / "images" / "a.png"
+    )
+    ids = np.zeros((16, 16), np.uint8)
+    ids[:8] = 1
+    ids[8:] = 2
+    m = Image.fromarray(ids, mode="P")
+    # VOC palette: class 1 = maroon (128,0,0), class 2 = green (0,128,0).
+    m.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * (768 - 9))
+    m.save(tmp_path / "masks" / "a.png")
+    ds = MaskSemanticSegmentationDataset(
+        tmp_path / "images", tmp_path / "masks", (16, 16)
+    )
+    mask = ds[0]["masks"]
+    assert set(np.unique(mask)) == {1, 2}
