@@ -327,6 +327,7 @@ def run_task_training(
         if optim_args.lr != AUTO
         else 1e-4
     )
+    base_lr = train_model.scaled_lr(base_lr, batch_size)
     lr_schedule = train_model.lr_schedule(base_lr, total_steps)
 
     # ---- init -------------------------------------------------------------
@@ -361,6 +362,9 @@ def run_task_training(
         params,
         grad_clip_norm=train_model.grad_clip_norm(),
         lr_scales=train_model.lr_scales(params),
+        schedule_groups=train_model.lr_schedule_groups(
+            base_lr, total_steps, params
+        ),
     )
     state = TaskTrainState(
         step=jnp.zeros((), jnp.int32),

@@ -67,8 +67,11 @@ def no_weight_decay_mask(params: Any) -> Any:
         name = str(path[-1].key) if hasattr(path[-1], "key") else str(path[-1])
         if leaf.ndim <= 1:
             return False
-        # token / embedding params are also exempt in the reference
-        if name in ("cls_token", "mask_token", "register_tokens", "pos_embed"):
+        # token / embedding / query params are also exempt in the reference
+        # (``_optim/optimizer_helpers.py:83-113``: tokens, embeddings,
+        # positional embeddings, query parameters).
+        if name in ("cls_token", "mask_token", "register_tokens", "pos_embed",
+                    "queries"):
             return False
         return True
 
@@ -138,6 +141,33 @@ def layerwise_lr_scales(
     return jax.tree_util.tree_map_with_path(_scale, params)
 
 
+def scale_by_grouped_schedules(
+    schedules: Any, groups: Any
+) -> optax.GradientTransformation:
+    """Final LR step with a DIFFERENT schedule per parameter group.
+
+    ``groups`` is a tree (matching params) of static ints indexing into
+    ``schedules``. Rebuild of the reference's per-param-group LR schedules
+    (EoMT ``TwoStageWarmupPolySchedule`` drives backbone and head groups on
+    different warmup clocks). Applies ``-schedules[g](count)`` like
+    ``optax.scale_by_learning_rate``.
+    """
+
+    def init_fn(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        vals = [jnp.asarray(s(state.count), jnp.float32) for s in schedules]
+        updates = jax.tree_util.tree_map(
+            lambda u, g: u * (-vals[g]).astype(u.dtype), updates, groups
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def scale_by_tree(scales: Any) -> optax.GradientTransformation:
     """Multiply updates leaf-wise by a static scalar tree (layerwise decay)."""
 
@@ -163,6 +193,7 @@ def build_optimizer(
     lr_scales: Optional[Any] = None,
     weight_decay_schedule: Optional[optax.Schedule] = None,
     wd_mask: Optional[Any] = None,
+    schedule_groups: Optional[Tuple[Any, Any]] = None,
 ) -> optax.GradientTransformation:
     """Assemble the full update chain: clip -> optimizer -> lr scales.
 
@@ -171,6 +202,9 @@ def build_optimizer(
     injected schedule using inject_hyperparams). ``wd_mask`` overrides the
     generic no-decay mask (the DINOv2 family passes
     :func:`dinov2_wd_mask` to match the reference rule exactly).
+    ``schedule_groups`` = (schedules list, per-leaf int group tree): when
+    given, the final LR step uses :func:`scale_by_grouped_schedules` and
+    ``learning_rate`` is ignored (EoMT's two-clock warmup).
     """
     from lightly_train_tpu._optim.adamw8bit import (
         AdamW8bitArgs,
@@ -215,9 +249,10 @@ def build_optimizer(
 
     if lr_scales is not None:
         chain.append(scale_by_tree(lr_scales))
-    chain.append(
-        optax.scale_by_learning_rate(learning_rate)
-    )
+    if schedule_groups is not None:
+        chain.append(scale_by_grouped_schedules(*schedule_groups))
+    else:
+        chain.append(optax.scale_by_learning_rate(learning_rate))
     return optax.chain(*chain)
 
 

@@ -91,6 +91,48 @@ def flat_cosine(
     return schedule
 
 
+def two_stage_warmup_poly(
+    base_lr: float,
+    total_steps: int,
+    warmup_steps: tuple = (500, 1000),
+    poly_power: float = 0.9,
+) -> tuple:
+    """EoMT's two-stage warmup (reference ``TwoStageWarmupPolySchedule``,
+    ``dinov3_eomt_semantic_segmentation/scheduler.py:14-52``).
+
+    Returns ``(backbone_schedule, head_schedule)``:
+    - heads (non-backbone params): linear warmup over ``warmup_steps[0]``,
+      then poly decay over the remaining horizon;
+    - backbone: lr 0 during the head warmup, then linear warmup over
+      ``warmup_steps[1]``, then poly decay over what remains.
+    """
+    head_warm, bb_warm = int(warmup_steps[0]), int(warmup_steps[1])
+
+    def head_schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * step / max(head_warm, 1)
+        adjusted = jnp.maximum(step - head_warm, 0.0)
+        poly = base_lr * (
+            1.0 - adjusted / max(total_steps - head_warm, 1)
+        ) ** poly_power
+        return jnp.where(step < head_warm, warm, poly)
+
+    def backbone_schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step - head_warm) / max(bb_warm, 1)
+        adjusted = jnp.maximum(step - head_warm - bb_warm, 0.0)
+        poly = base_lr * (
+            1.0 - adjusted / max(total_steps - head_warm - bb_warm, 1)
+        ) ** poly_power
+        return jnp.where(
+            step < head_warm,
+            0.0,
+            jnp.where(step < head_warm + bb_warm, warm, poly),
+        )
+
+    return backbone_schedule, head_schedule
+
+
 def scale_lr_for_batch_size(
     base_lr: float,
     global_batch_size: int,

@@ -146,6 +146,60 @@ def convert_torch_vit_state_dict(
     return params
 
 
+def convert_torch_eomt_state_dict(
+    state_dict: Mapping[str, Any], depth: int
+) -> Dict[str, Any]:
+    """Reference EoMT task-model state dict -> Flax params for
+    ``tasks.eomt_semantic_segmentation._EoMTTrunk``.
+
+    Layout per ``dinov3_eomt_semantic_segmentation/task_model.py:195-214``:
+    ``backbone.*`` (DINOv3/DINOv2 ViT), ``queries.weight`` (Embedding Q x D),
+    ``class_head`` (Linear D -> C+1), ``mask_head.{0,2,4}`` (3-layer MLP with
+    GELU at 1, 3), ``upscale.{i}.{conv1,conv2,norm}`` ScaleBlocks
+    (ConvTranspose2d k2s2, depthwise Conv3x3 no-bias, LayerNorm2D).
+    """
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    backbone_sd = {
+        k[len("backbone."):]: v for k, v in sd.items()
+        if k.startswith("backbone.")
+    }
+    params = convert_torch_vit_state_dict(backbone_sd, depth)
+    params["queries"] = sd["queries.weight"][None]  # (1, Q, D)
+    params["class_head"] = {
+        "kernel": sd["class_head.weight"].T,
+        "bias": sd["class_head.bias"],
+    }
+    for i, ti in enumerate((0, 2, 4)):
+        params[f"mask_head{i}"] = {
+            "kernel": sd[f"mask_head.{ti}.weight"].T,
+            "bias": sd[f"mask_head.{ti}.bias"],
+        }
+    n_up = len({k.split(".")[1] for k in sd if k.startswith("upscale.")})
+    for i in range(n_up):
+        p = f"upscale.{i}."
+        params[f"upscale{i}"] = {
+            # torch ConvTranspose2d weight (in, out, kh, kw) -> flax
+            # ConvTranspose kernel (kh, kw, in, out) with the spatial axes
+            # REVERSED: torch's op is the gradient-of-conv (rot180 kernel)
+            # while lax.conv_transpose correlates the kernel directly.
+            "conv1": {
+                "kernel": np.ascontiguousarray(
+                    sd[f"{p}conv1.weight"].transpose(2, 3, 0, 1)[::-1, ::-1]
+                ),
+                "bias": sd[f"{p}conv1.bias"],
+            },
+            # depthwise Conv2d weight (D, 1, 3, 3) -> flax (3, 3, 1, D).
+            "conv2": {
+                "kernel": sd[f"{p}conv2.weight"].transpose(2, 3, 1, 0),
+            },
+            "norm": {
+                "scale": sd[f"{p}norm.weight"],
+                "bias": sd[f"{p}norm.bias"],
+            },
+        }
+    return params
+
+
 def convert_flax_vit_to_torch_state_dict(
     params: Mapping[str, Any], depth: int
 ) -> Dict[str, np.ndarray]:

@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _uniform(key: jax.Array, shape) -> jax.Array:
+    """Uniform [0, 1) draw — single seam for every point-sampling and
+    attention-annealing random draw in the EoMT stack. Trajectory-parity
+    harnesses patch this to inject the exact same uniforms into the torch
+    reference and the rebuild (the code path is identical either way)."""
+    return jax.random.uniform(key, shape)
+
+
 def bilinear_point_sample(grid: jax.Array, coords: jax.Array) -> jax.Array:
     """Sample ``grid`` (B, C, gh, gw) at ``coords`` (B, P, 2) [(y, x) in [0,1]].
 
@@ -136,7 +144,7 @@ def uncertainty_point_coords(
     n_unc = int(importance_sample_ratio * num_points)
     n_rand = num_points - n_unc
     k_over, k_rand = jax.random.split(rng)
-    coords_o = jax.random.uniform(k_over, (M, n_over, 2))
+    coords_o = _uniform(k_over, (M, n_over, 2))
     if n_unc > 0:
         logits_o = bilinear_point_sample(
             pred_grid[:, None, :, :], coords_o
@@ -149,6 +157,6 @@ def uncertainty_point_coords(
     else:
         coords_unc = coords_o[:, :0]
     if n_rand > 0:
-        coords_r = jax.random.uniform(k_rand, (M, n_rand, 2))
+        coords_r = _uniform(k_rand, (M, n_rand, 2))
         return jnp.concatenate([coords_unc, coords_r], axis=1)
     return coords_unc

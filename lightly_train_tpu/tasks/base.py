@@ -113,6 +113,18 @@ class TaskTrainModel(abc.ABC):
 
         return cosine_warmup(base_lr, total_steps, int(0.05 * total_steps))
 
+    def lr_schedule_groups(
+        self, base_lr: float, total_steps: int, params: Any
+    ) -> Optional[Tuple[Any, Any]]:
+        """Optional (schedules list, per-leaf int group tree): families whose
+        reference runs param groups on different schedule clocks (EoMT's
+        two-stage warmup) return one; None keeps the single global schedule."""
+        return None
+
+    def scaled_lr(self, base_lr: float, global_batch_size: int) -> float:
+        """Global-batch LR scaling hook (EoMT: sqrt(B / default_batch))."""
+        return base_lr
+
     def use_ema(self) -> bool:
         return False
 

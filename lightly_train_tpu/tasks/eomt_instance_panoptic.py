@@ -90,7 +90,8 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
                     oversample_ratio=a.oversample_ratio,
                     importance_sample_ratio=a.importance_sample_ratio,
                 )
-            return total / len(outputs), (model_state, {})
+            # Levels SUMMED (reference ``loss_total`` over all layers).
+            return total, (model_state, {})
         targets, valid = self._targets_from_ids(
             batch["seg_map"], batch["seg_labels"], batch["seg_valid"], grid_hw
         )
@@ -103,7 +104,7 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
                 dice_weight=a.dice_weight,
                 no_object_weight=a.no_object_weight,
             )
-        return total / len(outputs), (model_state, {})
+        return total, (model_state, {})
 
     def _query_outputs(self, params, images):
         outputs, grid_hw = self.trunk.apply(

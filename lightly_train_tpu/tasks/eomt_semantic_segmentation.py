@@ -13,6 +13,15 @@ TPU-native design decisions:
 - The trunk re-implements the ViT forward with the SAME parameter layout as
   ``models/vit.VisionTransformer`` so pretrained backbone params load 1:1;
   queries ride as extra prefix tokens (excluded from RoPE).
+- Head architecture matches the reference exactly (``task_model.py:195-220,
+  636-652``): ONE shared class head (Linear D->C+1), ONE shared mask head
+  (3-layer MLP), and two ScaleBlocks upscaling patch features 4x; mask
+  logits = einsum(mask_head(queries), upscale(patches)) at the 4x patch
+  grid. Predictions are emitted from ``backbone.norm(x)`` BEFORE each joint
+  block runs plus once after the final block (num_joint_blocks + 1 deep-
+  supervision levels, ``task_model.py:437-505``), and per-level losses are
+  SUMMED (``train_model.py:283-299``) — all verified step-by-step against
+  the actual torch reference by ``tests/tasks/test_eomt_trajectory.py``.
 - Semantic targets are fixed-shape: one binary mask per class (K =
   num_classes), invalid classes masked by cost -> static shapes everywhere.
 - Hungarian matching runs on host via ``jax.pure_callback`` (scipy LSA), the
@@ -21,7 +30,7 @@ TPU-native design decisions:
 - Mask losses default to the reference's point-sampled formulation
   (``use_point_sampling=True``: CE+dice at importance-sampled label-
   resolution points, torch grid_sample-parity-tested); setting it False
-  falls back to full masks at patch resolution.
+  falls back to full masks at the mask-logit resolution.
 """
 
 from __future__ import annotations
@@ -44,12 +53,23 @@ class EoMTSemanticSegmentationArgs(TaskArgs):
     # None = auto by backbone size: 3 for 12-block ViTs (t/s/b), 4 for
     # ViT-L (24), 5 for ViT-H/g/7b (reference ``train_model.py:136-146``).
     num_joint_blocks: Optional[int] = None
+    # Reference ``fix_num_upscale_blocks=True`` -> 2 ScaleBlocks always
+    # (``task_model.py:206-214``).
+    num_upscale_blocks: int = 2
     ignore_index: int = 255
     class_weight: float = 2.0
     mask_weight: float = 5.0
     dice_weight: float = 5.0
     no_object_weight: float = 0.1
     attn_mask_annealing: bool = True
+    # Per-joint-block annealing windows; None = the reference's auto phase
+    # split (``train_model.py:148-166``): num_joint_blocks + 2 equal phases,
+    # block j anneals over phase j + 1.
+    attn_mask_annealing_steps_start: Optional[List[int]] = None
+    attn_mask_annealing_steps_end: Optional[List[int]] = None
+    poly_power: float = 0.9
+    # Two-stage warmup (heads, then backbone; ``train_model.py:102``).
+    lr_warmup_steps: Tuple[int, int] = (500, 1000)
     # Point-sampled loss (reference ``train_model.py:81-83``): CE+dice at
     # num_points sampled label-resolution coordinates instead of full masks.
     use_point_sampling: bool = True
@@ -60,19 +80,55 @@ class EoMTSemanticSegmentationArgs(TaskArgs):
     default_batch_size: int = 16
 
 
+class _ScaleBlock(nn.Module):
+    """2x feature upscaling block (reference ``scale_block.py:19-45``):
+    ConvTranspose(k=2, s=2) -> GELU -> depthwise Conv3x3 (no bias) ->
+    LayerNorm over channels. Operates on NHWC feature maps."""
+
+    dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.dim, kernel_size=(2, 2), strides=(2, 2), padding="VALID",
+            dtype=self.dtype, name="conv1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(
+            self.dim, kernel_size=(3, 3), padding=((1, 1), (1, 1)),
+            feature_group_count=self.dim, use_bias=False, dtype=self.dtype,
+            name="conv2",
+        )(x)
+        # torch LayerNorm default eps (1e-5), not the flax default (1e-6).
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
 class _EoMTTrunk(nn.Module):
-    """ViT trunk + queries + per-joint-block mask/class heads.
+    """ViT trunk + queries + shared EoMT heads (reference parity).
 
     Parameter names for backbone pieces mirror ``VisionTransformer`` exactly
     (patch_embed, pos_embed, cls_token, register_tokens, mask_token, block{i},
     norm) so a pretrained artifact's params load directly into this module's
-    param tree.
+    param tree. EoMT-specific params follow the reference layout
+    (``task_model.py:195-214``): ``queries``, ``class_head`` (Linear D->C+1),
+    ``mask_head{0,1,2}`` (3-layer MLP with exact GELU), and
+    ``upscale{0,1}`` ScaleBlocks (each 2x) so mask logits live on the
+    ``2^num_upscale``-times-patch grid.
+
+    Per-level predictions are emitted from ``norm(x)`` (the backbone's final
+    LayerNorm, shared) at ENTRY to each joint block plus once after the final
+    block (``task_model.py:437-505``); the attention mask for joint block j
+    is derived from the level-j mask logits bilinearly downsampled to the
+    patch grid and thresholded at 0, with per-query bernoulli disabling at
+    probability ``1 - mask_prob[j]`` (``task_model.py:656-672``).
     """
 
     cfg: ViTConfig
     num_queries: int
     num_joint_blocks: int
     num_classes: int
+    num_upscale_blocks: int = 2
 
     @nn.compact
     def __call__(
@@ -143,7 +199,7 @@ class _EoMTTrunk(nn.Module):
                 name=f"block{i}",
             )(x, rope, deterministic=not train)
 
-        # ---- joint blocks with queries ----
+        # ---- joint blocks with queries + shared heads ----
         queries = self.param(
             "queries",
             nn.initializers.normal(stddev=0.02),
@@ -153,69 +209,83 @@ class _EoMTTrunk(nn.Module):
             queries, (B, self.num_queries, cfg.embed_dim)
         ).astype(x.dtype)
         x = jnp.concatenate([q, x], axis=1)
-        n_prefix_joint = self.num_queries + n_prefix
+        Q = self.num_queries
+        n_prefix_joint = Q + n_prefix
+        N_total = x.shape[1]
 
-        def predict(x_tokens: jax.Array, idx: int):
-            """Mask + class logits from current token state."""
-            q_tok = x_tokens[:, : self.num_queries]
-            p_tok = x_tokens[:, n_prefix_joint:]
-            q_n = nn.LayerNorm(dtype=cfg.dtype, name=f"pred{idx}_qnorm")(q_tok)
-            cls_logits = nn.Dense(
-                self.num_classes + 1, dtype=cfg.dtype, name=f"pred{idx}_class"
-            )(q_n)
-            q_emb = nn.Dense(
-                cfg.embed_dim, dtype=cfg.dtype, name=f"pred{idx}_qproj"
-            )(nn.gelu(nn.Dense(
-                cfg.embed_dim, dtype=cfg.dtype, name=f"pred{idx}_qmlp"
-            )(q_n)))
-            p_emb = nn.Dense(
-                cfg.embed_dim, dtype=cfg.dtype, name=f"pred{idx}_pproj"
-            )(p_tok)
+        # Shared modules (instantiated once; reused at every level).
+        norm = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm")
+        class_head = nn.Dense(
+            self.num_classes + 1, dtype=cfg.dtype, name="class_head"
+        )
+        mask_head = [
+            nn.Dense(cfg.embed_dim, dtype=cfg.dtype, name=f"mask_head{i}")
+            for i in range(3)
+        ]
+        upscale = [
+            _ScaleBlock(cfg.embed_dim, cfg.dtype, name=f"upscale{i}")
+            for i in range(self.num_upscale_blocks)
+        ]
+        mh = gh * (2 ** self.num_upscale_blocks)
+        mw = gw * (2 ** self.num_upscale_blocks)
+
+        def predict(x_tokens: jax.Array):
+            """Class + FLAT mask logits from current tokens, via norm(x)
+            (reference ``_predict``, ``task_model.py:636-652``)."""
+            xn = norm(x_tokens)
+            q_tok = xn[:, :Q]
+            cls_logits = class_head(q_tok)
+            q_emb = q_tok
+            for i, layer in enumerate(mask_head):
+                q_emb = layer(q_emb)
+                if i < 2:
+                    q_emb = nn.gelu(q_emb, approximate=False)
+            p = xn[:, n_prefix_joint:].reshape(B, gh, gw, cfg.embed_dim)
+            for sb in upscale:
+                p = sb(p)
             mask_logits = jnp.einsum(
-                "bqd,bnd->bqn", q_emb, p_emb
-            ) / jnp.sqrt(float(cfg.embed_dim))
-            return cls_logits.astype(jnp.float32), mask_logits.astype(
-                jnp.float32
+                "bqd,bhwd->bqhw", q_emb, p
+            )  # no scaling (reference einsum, ``task_model.py:648-650``)
+            return (
+                cls_logits.astype(jnp.float32),
+                mask_logits.astype(jnp.float32).reshape(B, Q, mh * mw),
             )
+
+        from lightly_train_tpu.ops.point_sampling import _uniform
 
         outputs: List[Tuple[jax.Array, jax.Array]] = []
         for j in range(self.num_joint_blocks):
             i = n_plain + j
-            # Attention-mask annealing: per-sample bernoulli at prob
-            # mask_prob[j] gates query->patch attention on the PREVIOUS
-            # prediction (first joint block sees everything).
+            # Predict BEFORE the block runs; level-j logits gate block j.
+            cls_l, mask_l = predict(x)
+            outputs.append((cls_l, mask_l))
             attn_mask = None
-            if train and outputs and rng is not None:
-                _, prev_mask = outputs[-1]
-                allowed = prev_mask > 0.0  # (B, Q, N)
-                k_apply = jax.random.fold_in(rng, j)
-                apply = jax.random.bernoulli(
-                    k_apply, mask_prob[j], (B, 1, 1)
+            if train:
+                # Downsample level-j mask logits to the patch grid (torch
+                # F.interpolate bilinear, no antialias) and threshold at 0.
+                interp = jax.image.resize(
+                    mask_l.reshape(B, Q, mh, mw), (B, Q, gh, gw),
+                    "bilinear", antialias=False,
                 )
-                N_total = x.shape[1]
-                full = jnp.ones((B, N_total, N_total), dtype=bool)
-                # queries (rows 0..Q) attend to patches (cols n_prefix_joint..)
-                q_to_p = jnp.where(apply, allowed, True)
-                # Ensure no query is fully blocked (degenerate softmax).
-                any_allowed = jnp.any(q_to_p, axis=-1, keepdims=True)
-                q_to_p = q_to_p | ~any_allowed
-                full = full.at[:, : self.num_queries, n_prefix_joint:].set(
-                    q_to_p
+                allowed = (interp > 0).reshape(B, Q, gh * gw)
+                if rng is not None:
+                    # Per-query disable at prob 1 - mask_prob[j]
+                    # (reference ``_disable_attn_mask``).
+                    u = _uniform(jax.random.fold_in(rng, j), (B, Q))
+                    allowed = allowed | (u > mask_prob[j])[..., None]
+                # Rows 0..Q (queries): prefix columns always open, patch
+                # columns gated; rows Q.. attend to everything.
+                top = jnp.concatenate(
+                    [jnp.ones((B, Q, n_prefix_joint), bool), allowed], axis=2
                 )
-                attn_mask = full[:, None, :, :]  # (B, 1, N, N) heads bcast
+                rest = jnp.ones((B, N_total - Q, N_total), bool)
+                attn_mask = jnp.concatenate([top, rest], axis=1)[:, None]
             x = Block(
                 cfg, drop_path=dp[i], num_prefix_tokens=n_prefix_joint,
                 name=f"block{i}",
             )(x, rope, deterministic=not train, attn_mask=attn_mask)
-            outputs.append(predict(
-                nn.LayerNorm(
-                    epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm"
-                )(x)
-                if j == self.num_joint_blocks - 1
-                else x,
-                j,
-            ))
-        return outputs, (gh, gw)
+        outputs.append(predict(x))
+        return outputs, (mh, mw)
 
 
 # ---------------------------------------------------------------------------
@@ -428,6 +498,7 @@ def point_sampled_mask_loss(
     shapes throughout: fixed point budgets, per-slot chunked ``lax.scan``.
     """
     from lightly_train_tpu.ops.point_sampling import (
+        _uniform,
         bilinear_point_sample,
         sample_id_indicator,
         sample_slot_indicator,
@@ -441,8 +512,9 @@ def point_sampled_mask_loss(
     k_match, k_loss = jax.random.split(rng)
     pred_grid = mask_logits.reshape(B, Q, gh, gw)
 
-    # ---- matching costs at shared uniform points ----
-    coords_m = jax.random.uniform(k_match, (B, P, 2))
+    # ---- matching costs at per-image uniform points (HF matcher draws
+    # rand(1, P, 2) per image; one (B, P, 2) batch draw is equivalent) ----
+    coords_m = _uniform(k_match, (B, P, 2))
     pred_pts = bilinear_point_sample(pred_grid, coords_m)  # (B, Q, P)
     tgt_pts = sample_id_indicator(id_map, coords_m, K)  # (B, K, P)
 
@@ -558,21 +630,42 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             num_queries=args.num_queries,
             num_joint_blocks=args.num_joint_blocks,
             num_classes=args.num_classes,
+            num_upscale_blocks=args.num_upscale_blocks,
         )
 
     # -- annealing schedule (host-computed per step, traced in) -------------
+    def _anneal_windows(self, total_steps: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Per-joint-block [start, end) annealing step windows. Auto = the
+        reference phase split (``train_model.py:148-166``): num_joint_blocks+2
+        equal phases; block j anneals over phase j + 1."""
+        a = self.args
+        if (a.attn_mask_annealing_steps_start is not None
+                and a.attn_mask_annealing_steps_end is not None):
+            return (np.asarray(a.attn_mask_annealing_steps_start, np.float32),
+                    np.asarray(a.attn_mask_annealing_steps_end, np.float32))
+        jb = a.num_joint_blocks
+        n_phases = jb + 2
+        phases = [round(i * total_steps / n_phases) for i in range(n_phases + 1)]
+        return (np.asarray(phases[1:-2], np.float32),
+                np.asarray(phases[2:-1], np.float32))
+
     def _mask_probs(self, step: jax.Array, total_steps: int) -> jax.Array:
-        """Per-joint-block annealed probabilities: block j's masking turns
-        off over the j-th fraction of training (poly, ``train_model.py:437``)."""
+        """Per-joint-block annealed masking probabilities.
+
+        Matches the reference exactly (``train_model.py:283-305, 438-455``):
+        probs start at 1 and are recomputed at the END of each step with
+        ``current_iter = step``, so the probs USED at step s equal
+        ``anneal(s - 1)``; anneal is 1 before the window, 0 after, and
+        ``(1 - progress) ** poly_power`` inside it."""
         if not self.args.attn_mask_annealing:
             return jnp.zeros((self.args.num_joint_blocks,), jnp.float32)
-        jb = self.args.num_joint_blocks
-        t = jnp.asarray(step, jnp.float32) / max(total_steps, 1)
-        # Phase j anneals within window [j/(jb+1), (j+1)/(jb+1)].
-        starts = jnp.arange(jb, dtype=jnp.float32) / (jb + 1)
-        ends = (jnp.arange(jb, dtype=jnp.float32) + 1.0) / (jb + 1)
-        frac = jnp.clip((t - starts) / jnp.maximum(ends - starts, 1e-6), 0., 1.)
-        return (1.0 - frac) ** 0.9
+        starts, ends = self._anneal_windows(total_steps)
+        cur = jnp.asarray(step, jnp.float32) - 1.0
+        progress = (cur - starts) / np.maximum(ends - starts, 1.0)
+        inside = (1.0 - jnp.clip(progress, 0.0, 1.0)) ** self.args.poly_power
+        return jnp.where(
+            cur < starts, 1.0, jnp.where(cur >= ends, 0.0, inside)
+        )
 
     def init(self, rng, sample_batch):
         k1, k2 = jax.random.split(rng)
@@ -673,10 +766,12 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
                 loss_l = self._single_level_loss(
                     cls_logits, mask_logits, targets, valid, tgt_classes
                 )
+            # Per-level losses are SUMMED across the num_joint_blocks + 1
+            # deep-supervision levels (reference ``loss_total``,
+            # ``mask_loss.py:106-124`` over ``train_model.py:283-299``).
             total = total + loss_l
             if li == len(outputs) - 1:
                 metrics["loss_final"] = loss_l
-        total = total / len(outputs)
         return total, (model_state, metrics)
 
     def _single_level_loss(self, cls_logits, mask_logits, targets, valid,
@@ -693,7 +788,11 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
 
     # -- inference ----------------------------------------------------------
     def _semantic_logits(self, params, images):
-        outputs, grid_hw = self.trunk.apply(
+        """Per-pixel class scores (B, H, W, C) — reference ``_forward_logits``
+        order exactly (``task_model.py:596-634``): upsample mask LOGITS to
+        image resolution (bilinear), sigmoid, einsum with softmax(class)
+        over C+1, then drop the no-object column."""
+        outputs, (mh, mw) = self.trunk.apply(
             {"params": params["backbone"]},
             images.astype(self.cfg.dtype),
             jnp.zeros((self.args.num_joint_blocks,), jnp.float32),
@@ -701,17 +800,18 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             False,
         )
         cls_logits, mask_logits = outputs[-1]
-        gh, gw = grid_hw
         B = images.shape[0]
-        cls_prob = jax.nn.softmax(cls_logits, axis=-1)[
-            ..., : self.args.num_classes
-        ]  # (B, Q, C)
-        mask_prob = jax.nn.sigmoid(mask_logits)  # (B, Q, n)
-        sem = jnp.einsum("bqc,bqn->bnc", cls_prob, mask_prob)
-        sem = sem.reshape(B, gh, gw, self.args.num_classes)
+        Q = self.args.num_queries
         H, W = images.shape[1:3]
-        return jax.image.resize(sem, (B, H, W, self.args.num_classes),
-                                "bilinear")
+        mask_up = jax.image.resize(
+            mask_logits.reshape(B, Q, mh, mw), (B, Q, H, W),
+            "bilinear", antialias=False,
+        )
+        cls_prob = jax.nn.softmax(cls_logits, axis=-1)  # (B, Q, C+1)
+        sem = jnp.einsum(
+            "bqhw,bqc->bhwc", jax.nn.sigmoid(mask_up), cls_prob
+        )
+        return sem[..., : self.args.num_classes]
 
     def _val_semantic_logits(self, params, images):
         """Full-forward at training resolution; tiled above it (reference
@@ -792,26 +892,88 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
     def default_optimizer_args(self):
         from lightly_train_tpu._optim import AdamWArgs
 
-        # EoMT reference: lr 1e-4, LLRD 0.8, poly schedule, clip 0.01.
+        # EoMT reference: lr 1e-4, LLRD 0.8, two-stage warmup poly, clip 0.01
+        # (``train_model.py:96-103, 459-567``).
         return AdamWArgs(lr=1e-4, weight_decay=0.05)
 
     def grad_clip_norm(self):
         return 0.01
 
-    def lr_schedule(self, base_lr, total_steps):
-        from lightly_train_tpu._optim import poly_schedule
+    def scaled_lr(self, base_lr, global_batch_size):
+        # lr * sqrt(B / default_batch) (``train_model.py:474-476``).
+        import math
 
-        return poly_schedule(base_lr, total_steps, power=0.9,
-                             warmup_steps=int(0.02 * total_steps))
+        return base_lr * math.sqrt(
+            global_batch_size / self.args.default_batch_size
+        )
+
+    def lr_schedule(self, base_lr, total_steps):
+        # Logged/global schedule = the head clock; the backbone clock rides
+        # lr_schedule_groups below.
+        from lightly_train_tpu._optim.schedules import two_stage_warmup_poly
+
+        return two_stage_warmup_poly(
+            base_lr, total_steps, self.args.lr_warmup_steps,
+            self.args.poly_power,
+        )[1]
+
+    @staticmethod
+    def _is_vit_param(parts) -> bool:
+        """True for ViT-backbone leaves (vs EoMT queries/heads/upscale).
+        ``parts`` are path keys under the 'backbone' tree root."""
+        top = parts[0]
+        return (
+            top.startswith("block")
+            or top in ("patch_embed", "pos_embed", "cls_token",
+                       "register_tokens", "mask_token", "norm")
+        )
+
+    def lr_schedule_groups(self, base_lr, total_steps, params):
+        """Reference ``TwoStageWarmupPolySchedule``: ViT-backbone params idle
+        for warmup[0] steps then warm up over warmup[1]; EoMT heads warm up
+        immediately (``scheduler.py:14-52``, group split
+        ``train_model.py:478-520``)."""
+        from lightly_train_tpu._optim.schedules import two_stage_warmup_poly
+
+        bb_sched, head_sched = two_stage_warmup_poly(
+            base_lr, total_steps, self.args.lr_warmup_steps,
+            self.args.poly_power,
+        )
+
+        def group(path, leaf):
+            del leaf
+            parts = [
+                str(p.key) if hasattr(p, "key") else str(p) for p in path
+            ]
+            # path[0] == "backbone" (the task param tree root).
+            return 0 if self._is_vit_param(parts[1:]) else 1
+
+        groups = jax.tree_util.tree_map_with_path(group, params)
+        return [bb_sched, head_sched], groups
 
     def lr_scales(self, params):
-        from lightly_train_tpu._optim import layerwise_lr_scales
+        """EoMT LLRD (``train_model.py:481-497``): block i gets
+        ``llrd^(depth-1-i)``; pre-block params (patch_embed, tokens) inherit
+        the FIRST block's exponent ``llrd^(depth-1)`` (the reference's
+        reversed-iteration carryover); backbone.norm and all EoMT-specific
+        params get 1.0."""
+        llrd = 0.8
+        depth = self.cfg.depth
 
-        return {
-            "backbone": layerwise_lr_scales(
-                params["backbone"], decay=0.8, num_layers=self.cfg.depth
-            )
-        }
+        def scale(path, leaf):
+            del leaf
+            parts = [
+                str(p.key) if hasattr(p, "key") else str(p) for p in path
+            ][1:]  # drop the "backbone" root
+            top = parts[0]
+            if top.startswith("block") and top[5:].isdigit():
+                return llrd ** (depth - 1 - int(top[5:]))
+            if top in ("patch_embed", "pos_embed", "cls_token",
+                       "register_tokens", "mask_token"):
+                return llrd ** (depth - 1)
+            return 1.0
+
+        return jax.tree_util.tree_map_with_path(scale, params)
 
     @property
     def watch_metric(self):
