@@ -44,6 +44,172 @@ def peak_flops(device) -> float:
     return 275e12
 
 
+def _bench_task_step(train_model, batch, n_iters, n_windows, label):
+    """Time a jitted fine-tune train step (loss + grads + optimizer) and
+    report img/s/chip + MFU, mirroring the pretrain methodology."""
+    import optax
+
+    from lightly_train_tpu._optim import build_optimizer
+
+    total_steps = 60_000
+    rng = jax.random.key(0)
+    sample = jax.tree_util.tree_map(lambda x: x[:2], batch)
+    params, model_state = train_model.init(rng, sample)
+    base_lr = 1e-4
+    optimizer = build_optimizer(
+        train_model.default_optimizer_args(),
+        train_model.lr_schedule(base_lr, total_steps),
+        params,
+        grad_clip_norm=train_model.grad_clip_norm(),
+        lr_scales=train_model.lr_scales(params),
+        schedule_groups=train_model.lr_schedule_groups(
+            base_lr, total_steps, params
+        ),
+    )
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, model_state, b, key):
+        (loss, (ms, _)), grads = jax.value_and_grad(
+            lambda p: train_model.loss_fn(
+                p, model_state, b, key, jnp.zeros((), jnp.int32)
+            ),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, ms, loss
+
+    flops = 0.0
+    try:
+        cost = step.lower(
+            params, opt_state, model_state, batch, rng
+        ).compile().cost_analysis()
+        if cost:
+            flops = float(cost.get("flops", 0.0))
+    except Exception:
+        pass
+    params, opt_state, model_state, loss = step(
+        params, opt_state, model_state, batch, rng
+    )
+    jax.block_until_ready(loss)
+    times = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            params, opt_state, model_state, loss = step(
+                params, opt_state, model_state, batch,
+                jax.random.fold_in(rng, i),
+            )
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / n_iters
+    n_chips = jax.device_count()
+    b = batch["images"].shape[0]
+    return {
+        "label": label,
+        "img_s_chip": round(b / dt / n_chips, 2),
+        "step_time_s": round(dt, 4),
+        "mfu": round(flops / dt / (peak_flops(jax.devices()[0]) * n_chips), 4),
+        "batch": b,
+    }
+
+
+def bench_finetune(on_tpu: bool) -> dict:
+    """Training-step benches for the fine-tune runtimes (VERDICT r3 #2):
+    EoMT semantic segmentation (ViT-S/16 at 512^2) and LT-DETRv2-S detection
+    (ECViT-T at 640^2). The axon relay does not support host callbacks, so
+    the Hungarian matcher runs its device-native greedy variant here
+    (LIGHTLY_TRAIN_MATCHER=greedy); a real TPU VM supports the host LSA."""
+    import numpy as np
+
+    rows = {}
+    os.environ["LIGHTLY_TRAIN_MATCHER"] = "greedy"
+    try:
+        from lightly_train_tpu.models.package_registry import (
+            get_wrapped_model,
+        )
+        from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+            EoMTSemanticSegmentationArgs,
+            EoMTSemanticSegmentationTrainModel,
+        )
+
+        size, b = (512, 8) if on_tpu else (64, 2)
+        wrapped = get_wrapped_model(
+            "dinov3/vits16" if on_tpu else "dinov3/vittest16",
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+        m = EoMTSemanticSegmentationTrainModel(
+            wrapped,
+            EoMTSemanticSegmentationArgs(
+                num_classes=150 if on_tpu else 4,
+            ),
+        )
+        m.total_steps = 60_000
+        r = np.random.default_rng(0)
+        batch = {
+            "images": jnp.asarray(
+                r.random((b, size, size, 3), dtype=np.float32)
+            ),
+            "masks": jnp.asarray(
+                r.integers(0, 150 if on_tpu else 4, (b, size, size)),
+                jnp.int32,
+            ),
+        }
+        rows["eomt_vits16_semseg"] = _bench_task_step(
+            m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
+            f"EoMT ViT-S/16 {size}^2 train step",
+        )
+    except Exception as e:
+        print(f"# eomt bench unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    try:
+        from lightly_train_tpu.models.package_registry import (
+            get_wrapped_model,
+        )
+        from lightly_train_tpu.tasks.detection.ltdetr import (
+            ObjectDetectionArgs,
+            ObjectDetectionTrainModel,
+        )
+
+        size, b = (640, 16) if on_tpu else (64, 2)
+        wrapped = get_wrapped_model(
+            "ecvit/ecvitt" if on_tpu else "ecvit/ecvittest",
+            dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        )
+        m = ObjectDetectionTrainModel(
+            wrapped,
+            ObjectDetectionArgs(num_classes=80 if on_tpu else 4),
+        )
+        m.total_steps = 60_000
+        r = np.random.default_rng(0)
+        K = 24
+        cw = r.random((b, K, 2), dtype=np.float32) * 0.4 + 0.05
+        wh = r.random((b, K, 2), dtype=np.float32) * 0.2 + 0.02
+        batch = {
+            "images": jnp.asarray(
+                r.random((b, size, size, 3), dtype=np.float32)
+            ),
+            "boxes": jnp.asarray(
+                np.concatenate([cw + wh / 2, wh], axis=-1), jnp.float32
+            ),
+            "labels": jnp.asarray(
+                r.integers(0, 80 if on_tpu else 4, (b, K)), jnp.int32
+            ),
+            "box_valid": jnp.asarray(
+                r.random((b, K)) < 0.5
+            ),
+        }
+        rows["ltdetrv2_s_det"] = _bench_task_step(
+            m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
+            f"LT-DETRv2-S (ECViT-T) {size}^2 train step",
+        )
+    except Exception as e:
+        print(f"# ltdetr bench unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    os.environ.pop("LIGHTLY_TRAIN_MATCHER", None)
+    return rows
+
+
 def main() -> None:
     from lightly_train_tpu.methods.base import TrainState
     from lightly_train_tpu.methods.dinov2 import DINOv2, DINOv2Args
@@ -247,6 +413,12 @@ def main() -> None:
     imgs_per_sec_chip = imgs_per_sec / n_chips
     mfu = (flops * n_iters / dt) / (peak_flops(jax.devices()[0]) * n_chips)
 
+    # Fine-tune training-step rows (EoMT + LT-DETR); opt out with
+    # LIGHTLY_BENCH_FINETUNE=0 if the round driver's budget is tight.
+    finetune = {}
+    if os.environ.get("LIGHTLY_BENCH_FINETUNE", "1") != "0":
+        finetune = bench_finetune(on_tpu)
+
     print(
         json.dumps(
             {
@@ -264,6 +436,7 @@ def main() -> None:
                     "sustained_img_s": round(sustained_img_s, 1),
                     "device": str(getattr(jax.devices()[0], "device_kind", "?")),
                     "n_chips": n_chips,
+                    "finetune": finetune,
                 },
             }
         )
