@@ -54,6 +54,12 @@ def embed_from_config(config: EmbedConfig) -> Path:
     artifact = load_exported_model(Path(config.checkpoint))
     dtype = jnp.bfloat16 if config.precision == "bf16" else jnp.float32
     wrapped = get_wrapped_model(artifact["model_name"], dtype=dtype)
+    from lightly_train_tpu._events import tracker
+
+    tracker.track_inference_started(
+        task_type="embedding", model=artifact["model_name"],
+        batch_size=config.batch_size,
+    )
 
     mesh = get_default_mesh()
     files = list_image_files(Path(config.data))

@@ -44,6 +44,12 @@ def predict_semantic_segmentation(
     )
     set_up_console_logging()
     model = load_model(config.checkpoint, image_size=config.image_size)
+    from lightly_train_tpu._events import tracker
+
+    tracker.track_inference_started(
+        task_type="semantic_segmentation",
+        model=getattr(model, "model_name", "?"),
+    )
     if model.task != "semantic_segmentation":
         raise ConfigError(
             f"Checkpoint task is '{model.task}', expected semantic_segmentation."

@@ -229,6 +229,14 @@ def _pretrain_body(config: TrainConfig, mmap_path: Optional[Path]) -> TrainState
     method_cls, method_args_cls = get_method_cls(config.method)
     method_args = pydantic_model_validate(method_args_cls, config.method_args)
 
+    from lightly_train_tpu._events import tracker
+
+    tracker.track_training_started(
+        task_type="ssl_pretraining", model=config.model,
+        method=config.method, batch_size=config.batch_size,
+        devices=jax.device_count(), steps=config.steps,
+    )
+
     batch_size = (
         config.batch_size
         if config.batch_size != AUTO

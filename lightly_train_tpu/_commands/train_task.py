@@ -278,6 +278,13 @@ def run_task_training(
     batch_size = (
         config.batch_size if config.batch_size != AUTO else args.default_batch_size
     )
+    from lightly_train_tpu._events import tracker
+
+    tracker.track_training_started(
+        task_type=train_model.task, model=model_meta.get("model_name", "?"),
+        method=type(train_model).__name__, batch_size=batch_size,
+        devices=jax.device_count(), steps=config.steps,
+    )
     total_steps = config.steps if config.steps != AUTO else args.default_steps
     mesh = get_default_mesh()
     from lightly_train_tpu.ops.pallas.attention import set_active_mesh

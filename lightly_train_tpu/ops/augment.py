@@ -72,6 +72,11 @@ class ViewAugmentConfig:
     # at the view resolution (``view_transform.py:177-192``).
     rotation_prob: float = 0.0
     rotation_degrees: float = 0.0
+    # crop interpolation: "area" = cv2 INTER_AREA fidelity (the reference's
+    # view interpolation, ``view_transform.py:61-76``; golden-tested in
+    # tests/ops/test_inter_area.py), "bilinear" = hat kernel. Same
+    # two-matmul structure either way.
+    interpolation: str = "area"
     # normalize
     mean: Tuple[float, float, float] = IMAGENET_MEAN
     std: Tuple[float, float, float] = IMAGENET_STD
@@ -276,6 +281,49 @@ def _bilinear_weight_matrix(
     return jnp.clip(d, 0.0, 1.0)
 
 
+def _area_down_weight_matrix(
+    y0: jax.Array, h: jax.Array, in_size: int, out: int
+) -> jax.Array:
+    """(out, in) cv2 INTER_AREA DOWNSCALE weights for crop [y0, y0+h).
+
+    Output pixel i averages the source interval [y0 + i*s, y0 + (i+1)*s),
+    s = h/out, with fractional edge weights — verified element-exact against
+    ``cv2.resize(INTER_AREA)`` (tests/ops/test_inter_area.py). Borders are
+    clipped and renormalized by the covered width.
+    """
+    s = h / out
+    i = jnp.arange(out, dtype=jnp.float32)
+    a = jnp.clip(y0 + i * s, 0.0, float(in_size))
+    b = jnp.clip(y0 + (i + 1.0) * s, 0.0, float(in_size))
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    overlap = jnp.clip(
+        jnp.minimum(b[:, None], j[None, :] + 1.0)
+        - jnp.maximum(a[:, None], j[None, :]),
+        0.0, 1.0,
+    )
+    return overlap / jnp.maximum(b - a, 1e-9)[:, None]
+
+
+def _area_up_weight_matrix(
+    y0: jax.Array, h: jax.Array, in_size: int, out: int
+) -> jax.Array:
+    """(out, in) cv2 INTER_AREA UPSCALE weights (the 2-tap path cv2 uses
+    when either axis upscales): sx = floor(i*s), fx = (i+1) - (sx+1)/s
+    wrapped to its fractional part when positive — verified element-exact
+    against cv2 (tests/ops/test_inter_area.py)."""
+    s = h / out
+    i = jnp.arange(out, dtype=jnp.float32)
+    sxf = jnp.floor(i * s)
+    fx = (i + 1.0) - (sxf + 1.0) / jnp.maximum(s, 1e-9)
+    fx = jnp.where(fx <= 0.0, 0.0, fx - jnp.floor(fx))
+    col = jnp.clip(y0 + sxf, 0.0, in_size - 1.0)
+    col1 = jnp.minimum(col + 1.0, in_size - 1.0)
+    j = jnp.arange(in_size, dtype=jnp.float32)
+    one0 = (jnp.abs(col[:, None] - j[None, :]) < 0.5).astype(jnp.float32)
+    one1 = (jnp.abs(col1[:, None] - j[None, :]) < 0.5).astype(jnp.float32)
+    return one0 * (1.0 - fx)[:, None] + one1 * fx[:, None]
+
+
 def crop_resize_matmul(
     images: jax.Array,
     y0: jax.Array,
@@ -284,25 +332,55 @@ def crop_resize_matmul(
     w: jax.Array,
     out_hw: Tuple[int, int],
     hflip: jax.Array | None = None,
+    method: str = "bilinear",
 ) -> jax.Array:
     """Batched crop+resize as two batched matmuls (MXU path).
 
     images: (B, H, W, C); y0/x0/h/w: (B,) crop boxes in pixels. ``hflip``
     ((B,) bool) mirrors the horizontal sampling coordinates — the flip rides
     the resampling matrix for free instead of a separate reversal pass.
+
+    ``method="area"`` reproduces cv2 INTER_AREA (the reference view
+    pipeline's interpolation, ``view_transform.py:61-76``): true area
+    averaging when BOTH axes downscale, cv2's 2-tap fallback per axis
+    otherwise — the same two-matmul structure, only the weights change.
+    ``hflip`` with area weights mirrors the assembled matrix instead of the
+    coordinates (area footprints are not symmetric under coordinate
+    reflection).
     """
     B, H, W, C = images.shape
     oh, ow = out_hw
-    t_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
-    t_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
-    if hflip is not None:
-        t_x = jnp.where(hflip[:, None], 1.0 - t_x[None, :], t_x[None, :])
+    if method == "area":
+        down_both = ((h / oh) >= 1.0) & ((w / ow) >= 1.0)  # (B,)
+
+        def one_axis(y0b, hb, in_size, out):
+            return jnp.where(
+                down_both[:, None, None],
+                jax.vmap(
+                    lambda o, hh: _area_down_weight_matrix(o, hh, in_size, out)
+                )(y0b, hb),
+                jax.vmap(
+                    lambda o, hh: _area_up_weight_matrix(o, hh, in_size, out)
+                )(y0b, hb),
+            )
+
+        Ry = one_axis(y0, h, H, oh)  # (B, oh, H)
+        Rx = one_axis(x0, w, W, ow)  # (B, ow, W)
+        if hflip is not None:
+            Rx = jnp.where(hflip[:, None, None], Rx[:, ::-1, :], Rx)
     else:
-        t_x = t_x[None, :]
-    sy = jnp.clip(y0[:, None] + t_y[None, :] * h[:, None] - 0.5, 0.0, H - 1.0)
-    sx = jnp.clip(x0[:, None] + t_x * w[:, None] - 0.5, 0.0, W - 1.0)
-    Ry = jax.vmap(lambda s: _bilinear_weight_matrix(s, H))(sy)  # (B, oh, H)
-    Rx = jax.vmap(lambda s: _bilinear_weight_matrix(s, W))(sx)  # (B, ow, W)
+        t_y = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+        t_x = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+        if hflip is not None:
+            t_x = jnp.where(hflip[:, None], 1.0 - t_x[None, :], t_x[None, :])
+        else:
+            t_x = t_x[None, :]
+        sy = jnp.clip(
+            y0[:, None] + t_y[None, :] * h[:, None] - 0.5, 0.0, H - 1.0
+        )
+        sx = jnp.clip(x0[:, None] + t_x * w[:, None] - 0.5, 0.0, W - 1.0)
+        Ry = jax.vmap(lambda s: _bilinear_weight_matrix(s, H))(sy)
+        Rx = jax.vmap(lambda s: _bilinear_weight_matrix(s, W))(sx)
     img_f = images.astype(jnp.float32)
     rows = jnp.einsum("boh,bhwc->bowc", Ry, img_f)  # (B, oh, W, C)
     return jnp.einsum("bowc,bxw->boxc", rows, Rx)  # (B, oh, ow, C)
@@ -712,7 +790,10 @@ def augment_view_with_geometry(
     )
     # hflip is folded into the crop's column resampling matrix (no separate
     # reversal pass over the view).
-    out = crop_resize_matmul(images, y0, x0, h, w, cfg.out_size, hflip=hflip)
+    out = crop_resize_matmul(
+        images, y0, x0, h, w, cfg.out_size, hflip=hflip,
+        method=cfg.interpolation,
+    )
     if images.dtype == jnp.uint8:
         out = out * (1.0 / 255.0)
     if cfg.vflip_prob > 0:
