@@ -229,18 +229,32 @@ def load_model_from_checkpoint(
 
 def load_model(
     name_or_path: Union[str, Path], image_size: int = 224
-) -> LoadedTaskModel:
-    """Load a task model from an exported artifact path.
+):
+    """Load a task model from an exported artifact path OR a model-zoo name.
 
-    The reference additionally resolves model-zoo names to downloadable
-    checkpoints (``task_model_helpers.py:203-281``); in the zero-egress TPU
-    build the registry holds no URLs yet, so names raise with guidance.
+    Mirrors the reference's resolution order
+    (``task_model_helpers.py:166-249``): a local path loads directly; a known
+    zoo name downloads its checkpoint (sha256-verified, cached) and converts
+    the torch weights into this package's task models on the fly
+    (``tasks/task_zoo.py``). Unknown names raise with the known-name list.
     """
     path = Path(name_or_path)
     if path.exists():
         return load_model_from_checkpoint(path, image_size)
-    raise CheckpointError(
-        f"'{name_or_path}' is not a local artifact path. Downloadable "
-        "model-zoo checkpoints are not available in this environment; pass "
-        "the path of an exported_models/exported_{best,last} directory."
+    from lightly_train_tpu.tasks.task_zoo import (
+        TASK_ZOO,
+        load_model_from_torch_zoo,
+        resolve_zoo_checkpoint,
     )
+
+    name = str(name_or_path)
+    if name not in TASK_ZOO:
+        raise CheckpointError(
+            f"'{name_or_path}' is neither a local artifact path nor a known "
+            f"model-zoo name ({len(TASK_ZOO)} names registered, e.g. "
+            "'ltdetrv2-s-coco', 'dinov3/vits16-eomt-coco', "
+            "'dinov3/dav3-relative-tiny'). Pass the path of an "
+            "exported_models/exported_{best,last} directory or a zoo name."
+        )
+    ckpt_path = resolve_zoo_checkpoint(name)
+    return load_model_from_torch_zoo(name, ckpt_path, image_size)
