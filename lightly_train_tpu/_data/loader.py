@@ -145,7 +145,23 @@ class PretrainLoader:
                     )
                 while not stop.is_set():
                     futures = window.get()
-                    if not _offer(self._collate([f.result() for f in futures])):
+                    batch = self._collate([f.result() for f in futures])
+                    # Host->device transfer HERE, in the producer thread:
+                    # the device_put of batch N overlaps the device compute
+                    # of step N-1 (double buffering; the queue bound keeps
+                    # at most ``prefetch`` device-resident batches alive).
+                    if isinstance(batch, dict):
+                        batch = {
+                            k: jax.make_array_from_process_local_data(
+                                self.sharding, v
+                            )
+                            for k, v in batch.items()
+                        }
+                    else:
+                        batch = jax.make_array_from_process_local_data(
+                            self.sharding, batch
+                        )
+                    if not _offer(batch):
                         return
                     window.put(
                         [
@@ -164,17 +180,7 @@ class PretrainLoader:
                 item = out_q.get()
                 if isinstance(item, Exception):
                     raise item
-                if isinstance(item, dict):
-                    yield {
-                        k: jax.make_array_from_process_local_data(
-                            self.sharding, v
-                        )
-                        for k, v in item.items()
-                    }
-                else:
-                    yield jax.make_array_from_process_local_data(
-                        self.sharding, item
-                    )
+                yield item  # already device-placed by the producer
         finally:
             stop.set()
             try:
