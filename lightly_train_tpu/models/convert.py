@@ -388,10 +388,22 @@ def load_torch_checkpoint_for_model(
         ckpt = ckpt.state_dict()
     cfg = wrapped.module.cfg  # type: ignore[attr-defined]
     if model_name.startswith("ultralytics/"):
-        # model.model.{i}.* / model.{i}.* naming handled by the converter.
+        # model.model.{i}.* / model.{i}.* naming handled by the converters.
         sd = {k: np.asarray(v) for k, v in ckpt.items()}
-        n_per_c2f = {i: cfg.n(3 if i in (2, 8) else 6) for i in (2, 4, 6, 8)}
-        variables = convert_ultralytics_state_dict(sd, n_per_c2f)
+        short = model_name.split("/", 1)[1]
+        if short.startswith("yolov5"):
+            n_per_c3 = {
+                i: cfg.n({2: 3, 4: 6, 6: 9, 8: 3}[i]) for i in (2, 4, 6, 8)
+            }
+            variables = convert_yolov5_state_dict(sd, n_per_c3)
+        elif short.startswith("yolo11"):
+            n_per_block = {i: cfg.n(2) for i in (2, 4, 6, 8, 10)}
+            variables = convert_yolo11_state_dict(sd, n_per_block)
+        else:
+            n_per_c2f = {
+                i: cfg.n(3 if i in (2, 8) else 6) for i in (2, 4, 6, 8)
+            }
+            variables = convert_ultralytics_state_dict(sd, n_per_c2f)
     elif model_name.startswith("ecvit/"):
         # ECViTModelWrapper checkpoints keep the backbone.* prefix.
         sd = {k: np.asarray(v) for k, v in ckpt.items()}
@@ -479,6 +491,104 @@ def convert_ultralytics_state_dict(
             put(f"layer{i}", (f"m{j}", "cv2"), f"{i}.m.{j}.cv2")
     put("layer9", ("cv1",), "9.cv1")
     put("layer9", ("cv2",), "9.cv2")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_yolov5_state_dict(
+    state_dict: Mapping[str, Any], n_per_c3: Mapping[int, int]
+) -> Dict[str, Any]:
+    """ultralytics YOLOv5 checkpoint (``model.model.{i}.*``) -> Flax
+    variables for ``models/yolo.YOLOv5Backbone`` (layers 0-8; the SPPF at
+    index 9 is dropped — the reference's v5 SSL slice cuts before it)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("model.model.").removeprefix("model.")
+        sd[k] = _t(v)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(layer: str, sub: tuple, prefix: str) -> None:
+        p, s = _conv_unit_from_torch(sd, prefix)
+        dp, ds = params.setdefault(layer, {}), stats.setdefault(layer, {})
+        for part in sub[:-1]:
+            dp = dp.setdefault(part, {})
+            ds = ds.setdefault(part, {})
+        if sub:
+            dp[sub[-1]] = p
+            ds[sub[-1]] = s
+        else:
+            dp.update(p)
+            ds.update(s)
+
+    for i in (0, 1, 3, 5, 7):
+        put(f"layer{i}", (), str(i))
+    for i in (2, 4, 6, 8):  # C3 layers
+        for cv in ("cv1", "cv2", "cv3"):
+            put(f"layer{i}", (cv,), f"{i}.{cv}")
+        for j in range(n_per_c3[i]):
+            put(f"layer{i}", (f"m{j}", "cv1"), f"{i}.m.{j}.cv1")
+            put(f"layer{i}", (f"m{j}", "cv2"), f"{i}.m.{j}.cv2")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_yolo11_state_dict(
+    state_dict: Mapping[str, Any], n_per_block: Mapping[int, int],
+    c3k_layers: tuple = (6, 8),
+) -> Dict[str, Any]:
+    """ultralytics YOLO11 checkpoint -> Flax variables for
+    ``models/yolo.YOLO11Backbone`` (layers 0-10 incl. SPPF + C2PSA)."""
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.removeprefix("model.model.").removeprefix("model.")
+        sd[k] = _t(v)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(layer: str, sub: tuple, prefix: str) -> None:
+        p, s = _conv_unit_from_torch(sd, prefix)
+        dp, ds = params.setdefault(layer, {}), stats.setdefault(layer, {})
+        for part in sub[:-1]:
+            dp = dp.setdefault(part, {})
+            ds = ds.setdefault(part, {})
+        if sub:
+            dp[sub[-1]] = p
+            ds[sub[-1]] = s
+        else:
+            dp.update(p)
+            ds.update(s)
+
+    for i in (0, 1, 3, 5, 7):
+        put(f"layer{i}", (), str(i))
+    for i in (2, 4, 6, 8):  # C3k2 layers
+        put(f"layer{i}", ("cv1",), f"{i}.cv1")
+        put(f"layer{i}", ("cv2",), f"{i}.cv2")
+        for j in range(n_per_block[i]):
+            if i in c3k_layers:  # m{j} is a C3k (cv1/cv2/cv3 + 2 bottlenecks)
+                for cv in ("cv1", "cv2", "cv3"):
+                    put(f"layer{i}", (f"m{j}", cv), f"{i}.m.{j}.{cv}")
+                for b in range(2):
+                    put(f"layer{i}", (f"m{j}", f"m{b}", "cv1"),
+                        f"{i}.m.{j}.m.{b}.cv1")
+                    put(f"layer{i}", (f"m{j}", f"m{b}", "cv2"),
+                        f"{i}.m.{j}.m.{b}.cv2")
+            else:  # plain bottleneck
+                put(f"layer{i}", (f"m{j}", "cv1"), f"{i}.m.{j}.cv1")
+                put(f"layer{i}", (f"m{j}", "cv2"), f"{i}.m.{j}.cv2")
+    put("layer9", ("cv1",), "9.cv1")
+    put("layer9", ("cv2",), "9.cv2")
+    # C2PSA at index 10
+    put("layer10", ("cv1",), "10.cv1")
+    put("layer10", ("cv2",), "10.cv2")
+    for j in range(n_per_block[10]):
+        base = f"10.m.{j}"
+        for flax_name, torch_name in (
+            ("qkv", "attn.qkv"), ("proj", "attn.proj"), ("pe", "attn.pe"),
+            ("ffn0", "ffn.0"), ("ffn1", "ffn.1"),
+        ):
+            sub = (f"m{j}", "attn", flax_name) if flax_name in (
+                "qkv", "proj", "pe"
+            ) else (f"m{j}", flax_name)
+            put("layer10", sub, f"{base}.{torch_name}")
     return {"params": params, "batch_stats": stats}
 
 

@@ -387,6 +387,48 @@ for _name in _YOLOV8_SIZES:
             hidden=_name == "yolov8test" or _suffix != "",
         )
 
+# YOLOv5 (C3 backbone, cut before SPPF) and YOLO11 (C3k2 + SPPF + C2PSA)
+# families — the reference wraps YOLOv5-26 via installed ultralytics
+# (ultralytics.py:57-235); these are the native equivalents.
+from lightly_train_tpu.models.yolo import (  # noqa: E402
+    _YOLO11_SIZES,
+    _YOLOV5_SIZES,
+    YOLO11Backbone,
+    YOLOv5Backbone,
+    yolo_family_config,
+)
+
+
+def _build_yolo_family(name: str, dtype: Any, **kwargs: Any) -> WrappedModel:
+    if kwargs:
+        raise ValueError(
+            f"Unsupported model_args for this family: {sorted(kwargs)}"
+        )
+    cfg = yolo_family_config(name, dtype=dtype)
+    module = (
+        YOLOv5Backbone(cfg) if name.startswith("yolov5")
+        else YOLO11Backbone(cfg)
+    )
+    return WrappedModel(
+        name=f"ultralytics/{name}",
+        module=module,
+        feature_dim=cfg.ch(1024),
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
+
+
+for _name in list(_YOLOV5_SIZES) + list(_YOLO11_SIZES):
+    for _suffix in ("", ".pt", "u", "u.pt", "-cls.pt", "-seg.pt"):
+        register_model(
+            f"ultralytics/{_name}{_suffix}",
+            (lambda n: lambda dtype=jnp.float32, **kw: _build_yolo_family(
+                n, dtype, **kw
+            ))(_name),
+            hidden="test" in _name or _suffix != "",
+        )
+
 
 # ---------------------------------------------------------------------------
 # rtdetr family: RT-DETR PResNet (ResNet-vd) backbones (the reference wraps
