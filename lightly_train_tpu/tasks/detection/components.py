@@ -46,8 +46,11 @@ class DetrConfig:
     # (location quality estimator, ``:369``). False = RT-DETRv2-style direct
     # delta regression.
     use_dfine: bool = False
-    dfine_bins: int = 16
-    dfine_scale: float = 0.5  # max edge offset as a fraction of box size
+    dfine_bins: int = 17  # = reg_max + 1 (reference reg_max=32 -> 33 bins)
+    # W(n) shape constants (non-trainable in the reference,
+    # ``dfine_decoder.py:631, 671``).
+    dfine_reg_scale: float = 4.0
+    dfine_up: float = 0.5
     csp_blocks: int = 3  # RepVgg bottlenecks per CSPRep layer
     # Deploy mode: RepVgg branches replaced by single fused 3x3 convs whose
     # params come from ``fuse_repvgg`` (``hybrid_encoder.py:76-108``).
@@ -543,6 +546,21 @@ class DETRDecoder(nn.Module):
             (enc_out_logits.astype(jnp.float32),
              init_boxes.astype(jnp.float32))
         )
+        # D-FINE FDR state (reference decoder loop, ``dfine_decoder.py:
+        # 480-582``): a fixed anchor from the layer-0 pre-head, corner
+        # logits ACCUMULATED across layers, boxes decoded from the ANCHOR
+        # each layer via the non-uniform W(n) Integral.
+        from lightly_train_tpu.tasks.detection.dfine_utils import (
+            distance2bbox,
+            integral,
+            weighting_function,
+        )
+
+        anchor = None
+        corners_accum = None
+        project = weighting_function(
+            cfg.dfine_bins - 1, cfg.dfine_up, cfg.dfine_reg_scale
+        )
         for i in range(cfg.num_decoder_layers):
             q = DecoderLayer(cfg, name=f"layer{i}")(
                 q, boxes[..., :2], levels, train, self_attn_mask
@@ -552,48 +570,55 @@ class DETRDecoder(nn.Module):
                 cfg.num_classes + 1, dtype=cfg.dtype, name=f"head{i}_class"
             )(qn)
             if cfg.use_dfine:
-                # D-FINE: per-edge offset DISTRIBUTIONS; the expectation
-                # (Integral, ``dfine_decoder.py:345``) is the refinement.
-                nb = cfg.dfine_bins
+                nb = cfg.dfine_bins  # = reg_max + 1 bins per edge
+                if i == 0:
+                    # pre-head: sigmoid(delta + logit(initial boxes)) becomes
+                    # the FIXED refinement anchor (``dfine_decoder.py:
+                    # 531-540``); its predictions are the reference's
+                    # 'pre_outputs' aux level (criterion matches it too).
+                    pre_delta = nn.Dense(
+                        4, dtype=cfg.dtype,
+                        kernel_init=nn.initializers.zeros,
+                        name="pre_box",
+                    )(qn)
+                    pre_boxes = jax.nn.sigmoid(
+                        pre_delta.astype(jnp.float32)
+                        + jax.scipy.special.logit(
+                            jnp.clip(boxes, 1e-4, 1 - 1e-4)
+                        ).astype(jnp.float32)
+                    )
+                    anchor = jax.lax.stop_gradient(pre_boxes)
+                    outputs.append(
+                        (logits.astype(jnp.float32), pre_boxes)
+                    )
+                # Per-edge offset-bin logits, accumulated over layers
+                # (``pred_corners = bbox_head[i](out) + undetach``).
                 dist = nn.Dense(
                     4 * nb, dtype=cfg.dtype,
                     kernel_init=nn.initializers.zeros,
                     name=f"head{i}_dist",
                 )(qn).reshape(qn.shape[0], qn.shape[1], 4, nb)
-                bins = jnp.linspace(-1.0, 1.0, nb, dtype=jnp.float32)
-                probs = jax.nn.softmax(dist.astype(jnp.float32), axis=-1)
-                edge_delta = jnp.sum(probs * bins, axis=-1)  # (B, Q, 4)
-                x0 = boxes[..., 0] - boxes[..., 2] / 2
-                y0 = boxes[..., 1] - boxes[..., 3] / 2
-                x1 = boxes[..., 0] + boxes[..., 2] / 2
-                y1 = boxes[..., 1] + boxes[..., 3] / 2
-                sw = boxes[..., 2] * cfg.dfine_scale
-                sh = boxes[..., 3] * cfg.dfine_scale
-                x0 = x0 + edge_delta[..., 0] * sw
-                y0 = y0 + edge_delta[..., 1] * sh
-                x1 = x1 + edge_delta[..., 2] * sw
-                y1 = y1 + edge_delta[..., 3] * sh
-                new_boxes = jnp.clip(
-                    jnp.stack(
-                        [(x0 + x1) / 2, (y0 + y1) / 2,
-                         jnp.maximum(x1 - x0, 1e-4),
-                         jnp.maximum(y1 - y0, 1e-4)],
-                        axis=-1,
-                    ),
-                    1e-4, 1.0,
+                dist = dist.astype(jnp.float32)
+                if corners_accum is not None:
+                    dist = dist + corners_accum
+                corners_accum = dist
+                new_boxes = distance2bbox(
+                    anchor, integral(dist, project), cfg.dfine_reg_scale
                 )
-                # Expose the distributions + their reference boxes for the
-                # FGL distribution focal loss (criterion.dfine_fgl_loss).
+                # Expose (corner logits, anchor) for FGL/DDF
+                # (criterion.dfine_local_loss).
                 self.sow(
                     "intermediates", "dfine_dists",
-                    (dist.astype(jnp.float32), boxes.astype(jnp.float32)),
+                    (dist, anchor),
                 )
-                # LQE (``dfine_decoder.py:369``): class-logit refinement from
-                # distribution statistics (top-k bin probs per edge).
+                # LQE (``dfine_decoder.py:369-385``): class-logit refinement
+                # from per-edge top-k bin probs + their mean.
+                probs = jax.nn.softmax(dist, axis=-1)
                 k_stat = min(4, nb)
-                stats = jax.lax.top_k(probs, k_stat)[0].reshape(
-                    qn.shape[0], qn.shape[1], 4 * k_stat
-                )
+                topk_p = jax.lax.top_k(probs, k_stat)[0]
+                stats = jnp.concatenate(
+                    [topk_p, topk_p.mean(axis=-1, keepdims=True)], axis=-1
+                ).reshape(qn.shape[0], qn.shape[1], 4 * (k_stat + 1))
                 lqe = nn.Dense(
                     1, dtype=cfg.dtype, kernel_init=nn.initializers.zeros,
                     name=f"head{i}_lqe",
@@ -613,6 +638,8 @@ class DETRDecoder(nn.Module):
             outputs.append(
                 (logits.astype(jnp.float32), new_boxes.astype(jnp.float32))
             )
-            boxes = jax.lax.stop_gradient(new_boxes)
+            boxes = jax.lax.stop_gradient(
+                jnp.clip(new_boxes, 1e-4, 1.0).astype(q.dtype)
+            )
         self.sow("intermediates", "final_queries", q)
         return outputs

@@ -297,13 +297,15 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             params, model_state, batch["images"], True, rng,
             want_intermediates=True, **dn_kwargs,
         )
-        # D-FINE distributions (sown per decoder layer) for the FGL loss;
-        # aligned with outputs: encoder level (index 0) has none.
+        # D-FINE corner distributions (sown per decoder layer) for the
+        # FGL/DDF losses; aligned with outputs: the encoder level (index 0)
+        # and the pre level (index 1, the layer-0 traditional head) have
+        # none (reference: pre_outputs carry no pred_corners).
         dfine_dists = None
+        raw = None
         if inter is not None:
             # Walk to the sown tuple list regardless of module nesting.
             stack = [inter]
-            raw = None
             while stack:
                 node = stack.pop()
                 if isinstance(node, dict):
@@ -312,7 +314,7 @@ class ObjectDetectionTrainModel(TaskTrainModel):
                         break
                     stack.extend(node.values())
             if raw:
-                dfine_dists = [None] + list(raw)
+                dfine_dists = [None, None] + list(raw)
         if use_dn:
             n_dn = dn_kwargs["dn_labels"].shape[1]
             # Level 0 (encoder) has no dn slots; decoder levels carry them.
@@ -321,9 +323,9 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             ]
             dn_outputs = [(l[:, :n_dn], b[:, :n_dn]) for l, b in outputs[1:]]
             if dfine_dists is not None:
-                dfine_dists = [None] + [
+                dfine_dists = [None, None] + [
                     (d[:, n_dn:], b[:, n_dn:])
-                    for d, b in dfine_dists[1:]
+                    for d, b in dfine_dists[2:]
                 ]
         else:
             match_outputs = outputs
@@ -335,6 +337,7 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         if dn_outputs:
             from lightly_train_tpu.tasks.detection.criterion import (
                 detection_loss_from_assignment,
+                dfine_fgl_ddf_loss,
             )
 
             n_dn = dn_kwargs["dn_labels"].shape[1]
@@ -343,17 +346,40 @@ class ObjectDetectionTrainModel(TaskTrainModel):
                 jnp.arange(n_dn, dtype=jnp.int32)[None, :],
                 -1,
             )
+            # dn pairs ARE the identity mapping (get_cdn_matched_indices);
+            # dn_num_boxes = num targets * groups (dfine_criterion.py:496).
+            dn_num = jnp.maximum(jnp.sum(dn_tgt_valid), 1.0)
+            dn_q = jnp.arange(n_dn, dtype=jnp.int32)[None, :].repeat(
+                identity.shape[0], 0
+            )
+            # dn_dists aligned with dn_outputs: [pre (no corners)] + layers.
+            dn_dists = (
+                [None] + [(d[:, :n_dn], b[:, :n_dn]) for d, b in raw]
+                if raw
+                else None
+            )
+            dn_teacher = dn_dists[-1] if dn_dists else None
             dn_total = 0.0
-            for l, b in dn_outputs:
+            for lv, (l, b) in enumerate(dn_outputs):
+                b = jnp.clip(b, 0.0, 1.0)  # reference box sanitization
                 losses = detection_loss_from_assignment(
                     l, b, dn_tgt_labels, dn_tgt_boxes, identity
                 )
-                dn_total = dn_total + (
+                lvl = (
                     losses["loss_vfl"] + 5.0 * losses["loss_l1"]
                     + 2.0 * losses["loss_giou"]
                 )
+                if dn_dists is not None and dn_dists[lv] is not None:
+                    fgl, ddf = dfine_fgl_ddf_loss(
+                        dn_dists[lv][0], dn_dists[lv][1], b,
+                        dn_teacher[0], dn_outputs[-1][0],
+                        dn_tgt_boxes, dn_q, dn_q, dn_tgt_valid, dn_num,
+                        is_final=(lv == len(dn_outputs) - 1),
+                    )
+                    lvl = lvl + 0.15 * fgl + 1.5 * ddf
+                dn_total = dn_total + lvl
             # Reference sums weighted dn losses over decoder levels
-            # (rtdetrv2_criterion.py:243-259; per-box normalization already
+            # (dfine_criterion.py:494-541; per-box normalization already
             # accounts for the group count via dn_num_boxes).
             metrics = {**metrics, "dn_loss": dn_total}
             loss = loss + dn_total

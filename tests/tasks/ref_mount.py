@@ -88,6 +88,34 @@ def mount_reference_tasks() -> None:
     _stub("torchvision.io", ImageReadMode=ImageReadMode,
           decode_image=_raise_stub, read_image=_raise_stub)
 
+    # torchvision.ops: the detection criterion imports box_area and
+    # sigmoid_focal_loss — both are 3-line exact formulas (mirrored from
+    # torchvision/ops/{boxes,focal_loss}.py), not faked numerics.
+    def box_area(boxes):
+        return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+    def sigmoid_focal_loss(inputs, targets, alpha=0.25, gamma=2,
+                           reduction="none"):
+        p = torch.sigmoid(inputs)
+        ce = torch.nn.functional.binary_cross_entropy_with_logits(
+            inputs, targets, reduction="none"
+        )
+        p_t = p * targets + (1 - p) * (1 - targets)
+        loss = ce * ((1 - p_t) ** gamma)
+        if alpha >= 0:
+            alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+            loss = alpha_t * loss
+        if reduction == "mean":
+            return loss.mean()
+        if reduction == "sum":
+            return loss.sum()
+        return loss
+
+    _stub("torchvision.ops", box_area=box_area,
+          sigmoid_focal_loss=sigmoid_focal_loss)
+    _stub("torchvision.ops.boxes", box_area=box_area)
+    _stub("torchvision.ops.focal_loss", sigmoid_focal_loss=sigmoid_focal_loss)
+
     class _TVTensor(torch.Tensor):
         pass
 
