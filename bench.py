@@ -142,6 +142,26 @@ def bench_finetune(on_tpu: bool) -> dict:
     (LIGHTLY_TRAIN_MATCHER=greedy); a real TPU VM supports the host LSA."""
     import numpy as np
 
+    import contextlib
+    import signal
+
+    @contextlib.contextmanager
+    def _deadline(seconds):
+        """Hard per-row timeout: a hung remote compile must not cost the
+        whole bench output."""
+
+        def _raise(signum, frame):
+            raise TimeoutError(f"bench row exceeded {seconds}s")
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(seconds)
+        try:
+            yield
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    row_budget = int(os.environ.get("LIGHTLY_BENCH_FINETUNE_TIMEOUT", "1500"))
     rows = {}
     os.environ["LIGHTLY_TRAIN_MATCHER"] = "greedy"
     try:
@@ -175,10 +195,11 @@ def bench_finetune(on_tpu: bool) -> dict:
                 jnp.int32,
             ),
         }
-        rows["eomt_vits16_semseg"] = _bench_task_step(
-            m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
-            f"EoMT ViT-S/16 {size}^2 train step",
-        )
+        with _deadline(row_budget):
+            rows["eomt_vits16_semseg"] = _bench_task_step(
+                m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
+                f"EoMT ViT-S/16 {size}^2 train step",
+            )
     except Exception as e:
         print(f"# eomt bench unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
@@ -219,10 +240,11 @@ def bench_finetune(on_tpu: bool) -> dict:
                 r.random((b, K)) < 0.5
             ),
         }
-        rows["ltdetrv2_s_det"] = _bench_task_step(
-            m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
-            f"LT-DETRv2-S (ECViT-T) {size}^2 train step",
-        )
+        with _deadline(row_budget):
+            rows["ltdetrv2_s_det"] = _bench_task_step(
+                m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
+                f"LT-DETRv2-S (ECViT-T) {size}^2 train step",
+            )
     except Exception as e:
         print(f"# ltdetr bench unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
