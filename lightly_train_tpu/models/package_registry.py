@@ -83,15 +83,47 @@ def get_wrapped_model(name: Any, dtype: Any = jnp.float32, **kwargs: Any) -> Wra
             from lightly_train_tpu.models.custom import wrap_custom_module
 
             return wrap_custom_module(name)
+        try:
+            import torch as _torch
+        except ImportError:
+            _torch = None
+        if _torch is not None and isinstance(name, _torch.nn.Module):
+            # Any torch module (timm, ultralytics, custom): export-compiled
+            # to XLA via the torch bridge (reference analog: the live-torch
+            # wrapper packages, _models/package_helpers.py).
+            from lightly_train_tpu.models.torch_bridge import (
+                wrap_torch_module,
+            )
+
+            return wrap_torch_module(name)
         raise UnknownModelError(
-            f"Model must be a name string, WrappedModel, or Flax module; "
-            f"got {type(name)!r}."
+            f"Model must be a name string, WrappedModel, Flax module, or "
+            f"torch module; got {type(name)!r}."
         )
     entry = _REGISTRY.get(name)
     if entry is None and name.startswith("timm/"):
         resolved = _resolve_timm(name, dtype)
         if resolved is not None:
             return resolved
+        # Not a native family: wrap the live timm model through the torch
+        # bridge (reference: _models/timm/timm.py accepts any timm name).
+        from lightly_train_tpu.models.torch_packages import (
+            timm_available,
+            wrap_timm_model,
+        )
+
+        if timm_available():
+            return wrap_timm_model(name.removeprefix("timm/"), **kwargs)
+    if entry is None and name.startswith("ultralytics/"):
+        from lightly_train_tpu.models.torch_packages import (
+            ultralytics_available,
+            wrap_ultralytics_model,
+        )
+
+        if ultralytics_available():
+            return wrap_ultralytics_model(
+                name.removeprefix("ultralytics/"), **kwargs
+            )
     if entry is None:
         import difflib
 

@@ -1,0 +1,1990 @@
+"""torch.export -> JAX bridge: run any torch ``nn.Module`` on TPU, natively.
+
+Closes the two "wrap arbitrary torch models" gaps of the reference — the
+timm package (``src/lightly_train/_models/timm/timm.py``: any timm model via
+``features_only``) and the ultralytics package
+(``src/lightly_train/_models/ultralytics/ultralytics.py:57-235``: YOLOv5..26,
+RT-DETR) — without running torch on the accelerator. The torch module is
+exported ONCE on the host (``torch.export`` -> ``run_decompositions({})``,
+which yields a *functional* ATen graph while preserving the composite ops
+that matter for TPU codegen: ``linear``, ``layer_norm``,
+``scaled_dot_product_attention``, ``conv2d``). The graph is then interpreted
+into JAX at trace time, so the whole model becomes one XLA program:
+
+- parameters become trainable JAX arrays (flax ``params`` collection), so
+  gradients/optimizers/checkpointing work exactly like native backbones;
+- BatchNorm running stats become ``batch_stats`` variables (functionalized
+  buffer mutations are written back), matching how native BN families thread
+  model state through the train loops;
+- dropout / droppath randomness runs on the JAX PRNG (one fold_in per graph
+  node, deterministic per step);
+- ``detach`` maps to ``lax.stop_gradient``; everything stays functional.
+
+The torch module itself never executes after export — all compute is XLA.
+Layout stays NCHW inside the bridged graph (exactly the exported program's
+semantics); XLA lays tensors out for the MXU itself, and the NHWC<->NCHW
+boundary transposes fold away. Matmul-class ops optionally run in bf16 with
+fp32 accumulation (``matmul_dtype="bfloat16"``) to hit the MXU's fast path.
+
+Static shapes only (the TPU rule anyway): exported programs are cached per
+(input shape, train-mode); a new shape re-exports on the host at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import operator
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "UnsupportedTorchOpError",
+    "TorchBridged",
+    "bridge_torch_module",
+    "wrap_torch_module",
+]
+
+
+class UnsupportedTorchOpError(NotImplementedError):
+    """An ATen op in the exported graph has no JAX lowering yet."""
+
+
+# ---------------------------------------------------------------------------
+# dtype mapping
+# ---------------------------------------------------------------------------
+
+def _torch_dtype_to_jnp(td: Any) -> Any:
+    import torch
+
+    table = {
+        torch.float32: jnp.float32,
+        torch.float64: jnp.float32,  # x64 is disabled on TPU; degrade.
+        torch.float16: jnp.float16,
+        torch.bfloat16: jnp.bfloat16,
+        torch.int64: jnp.int32,  # JAX default-int; degrade like x64.
+        torch.int32: jnp.int32,
+        torch.int16: jnp.int16,
+        torch.int8: jnp.int8,
+        torch.uint8: jnp.uint8,
+        torch.bool: jnp.bool_,
+    }
+    out = table.get(td)
+    if out is None:
+        raise UnsupportedTorchOpError(f"torch dtype {td} has no JAX mapping")
+    return out
+
+
+def _is_torch_dtype(x: Any) -> bool:
+    import torch
+
+    return isinstance(x, torch.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Interpreter
+# ---------------------------------------------------------------------------
+
+_ATEN_OPS: Dict[str, Callable[..., Any]] = {}
+
+
+def _op(*names: str) -> Callable[[Callable[..., Any]], Callable[..., Any]]:
+    def deco(fn: Callable[..., Any]) -> Callable[..., Any]:
+        for n in names:
+            _ATEN_OPS[n] = fn
+        return fn
+
+    return deco
+
+
+class _Ctx:
+    """Per-trace interpreter context: PRNG stream for stochastic ops."""
+
+    def __init__(self, rng: Optional[jax.Array]):
+        self._rng = rng
+        self._n = 0
+
+    def next_key(self) -> jax.Array:
+        if self._rng is None:
+            raise UnsupportedTorchOpError(
+                "Graph contains a random op (dropout/bernoulli/rand) in "
+                "train mode but no 'dropout' RNG was provided."
+            )
+        self._n += 1
+        return jax.random.fold_in(self._rng, self._n)
+
+
+# Ops whose implementations need the ctx (random ops). Keyed by op name.
+_NEEDS_CTX = set()
+
+
+def _provenance(node: Any) -> str:
+    stack = node.meta.get("nn_module_stack") or {}
+    if stack:
+        last = list(stack.values())[-1]
+        return f" (from {last[0]}: {last[1]})"
+    return ""
+
+
+def _run_graph(
+    ep: Any,
+    params: Dict[str, jax.Array],
+    buffers: Dict[str, jax.Array],
+    constants: Dict[str, jax.Array],
+    user_inputs: Sequence[Any],
+    rng: Optional[jax.Array],
+) -> Tuple[List[Any], Dict[str, jax.Array]]:
+    """Interpret a functionalized ExportedProgram with JAX values.
+
+    Returns (user_outputs, buffer_mutations_by_fqn). Runs at JAX trace time
+    only — the loop below disappears into the jaxpr.
+    """
+    import torch.fx
+
+    sig = ep.graph_signature
+    env: Dict[str, Any] = {}
+    ctx = _Ctx(rng)
+
+    # Bind placeholders in order, resolving each against the signature.
+    user_iter = iter(user_inputs)
+    spec_by_name: Dict[str, Any] = {}
+    for spec in sig.input_specs:
+        arg = spec.arg
+        name = getattr(arg, "name", None)
+        if name is not None:
+            spec_by_name[name] = spec
+
+    for node in ep.graph.nodes:
+        if node.op == "placeholder":
+            spec = spec_by_name.get(node.name)
+            kind = spec.kind.name if spec is not None else "USER_INPUT"
+            if kind == "PARAMETER":
+                env[node.name] = params[spec.target]
+            elif kind == "BUFFER":
+                env[node.name] = buffers[spec.target]
+            elif kind == "CONSTANT_TENSOR":
+                env[node.name] = constants[spec.target]
+            elif kind == "USER_INPUT":
+                if hasattr(spec, "arg") and not hasattr(spec.arg, "name"):
+                    continue  # ConstantArgument: baked into the graph.
+                env[node.name] = next(user_iter)
+            elif kind == "TOKEN":
+                env[node.name] = None
+            else:
+                raise UnsupportedTorchOpError(
+                    f"Unhandled input kind {kind} for {node.name}"
+                )
+        elif node.op == "call_function":
+            key = str(node.target)
+            if node.target is operator.getitem:
+                key = "getitem"
+            impl = _ATEN_OPS.get(key)
+            if impl is None:
+                raise UnsupportedTorchOpError(
+                    f"No JAX lowering for {key}{_provenance(node)}. "
+                    "Register one in lightly_train_tpu.models.torch_bridge."
+                )
+            args = torch.fx.node.map_arg(node.args, lambda n: env[n.name])
+            kwargs = torch.fx.node.map_arg(
+                node.kwargs, lambda n: env[n.name]
+            )
+            if key in _NEEDS_CTX:
+                env[node.name] = impl(ctx, *args, **kwargs)
+            else:
+                env[node.name] = impl(*args, **kwargs)
+        elif node.op == "output":
+            flat_out = node.args[0]
+            results: List[Any] = []
+            mutations: Dict[str, jax.Array] = {}
+            for spec, out_node in zip(sig.output_specs, flat_out):
+                val = (
+                    env[out_node.name]
+                    if isinstance(out_node, torch.fx.Node)
+                    else out_node
+                )
+                kind = spec.kind.name
+                if kind == "USER_OUTPUT":
+                    results.append(val)
+                elif kind == "BUFFER_MUTATION":
+                    mutations[spec.target] = val
+                elif kind in ("TOKEN",):
+                    pass
+                else:
+                    raise UnsupportedTorchOpError(
+                        f"Unhandled output kind {kind}"
+                    )
+            return results, mutations
+        elif node.op == "get_attr":
+            env[node.name] = constants[node.target]
+        else:
+            raise UnsupportedTorchOpError(f"Unhandled node op {node.op}")
+    raise AssertionError("graph had no output node")
+
+
+import torch  # noqa: E402  (host-side export only; never runs on device)
+
+
+# ---------------------------------------------------------------------------
+# Export + caching
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Exported:
+    ep: Any
+    param_fqns: List[str]
+    buffer_fqns: List[str]
+    constants: Dict[str, np.ndarray]
+    out_spec: Any  # pytree spec of the original forward's return
+    needs_rng: bool = False
+
+
+class TorchGraphSource:
+    """Hashable handle around a torch module; owns the export cache.
+
+    Identity-hashed (the torch module must not be mutated after wrapping) so
+    jit treats each bridged model as one static program family.
+    """
+
+    def __init__(self, torch_module: Any):
+        self.module = torch_module
+        self._cache: Dict[Tuple[Any, ...], _Exported] = {}
+        # Initial values captured once. MUST be deep copies: on the CPU
+        # backend jnp.asarray can zero-copy-alias numpy views of live torch
+        # storage, so a later in-place torch mutation (train-mode BN running
+        # stats) would silently rewrite the captured values.
+        self.param_init: Dict[str, np.ndarray] = {
+            k: np.array(v.detach().cpu().numpy(), copy=True)
+            for k, v in torch_module.named_parameters()
+        }
+        self.buffer_init: Dict[str, np.ndarray] = {
+            k: np.array(v.detach().cpu().numpy(), copy=True)
+            for k, v in torch_module.named_buffers()
+        }
+
+    def __hash__(self) -> int:
+        return id(self.module)
+
+    def __eq__(self, other: Any) -> bool:
+        return self is other
+
+    def exported(
+        self, shapes: Tuple[Tuple[int, ...], ...], train: bool
+    ) -> _Exported:
+        key = (shapes, train)
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        mod = self.module
+        was_training = mod.training
+        mod.train(train)
+        try:
+            example = tuple(torch.zeros(s) for s in shapes)
+            ep = torch.export.export(mod, example)
+            ep = ep.run_decompositions({})
+        finally:
+            mod.train(was_training)
+        sig = ep.graph_signature
+        param_fqns = list(dict.fromkeys(sig.inputs_to_parameters.values()))
+        buffer_fqns = list(dict.fromkeys(sig.inputs_to_buffers.values()))
+        constants = {
+            k: np.array(v.detach().cpu().numpy(), copy=True)
+            for k, v in ep.constants.items()
+            if isinstance(v, torch.Tensor)
+        }
+        out_spec = None
+        try:
+            out_spec = ep.call_spec.out_spec
+        except Exception:  # noqa: BLE001 - older/newer torch layouts
+            try:
+                out_spec = ep.module_call_graph[0].signature.out_spec
+            except Exception:  # noqa: BLE001
+                out_spec = None
+        needs_rng = any(
+            node.op == "call_function" and str(node.target) in _NEEDS_CTX
+            for node in ep.graph.nodes
+        )
+        exp = _Exported(ep, param_fqns, buffer_fqns, constants, out_spec,
+                        needs_rng)
+        self._cache[key] = exp
+        return exp
+
+
+# ---------------------------------------------------------------------------
+# ATen op lowerings — structural / pointwise
+# ---------------------------------------------------------------------------
+
+
+def _canon_dim(d: int, ndim: int) -> int:
+    return d + ndim if d < 0 else d
+
+
+@_op("getitem")
+def _getitem(x, i):
+    return x[i]
+
+
+@_op("aten.view.default", "aten.reshape.default", "aten._unsafe_view.default")
+def _view(x, shape):
+    return jnp.reshape(x, [int(s) for s in shape])
+
+
+@_op("aten.flatten.using_ints")
+def _flatten(x, start=0, end=-1):
+    start = _canon_dim(start, x.ndim)
+    end = _canon_dim(end, x.ndim)
+    shape = x.shape[:start] + (-1,) + x.shape[end + 1 :]
+    return jnp.reshape(x, shape)
+
+
+@_op("aten.permute.default")
+def _permute(x, dims):
+    return jnp.transpose(x, dims)
+
+
+@_op("aten.transpose.int")
+def _transpose(x, d0, d1):
+    return jnp.swapaxes(x, d0, d1)
+
+
+@_op("aten.t.default")
+def _t(x):
+    return x.T
+
+
+@_op("aten.unsqueeze.default")
+def _unsqueeze(x, dim):
+    return jnp.expand_dims(x, dim)
+
+
+@_op("aten.squeeze.dim")
+def _squeeze_dim(x, dim):
+    dim = _canon_dim(dim, x.ndim)
+    return jnp.squeeze(x, dim) if x.shape[dim] == 1 else x
+
+
+@_op("aten.squeeze.dims")
+def _squeeze_dims(x, dims):
+    dims = [_canon_dim(d, x.ndim) for d in dims]
+    dims = [d for d in dims if x.shape[d] == 1]
+    return jnp.squeeze(x, tuple(dims)) if dims else x
+
+
+@_op("aten.squeeze.default")
+def _squeeze(x):
+    return jnp.squeeze(x)
+
+
+@_op("aten.expand.default")
+def _expand(x, sizes, implicit=False):
+    sizes = list(sizes)
+    offset = len(sizes) - x.ndim
+    shape = []
+    for i, s in enumerate(sizes):
+        if s == -1:
+            shape.append(x.shape[i - offset] if i >= offset else 1)
+        else:
+            shape.append(int(s))
+    return jnp.broadcast_to(x, shape)
+
+
+@_op("aten.repeat.default")
+def _repeat(x, repeats):
+    repeats = list(repeats)
+    if len(repeats) > x.ndim:
+        x = jnp.reshape(x, (1,) * (len(repeats) - x.ndim) + x.shape)
+    return jnp.tile(x, repeats)
+
+
+@_op("aten.cat.default")
+def _cat(tensors, dim=0):
+    tensors = [t for t in tensors if 0 not in t.shape]
+    dt = jnp.result_type(*[t.dtype for t in tensors])
+    return jnp.concatenate([t.astype(dt) for t in tensors], axis=dim)
+
+
+@_op("aten.stack.default")
+def _stack(tensors, dim=0):
+    return jnp.stack(tensors, axis=dim)
+
+
+@_op("aten.unbind.int")
+def _unbind(x, dim=0):
+    dim = _canon_dim(dim, x.ndim)
+    return tuple(
+        jnp.squeeze(s, dim) for s in jnp.split(x, x.shape[dim], axis=dim)
+    )
+
+
+@_op("aten.chunk.default")
+def _chunk(x, chunks, dim=0):
+    dim = _canon_dim(dim, x.ndim)
+    n = x.shape[dim]
+    size = -(-n // chunks)
+    points = list(range(size, n, size))
+    return tuple(jnp.split(x, points, axis=dim))
+
+
+@_op("aten.split.Tensor")
+def _split(x, split_size, dim=0):
+    dim = _canon_dim(dim, x.ndim)
+    points = list(range(split_size, x.shape[dim], split_size))
+    return tuple(jnp.split(x, points, axis=dim))
+
+
+@_op("aten.split_with_sizes.default")
+def _split_sizes(x, sizes, dim=0):
+    dim = _canon_dim(dim, x.ndim)
+    points = np.cumsum(sizes)[:-1].tolist()
+    return tuple(jnp.split(x, points, axis=dim))
+
+
+_INT64_MAX = 2**63 - 1
+
+
+@_op("aten.slice.Tensor")
+def _slice(x, dim=0, start=None, end=None, step=1):
+    dim = _canon_dim(dim, x.ndim)
+    if end is not None and end >= _INT64_MAX // 2:
+        end = None
+    idx = [slice(None)] * x.ndim
+    idx[dim] = slice(start, end, step)
+    return x[tuple(idx)]
+
+
+@_op("aten.select.int")
+def _select(x, dim, index):
+    dim = _canon_dim(dim, x.ndim)
+    idx = [slice(None)] * x.ndim
+    idx[dim] = index
+    return x[tuple(idx)]
+
+
+@_op("aten.narrow.default")
+def _narrow(x, dim, start, length):
+    dim = _canon_dim(dim, x.ndim)
+    idx = [slice(None)] * x.ndim
+    idx[dim] = slice(start, start + length)
+    return x[tuple(idx)]
+
+
+@_op(
+    "aten.clone.default",
+    "aten.contiguous.default",
+    "aten.alias.default",
+    "aten.lift_fresh_copy.default",
+    "aten.positive.default",
+)
+def _identity(x, *a, **k):
+    return x
+
+
+@_op("aten.detach.default", "aten.detach_.default")
+def _detach(x):
+    return lax.stop_gradient(x)
+
+
+@_op("aten.copy.default", "aten.copy_.default")
+def _copy(dst, src, non_blocking=False):
+    return jnp.broadcast_to(src, dst.shape).astype(dst.dtype)
+
+
+@_op("aten.to.dtype", "aten.to.dtype_layout", "aten._to_copy.default",
+     "aten.to.device")
+def _to(x, *args, **kwargs):
+    dtype = kwargs.get("dtype")
+    if dtype is None:
+        for a in args:
+            if _is_torch_dtype(a):
+                dtype = a
+                break
+    return x.astype(_torch_dtype_to_jnp(dtype)) if dtype is not None else x
+
+
+@_op("aten.type_as.default")
+def _type_as(x, other):
+    return x.astype(other.dtype)
+
+
+@_op("aten.roll.default")
+def _roll(x, shifts, dims=None):
+    if not dims:
+        return jnp.roll(jnp.ravel(x), shifts[0]).reshape(x.shape)
+    return jnp.roll(x, shifts, axis=tuple(dims))
+
+
+@_op("aten.flip.default")
+def _flip(x, dims):
+    return jnp.flip(x, axis=tuple(dims))
+
+
+@_op("aten.tril.default")
+def _tril(x, diagonal=0):
+    return jnp.tril(x, diagonal)
+
+
+@_op("aten.triu.default")
+def _triu(x, diagonal=0):
+    return jnp.triu(x, diagonal)
+
+
+@_op("aten.pixel_shuffle.default")
+def _pixel_shuffle(x, r):
+    b, c, h, w = x.shape
+    x = x.reshape(b, c // (r * r), r, r, h, w)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, c // (r * r), h * r, w * r)
+
+
+@_op("aten.pixel_unshuffle.default")
+def _pixel_unshuffle(x, r):
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // r, r, w // r, r)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, c * r * r, h // r, w // r)
+
+
+# -- indexing ---------------------------------------------------------------
+
+
+@_op("aten.index.Tensor")
+def _index(x, indices):
+    idx = tuple(slice(None) if i is None else i for i in indices)
+    return x[idx]
+
+
+@_op("aten.index_select.default")
+def _index_select(x, dim, index):
+    return jnp.take(x, index, axis=_canon_dim(dim, x.ndim))
+
+
+@_op("aten.gather.default")
+def _gather(x, dim, index, sparse_grad=False):
+    return jnp.take_along_axis(x, index, axis=_canon_dim(dim, x.ndim))
+
+
+def _put_along(x, dim, index, src, mode):
+    dim = _canon_dim(dim, x.ndim)
+    grids = jnp.meshgrid(
+        *[jnp.arange(s) for s in index.shape], indexing="ij"
+    )
+    grids[dim] = index
+    if not hasattr(src, "shape"):
+        src = jnp.full(index.shape, src, dtype=x.dtype)
+    else:
+        src = src[tuple(slice(0, s) for s in index.shape)]
+    if mode == "add":
+        return x.at[tuple(grids)].add(src.astype(x.dtype))
+    return x.at[tuple(grids)].set(src.astype(x.dtype))
+
+
+@_op("aten.scatter.src", "aten.scatter.value")
+def _scatter(x, dim, index, src):
+    return _put_along(x, dim, index, src, "set")
+
+
+@_op("aten.scatter_add.default")
+def _scatter_add(x, dim, index, src):
+    return _put_along(x, dim, index, src, "add")
+
+
+@_op("aten.embedding.default")
+def _embedding(weight, idx, padding_idx=-1, scale_grad=False, sparse=False):
+    return weight[idx]
+
+
+@_op("aten.where.self")
+def _where(cond, x, y):
+    return jnp.where(cond, x, y)
+
+
+@_op("aten.masked_fill.Scalar", "aten.masked_fill.Tensor")
+def _masked_fill(x, mask, value):
+    return jnp.where(mask, jnp.asarray(value, dtype=x.dtype), x)
+
+
+# -- arithmetic / pointwise ---------------------------------------------------
+
+
+def _binop(fn):
+    def impl(x, y, **kwargs):
+        alpha = kwargs.get("alpha", 1)
+        if alpha != 1:
+            y = y * alpha
+        return fn(x, y)
+
+    return impl
+
+
+_op("aten.add.Tensor", "aten.add.Scalar", "aten.add_.Tensor")(_binop(jnp.add))
+_op("aten.sub.Tensor", "aten.sub.Scalar", "aten.sub_.Tensor")(
+    _binop(jnp.subtract)
+)
+_op("aten.mul.Tensor", "aten.mul.Scalar", "aten.mul_.Tensor")(
+    _binop(jnp.multiply)
+)
+_op("aten.maximum.default")(jnp.maximum)
+_op("aten.minimum.default")(jnp.minimum)
+_op("aten.atan2.default")(jnp.arctan2)
+_op("aten.fmod.Scalar", "aten.fmod.Tensor")(jnp.fmod)
+_op("aten.remainder.Scalar", "aten.remainder.Tensor")(jnp.remainder)
+
+
+@_op("aten.rsub.Scalar", "aten.rsub.Tensor")
+def _rsub(x, y, alpha=1):
+    return y - x * alpha
+
+
+@_op("aten.div.Tensor", "aten.div.Scalar", "aten.div.Tensor_mode",
+     "aten.div_.Tensor")
+def _div(x, y, rounding_mode=None):
+    if rounding_mode == "floor":
+        return jnp.floor_divide(x, y)
+    if rounding_mode == "trunc":
+        out = jnp.divide(x, y)
+        return jnp.trunc(out).astype(
+            x.dtype
+            if jnp.issubdtype(jnp.result_type(x, y), jnp.integer)
+            else out.dtype
+        )
+    if jnp.issubdtype(jnp.result_type(x, y), jnp.integer):
+        return jnp.divide(
+            jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32)
+        )
+    return jnp.divide(x, y)
+
+
+@_op("aten.floor_divide.default")
+def _floor_divide(x, y):
+    return jnp.floor_divide(x, y)
+
+
+@_op("aten.pow.Tensor_Scalar", "aten.pow.Tensor_Tensor", "aten.pow.Scalar")
+def _pow(x, y):
+    return jnp.power(x, y)
+
+
+for _name, _fn in [
+    ("neg", jnp.negative), ("exp", jnp.exp), ("log", jnp.log),
+    ("log2", jnp.log2), ("log1p", jnp.log1p), ("expm1", jnp.expm1),
+    ("sqrt", jnp.sqrt), ("abs", jnp.abs), ("floor", jnp.floor),
+    ("ceil", jnp.ceil), ("round", jnp.round), ("trunc", jnp.trunc),
+    ("sign", jnp.sign), ("sin", jnp.sin), ("cos", jnp.cos),
+    ("tan", jnp.tan), ("asin", jnp.arcsin), ("acos", jnp.arccos),
+    ("atan", jnp.arctan), ("sinh", jnp.sinh), ("cosh", jnp.cosh),
+    ("erf", jax.scipy.special.erf), ("exp2", jnp.exp2),
+    ("isnan", jnp.isnan), ("isinf", jnp.isinf),
+    ("logical_not", jnp.logical_not), ("bitwise_not", jnp.invert),
+    ("reciprocal", jnp.reciprocal),
+]:
+    _op(f"aten.{_name}.default", f"aten.{_name}_.default")(_fn)
+
+_op("aten.rsqrt.default")(lax.rsqrt)
+
+
+@_op("aten.clamp.default", "aten.clamp.Tensor", "aten.clamp_.default")
+def _clamp(x, min=None, max=None):
+    return jnp.clip(x, min, max)
+
+
+@_op("aten.clamp_min.default", "aten.clamp_min.Tensor")
+def _clamp_min(x, v):
+    return jnp.maximum(x, v)
+
+
+@_op("aten.clamp_max.default", "aten.clamp_max.Tensor")
+def _clamp_max(x, v):
+    return jnp.minimum(x, v)
+
+
+for _name, _fn in [
+    ("eq", jnp.equal), ("ne", jnp.not_equal), ("lt", jnp.less),
+    ("le", jnp.less_equal), ("gt", jnp.greater), ("ge", jnp.greater_equal),
+]:
+    _op(f"aten.{_name}.Tensor", f"aten.{_name}.Scalar")(_fn)
+
+_op("aten.logical_and.default", "aten.bitwise_and.Tensor")(jnp.logical_and)
+_op("aten.logical_or.default", "aten.bitwise_or.Tensor")(jnp.logical_or)
+_op("aten.logical_xor.default")(jnp.logical_xor)
+
+
+# -- activations --------------------------------------------------------------
+
+_op("aten.relu.default", "aten.relu_.default")(jax.nn.relu)
+_op("aten.silu.default", "aten.silu_.default")(jax.nn.silu)
+_op("aten.sigmoid.default", "aten.sigmoid_.default")(jax.nn.sigmoid)
+_op("aten.tanh.default", "aten.tanh_.default")(jnp.tanh)
+_op("aten.softplus.default")(
+    lambda x, beta=1.0, threshold=20.0: jnp.where(
+        x * beta > threshold, x, jax.nn.softplus(x * beta) / beta
+    )
+)
+_op("aten.mish.default", "aten.mish_.default")(
+    lambda x: x * jnp.tanh(jax.nn.softplus(x))
+)
+_op("aten.relu6.default")(lambda x: jnp.clip(x, 0, 6))
+
+
+@_op("aten.gelu.default", "aten.gelu_.default")
+def _gelu(x, approximate="none"):
+    return jax.nn.gelu(x, approximate=(approximate == "tanh"))
+
+
+@_op("aten.leaky_relu.default", "aten.leaky_relu_.default")
+def _leaky_relu(x, negative_slope=0.01):
+    return jax.nn.leaky_relu(x, negative_slope)
+
+
+@_op("aten.elu.default", "aten.elu_.default")
+def _elu(x, alpha=1.0, scale=1.0, input_scale=1.0):
+    return scale * jax.nn.elu(x * input_scale, alpha)
+
+
+@_op("aten.hardswish.default", "aten.hardswish_.default")
+def _hardswish(x):
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+@_op("aten.hardsigmoid.default", "aten.hardsigmoid_.default")
+def _hardsigmoid(x):
+    return jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+@_op("aten.hardtanh.default", "aten.hardtanh_.default")
+def _hardtanh(x, min_val=-1.0, max_val=1.0):
+    return jnp.clip(x, min_val, max_val)
+
+
+@_op("aten.softmax.int", "aten._softmax.default")
+def _softmax(x, dim=-1, half_to_float=False, dtype=None):
+    if _is_torch_dtype(dim):  # softmax.int(x, dim, dtype)
+        dtype, dim = dim, -1
+    out = jax.nn.softmax(x.astype(jnp.float32), axis=dim)
+    target = _torch_dtype_to_jnp(dtype) if dtype is not None else x.dtype
+    return out.astype(jnp.float32 if half_to_float else target)
+
+
+@_op("aten.log_softmax.int", "aten._log_softmax.default")
+def _log_softmax(x, dim=-1, half_to_float=False, dtype=None):
+    out = jax.nn.log_softmax(x.astype(jnp.float32), axis=dim)
+    target = _torch_dtype_to_jnp(dtype) if dtype is not None else x.dtype
+    return out.astype(jnp.float32 if half_to_float else target)
+
+
+@_op("aten.glu.default")
+def _glu(x, dim=-1):
+    a, b = jnp.split(x, 2, axis=dim)
+    return a * jax.nn.sigmoid(b)
+
+
+# -- reductions ---------------------------------------------------------------
+
+
+def _red_axes(dims, ndim):
+    if dims is None or dims == []:
+        return None
+    if isinstance(dims, int):
+        dims = [dims]
+    return tuple(_canon_dim(d, ndim) for d in dims)
+
+
+@_op("aten.mean.dim", "aten.mean.default")
+def _mean(x, dims=None, keepdim=False, dtype=None):
+    out = jnp.mean(x, axis=_red_axes(dims, x.ndim), keepdims=keepdim)
+    return out.astype(_torch_dtype_to_jnp(dtype)) if dtype else out
+
+
+@_op("aten.sum.dim_IntList", "aten.sum.default")
+def _sum(x, dims=None, keepdim=False, dtype=None):
+    out = jnp.sum(x, axis=_red_axes(dims, x.ndim), keepdims=keepdim)
+    if dtype:
+        return out.astype(_torch_dtype_to_jnp(dtype))
+    if jnp.issubdtype(x.dtype, jnp.bool_):
+        return out.astype(jnp.int32)
+    return out
+
+
+@_op("aten.amax.default")
+def _amax(x, dims=None, keepdim=False):
+    return jnp.max(x, axis=_red_axes(dims, x.ndim), keepdims=keepdim)
+
+
+@_op("aten.amin.default")
+def _amin(x, dims=None, keepdim=False):
+    return jnp.min(x, axis=_red_axes(dims, x.ndim), keepdims=keepdim)
+
+
+@_op("aten.max.dim")
+def _max_dim(x, dim, keepdim=False):
+    dim = _canon_dim(dim, x.ndim)
+    return (
+        jnp.max(x, axis=dim, keepdims=keepdim),
+        jnp.argmax(x, axis=dim, keepdims=keepdim).astype(jnp.int32),
+    )
+
+
+@_op("aten.min.dim")
+def _min_dim(x, dim, keepdim=False):
+    dim = _canon_dim(dim, x.ndim)
+    return (
+        jnp.min(x, axis=dim, keepdims=keepdim),
+        jnp.argmin(x, axis=dim, keepdims=keepdim).astype(jnp.int32),
+    )
+
+
+_op("aten.max.default")(jnp.max)
+_op("aten.min.default")(jnp.min)
+
+
+@_op("aten.argmax.default")
+def _argmax(x, dim=None, keepdim=False):
+    if dim is None:
+        return jnp.argmax(jnp.ravel(x)).astype(jnp.int32)
+    return jnp.argmax(x, axis=dim, keepdims=keepdim).astype(jnp.int32)
+
+
+@_op("aten.argmin.default")
+def _argmin(x, dim=None, keepdim=False):
+    if dim is None:
+        return jnp.argmin(jnp.ravel(x)).astype(jnp.int32)
+    return jnp.argmin(x, axis=dim, keepdims=keepdim).astype(jnp.int32)
+
+
+@_op("aten.cumsum.default")
+def _cumsum(x, dim, dtype=None):
+    out = jnp.cumsum(x, axis=dim)
+    return out.astype(_torch_dtype_to_jnp(dtype)) if dtype else out
+
+
+@_op("aten.var.correction", "aten.var.dim")
+def _var(x, dims=None, correction=1, keepdim=False, unbiased=None):
+    if unbiased is not None:
+        correction = 1 if unbiased else 0
+    return jnp.var(
+        x, axis=_red_axes(dims, x.ndim), ddof=correction, keepdims=keepdim
+    )
+
+
+@_op("aten.std.correction", "aten.std.dim")
+def _std(x, dims=None, correction=1, keepdim=False, unbiased=None):
+    if unbiased is not None:
+        correction = 1 if unbiased else 0
+    return jnp.std(
+        x, axis=_red_axes(dims, x.ndim), ddof=correction, keepdims=keepdim
+    )
+
+
+@_op("aten.any.default", "aten.any.dim")
+def _any(x, dim=None, keepdim=False):
+    return jnp.any(x, axis=dim, keepdims=keepdim if dim is not None else False)
+
+
+@_op("aten.all.default", "aten.all.dim")
+def _all(x, dim=None, keepdim=False):
+    return jnp.all(x, axis=dim, keepdims=keepdim if dim is not None else False)
+
+
+@_op("aten.topk.default")
+def _topk(x, k, dim=-1, largest=True, sorted=True):
+    dim = _canon_dim(dim, x.ndim)
+    moved = jnp.moveaxis(x, dim, -1)
+    vals, idx = lax.top_k(moved if largest else -moved, k)
+    if not largest:
+        vals = -vals
+    return (
+        jnp.moveaxis(vals, -1, dim),
+        jnp.moveaxis(idx, -1, dim).astype(jnp.int32),
+    )
+
+
+@_op("aten.sort.default")
+def _sort(x, dim=-1, descending=False, stable=False):
+    dim = _canon_dim(dim, x.ndim)
+    idx = jnp.argsort(-x if descending else x, axis=dim, stable=True)
+    return jnp.take_along_axis(x, idx, axis=dim), idx.astype(jnp.int32)
+
+
+@_op("aten.argsort.default")
+def _argsort(x, dim=-1, descending=False):
+    return jnp.argsort(
+        -x if descending else x, axis=_canon_dim(dim, x.ndim), stable=True
+    ).astype(jnp.int32)
+
+
+@_op("aten.linalg_vector_norm.default")
+def _vector_norm(x, ord=2, dims=None, keepdim=False, dtype=None):
+    out = jnp.linalg.norm(
+        x.astype(jnp.float32),
+        ord=ord,
+        axis=_red_axes(dims, x.ndim),
+        keepdims=keepdim,
+    )
+    return out.astype(_torch_dtype_to_jnp(dtype) if dtype else x.dtype)
+
+
+@_op("aten.logsumexp.default")
+def _logsumexp(x, dims, keepdim=False):
+    return jax.scipy.special.logsumexp(
+        x, axis=_red_axes(dims, x.ndim), keepdims=keepdim
+    )
+
+
+# -- matmul family ------------------------------------------------------------
+
+# Compute dtype for matmul-class ops. None = keep input dtype (fp32);
+# "bfloat16" = cast operands to bf16, accumulate fp32 (MXU fast path).
+_MATMUL_DTYPE: List[Optional[str]] = [None]
+
+
+def _mm_cast(*xs):
+    if _MATMUL_DTYPE[0] == "bfloat16" and all(
+        jnp.issubdtype(x.dtype, jnp.floating) for x in xs
+    ):
+        return [x.astype(jnp.bfloat16) for x in xs], jnp.float32
+    return list(xs), None
+
+
+@_op("aten.linear.default")
+def _linear(x, w, b=None):
+    (xc, wc), acc = _mm_cast(x, w)
+    out = jnp.matmul(xc, wc.T, preferred_element_type=acc)
+    out = out.astype(x.dtype)
+    return out + b if b is not None else out
+
+
+@_op("aten.matmul.default", "aten.mm.default", "aten.bmm.default")
+def _matmul(x, y):
+    (xc, yc), acc = _mm_cast(x, y)
+    return jnp.matmul(xc, yc, preferred_element_type=acc).astype(
+        jnp.result_type(x.dtype, y.dtype)
+    )
+
+
+@_op("aten.addmm.default")
+def _addmm(bias, a, b, beta=1, alpha=1):
+    return beta * bias + alpha * _matmul(a, b)
+
+
+@_op("aten.baddbmm.default")
+def _baddbmm(bias, a, b, beta=1, alpha=1):
+    return beta * bias + alpha * _matmul(a, b)
+
+
+@_op("aten.einsum.default")
+def _einsum(eq, tensors, path=None):
+    return jnp.einsum(eq, *tensors)
+
+
+@_op("aten.addcmul.default")
+def _addcmul(x, t1, t2, value=1):
+    return x + value * t1 * t2
+
+
+# -- convolutions -------------------------------------------------------------
+
+
+def _conv_dimnums(ndim: int) -> Tuple[str, str, str]:
+    sp = "DHW"[3 - (ndim - 2):]
+    return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
+
+
+def _conv_fwd(x, w, b, stride, padding, dilation, groups):
+    nsp = x.ndim - 2
+
+    def _tup(v):
+        v = list(v) if isinstance(v, (list, tuple)) else [v]
+        return v * nsp if len(v) == 1 else v
+
+    stride, dilation = _tup(stride), _tup(dilation)
+    if isinstance(padding, str):
+        pad = padding.upper()
+    else:
+        pad = [(p, p) for p in _tup(padding)]
+    (xc, wc), acc = _mm_cast(x, w)
+    out = lax.conv_general_dilated(
+        xc, wc,
+        window_strides=stride,
+        padding=pad,
+        rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=_conv_dimnums(x.ndim),
+        preferred_element_type=acc,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * nsp)
+    return out
+
+
+def _conv_transposed(x, w, b, stride, padding, output_padding, dilation,
+                     groups):
+    nsp = x.ndim - 2
+
+    def _tup(v):
+        v = list(v) if isinstance(v, (list, tuple)) else [v]
+        return v * nsp if len(v) == 1 else v
+
+    stride, padding = _tup(stride), _tup(padding)
+    dilation, output_padding = _tup(dilation), _tup(output_padding)
+    # torch transposed-conv weight is (I, O/g, *k): flip spatial dims and
+    # regroup to (O, I/g, *k) so the transpose becomes an lhs-dilated conv.
+    w = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+    i, og = w.shape[0], w.shape[1]
+    k = w.shape[2:]
+    w = w.reshape((groups, i // groups, og) + k)
+    w = jnp.moveaxis(w, 2, 1).reshape((groups * og, i // groups) + k)
+    pad = [
+        (d * (kk - 1) - p, d * (kk - 1) - p + op)
+        for kk, p, d, op in zip(k, padding, dilation, output_padding)
+    ]
+    (xc, wc), acc = _mm_cast(x, w)
+    out = lax.conv_general_dilated(
+        xc, wc,
+        window_strides=[1] * nsp,
+        padding=pad,
+        lhs_dilation=stride,
+        rhs_dilation=dilation,
+        feature_group_count=groups,
+        dimension_numbers=_conv_dimnums(x.ndim),
+        preferred_element_type=acc,
+    ).astype(x.dtype)
+    if b is not None:
+        out = out + b.reshape((1, -1) + (1,) * nsp)
+    return out
+
+
+@_op("aten.conv2d.default", "aten.conv1d.default", "aten.conv3d.default",
+     "aten.conv2d.padding", "aten.conv1d.padding")
+def _conv(x, w, b=None, stride=1, padding=0, dilation=1, groups=1):
+    return _conv_fwd(x, w, b, stride, padding, dilation, groups)
+
+
+@_op("aten.convolution.default")
+def _convolution(x, w, b, stride, padding, dilation, transposed,
+                 output_padding, groups):
+    if transposed:
+        return _conv_transposed(
+            x, w, b, stride, padding, output_padding, dilation, groups
+        )
+    return _conv_fwd(x, w, b, stride, padding, dilation, groups)
+
+
+@_op("aten.conv_transpose2d.input", "aten.conv_transpose1d.default")
+def _conv_transpose(x, w, b=None, stride=1, padding=0, output_padding=0,
+                    groups=1, dilation=1):
+    return _conv_transposed(
+        x, w, b, stride, padding, output_padding, dilation, groups
+    )
+
+
+# -- normalization ------------------------------------------------------------
+
+
+def _bn_shape(x):
+    return (1, -1) + (1,) * (x.ndim - 2)
+
+
+def _bn_train(x, w, b, rm, rv, momentum, eps):
+    axes = (0,) + tuple(range(2, x.ndim))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axes)
+    var = jnp.var(xf, axes)
+    n = x.size // x.shape[1]
+    unbiased = var * (n / max(n - 1, 1))
+    new_rm = (1 - momentum) * rm + momentum * mean
+    new_rv = (1 - momentum) * rv + momentum * unbiased
+    rstd = lax.rsqrt(var + eps)
+    sh = _bn_shape(x)
+    out = (xf - mean.reshape(sh)) * rstd.reshape(sh)
+    if w is not None:
+        out = out * w.reshape(sh)
+    if b is not None:
+        out = out + b.reshape(sh)
+    return out.astype(x.dtype), mean, rstd, new_rm, new_rv
+
+
+def _bn_eval(x, w, b, rm, rv, eps):
+    sh = _bn_shape(x)
+    rstd = lax.rsqrt(rv.astype(jnp.float32) + eps)
+    out = (x.astype(jnp.float32) - rm.reshape(sh)) * rstd.reshape(sh)
+    if w is not None:
+        out = out * w.reshape(sh)
+    if b is not None:
+        out = out + b.reshape(sh)
+    return out.astype(x.dtype)
+
+
+@_op("aten._native_batch_norm_legit_functional.default")
+def _bn_legit_functional(x, w, b, rm, rv, training, momentum, eps):
+    if training:
+        return _bn_train(x, w, b, rm, rv, momentum, eps)
+    return (
+        _bn_eval(x, w, b, rm, rv, eps),
+        jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0,), jnp.float32),
+        rm,
+        rv,
+    )
+
+
+@_op("aten._native_batch_norm_legit_no_training.default")
+def _bn_no_training(x, w, b, rm, rv, momentum, eps):
+    return (
+        _bn_eval(x, w, b, rm, rv, eps),
+        jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0,), jnp.float32),
+    )
+
+
+@_op("aten._native_batch_norm_legit.no_stats")
+def _bn_no_stats(x, w, b, training, momentum, eps):
+    out, mean, rstd, _, _ = _bn_train(
+        x, w, b, jnp.zeros(x.shape[1]), jnp.ones(x.shape[1]), momentum, eps
+    )
+    return out, mean, rstd
+
+
+@_op("aten.batch_norm.default")
+def _batch_norm(x, w, b, rm, rv, training, momentum, eps, cudnn_enabled=True):
+    if training:
+        return _bn_train(x, w, b, rm, rv, momentum, eps)[0]
+    return _bn_eval(x, w, b, rm, rv, eps)
+
+
+@_op("aten.native_batch_norm.default")
+def _native_batch_norm(x, w, b, rm, rv, training, momentum, eps):
+    if training:
+        out, mean, rstd, _, _ = _bn_train(x, w, b, rm, rv, momentum, eps)
+        return out, mean, rstd
+    return (
+        _bn_eval(x, w, b, rm, rv, eps),
+        jnp.zeros((0,), jnp.float32),
+        jnp.zeros((0,), jnp.float32),
+    )
+
+
+def _ln_core(x, normalized_shape, w, b, eps):
+    nred = len(normalized_shape)
+    axes = tuple(range(x.ndim - nred, x.ndim))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axes, keepdims=True)
+    var = jnp.var(xf, axes, keepdims=True)
+    rstd = lax.rsqrt(var + eps)
+    out = (xf - mean) * rstd
+    if w is not None:
+        out = out * w
+    if b is not None:
+        out = out + b
+    return out.astype(x.dtype), mean, rstd
+
+
+@_op("aten.layer_norm.default")
+def _layer_norm(x, normalized_shape, w=None, b=None, eps=1e-5,
+                cudnn_enable=True):
+    return _ln_core(x, normalized_shape, w, b, eps)[0]
+
+
+@_op("aten.native_layer_norm.default")
+def _native_layer_norm(x, normalized_shape, w=None, b=None, eps=1e-5):
+    return _ln_core(x, normalized_shape, w, b, eps)
+
+
+@_op("aten.rms_norm.default")
+def _rms_norm(x, normalized_shape, w=None, eps=None):
+    eps = 1e-6 if eps is None else eps
+    axes = tuple(range(x.ndim - len(normalized_shape), x.ndim))
+    xf = x.astype(jnp.float32)
+    out = xf * lax.rsqrt(jnp.mean(xf * xf, axes, keepdims=True) + eps)
+    if w is not None:
+        out = out * w
+    return out.astype(x.dtype)
+
+
+@_op("aten.group_norm.default")
+def _group_norm(x, num_groups, w=None, b=None, eps=1e-5, cudnn_enabled=True):
+    n, c = x.shape[:2]
+    xg = x.reshape((n, num_groups, c // num_groups) + x.shape[2:])
+    axes = tuple(range(2, xg.ndim))
+    xf = xg.astype(jnp.float32)
+    mean = jnp.mean(xf, axes, keepdims=True)
+    rstd = lax.rsqrt(jnp.var(xf, axes, keepdims=True) + eps)
+    out = ((xf - mean) * rstd).reshape(x.shape)
+    sh = _bn_shape(x)
+    if w is not None:
+        out = out * w.reshape(sh)
+    if b is not None:
+        out = out + b.reshape(sh)
+    return out.astype(x.dtype)
+
+
+@_op("aten.native_group_norm.default")
+def _native_group_norm(x, w, b, n, c, hxw, group, eps):
+    out = _group_norm(x, group, w, b, eps)
+    return out, jnp.zeros((n, group)), jnp.zeros((n, group))
+
+
+# -- attention ----------------------------------------------------------------
+
+
+@_op("aten.scaled_dot_product_attention.default")
+def _sdpa(q, k, v, attn_mask=None, dropout_p=0.0, is_causal=False,
+          scale=None, enable_gqa=False):
+    if enable_gqa and q.shape[-3] != k.shape[-3]:
+        rep = q.shape[-3] // k.shape[-3]
+        k = jnp.repeat(k, rep, axis=-3)
+        v = jnp.repeat(v, rep, axis=-3)
+    d = q.shape[-1]
+    s = (1.0 / math.sqrt(d)) if scale is None else scale
+    (qc, kc), acc = _mm_cast(q, k)
+    logits = jnp.einsum(
+        "...qd,...kd->...qk", qc, kc, preferred_element_type=jnp.float32
+    ) * s
+    if is_causal:
+        nq, nk = logits.shape[-2], logits.shape[-1]
+        causal = jnp.tril(jnp.ones((nq, nk), jnp.bool_), nk - nq)
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if attn_mask is not None:
+        if jnp.issubdtype(attn_mask.dtype, jnp.bool_):
+            logits = jnp.where(attn_mask, logits, -jnp.inf)
+        else:
+            logits = logits + attn_mask.astype(logits.dtype)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if dropout_p:
+        raise UnsupportedTorchOpError(
+            "sdpa dropout_p > 0 is not supported in the bridge; set "
+            "attn_drop=0 or use an explicit Dropout module."
+        )
+    (pc, vc), acc = _mm_cast(p, v)
+    return jnp.einsum(
+        "...qk,...kd->...qd", pc, vc, preferred_element_type=acc
+    ).astype(q.dtype)
+
+
+# -- pooling ------------------------------------------------------------------
+
+
+def _pool_out_size(insz, k, s, p, d, ceil_mode):
+    eff = d * (k - 1) + 1
+    num = insz + 2 * p - eff
+    if ceil_mode:
+        out = -(-num // s) + 1
+        if (out - 1) * s >= insz + p:  # last window must start inside input
+            out -= 1
+    else:
+        out = num // s + 1
+    return out
+
+
+def _pool2d_windows(x, kernel, stride, padding, dilation, ceil_mode):
+    kh, kw = kernel
+    sh, sw = stride
+    ph, pw = padding
+    dh, dw = dilation
+    oh = _pool_out_size(x.shape[2], kh, sh, ph, dh, ceil_mode)
+    ow = _pool_out_size(x.shape[3], kw, sw, pw, dw, ceil_mode)
+    pad_h = (ph, max((oh - 1) * sh + dh * (kh - 1) + 1 - x.shape[2] - ph, 0))
+    pad_w = (pw, max((ow - 1) * sw + dw * (kw - 1) + 1 - x.shape[3] - pw, 0))
+    return (oh, ow), (pad_h, pad_w)
+
+
+def _norm_pair(v, default=None):
+    if v is None or (isinstance(v, (list, tuple)) and len(v) == 0):
+        v = default
+    if isinstance(v, int):
+        return (v, v)
+    v = list(v)
+    return (v[0], v[0]) if len(v) == 1 else (v[0], v[1])
+
+
+@_op("aten.max_pool2d.default")
+def _max_pool2d(x, kernel, stride=None, padding=0, dilation=1,
+                ceil_mode=False):
+    kernel = _norm_pair(kernel)
+    stride = _norm_pair(stride, kernel)
+    padding, dilation = _norm_pair(padding), _norm_pair(dilation)
+    _, (pad_h, pad_w) = _pool2d_windows(
+        x, kernel, stride, padding, dilation, ceil_mode
+    )
+    # -inf (not finfo.min) so JAX recognizes the reduce-window-max pattern
+    # and attaches its autodiff rule.
+    neg = (
+        -jnp.inf
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
+    return lax.reduce_window(
+        x, neg, lax.max,
+        window_dimensions=(1, 1) + kernel,
+        window_strides=(1, 1) + stride,
+        padding=((0, 0), (0, 0), pad_h, pad_w),
+        window_dilation=(1, 1) + dilation,
+    )
+
+
+@_op("aten.max_pool2d_with_indices.default")
+def _max_pool2d_with_indices(x, kernel, stride=None, padding=0, dilation=1,
+                             ceil_mode=False):
+    vals = _max_pool2d(x, kernel, stride, padding, dilation, ceil_mode)
+    kernel = _norm_pair(kernel)
+    stride = _norm_pair(stride, kernel)
+    padding, dilation = _norm_pair(padding), _norm_pair(dilation)
+    # Honest flat (H*W) indices via patch extraction + argmax: needed only
+    # when the index output is consumed (max-unpool style nets).
+    b, c, h, w = x.shape
+    flat_idx = jnp.arange(h * w, dtype=jnp.float32).reshape(1, 1, h, w)
+    flat_idx = jnp.broadcast_to(flat_idx, x.shape)
+    patches_x = lax.conv_general_dilated_patches(
+        x, kernel, stride, [(p, p) for p in padding],
+        rhs_dilation=dilation, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (B, C*kh*kw, OH, OW) grouped by channel-major
+    patches_i = lax.conv_general_dilated_patches(
+        flat_idx, kernel, stride, [(p, p) for p in padding],
+        rhs_dilation=dilation, dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    oh, ow = patches_x.shape[2], patches_x.shape[3]
+    kk = kernel[0] * kernel[1]
+    px = patches_x.reshape(b, c, kk, oh, ow)
+    pi = patches_i.reshape(b, c, kk, oh, ow)
+    sel = jnp.argmax(px, axis=2)
+    idx = jnp.take_along_axis(pi, sel[:, :, None], axis=2)[:, :, 0]
+    return vals, idx[..., : vals.shape[2], : vals.shape[3]].astype(jnp.int32)
+
+
+@_op("aten.avg_pool2d.default")
+def _avg_pool2d(x, kernel, stride=None, padding=0, ceil_mode=False,
+                count_include_pad=True, divisor_override=None):
+    kernel = _norm_pair(kernel)
+    stride = _norm_pair(stride, kernel)
+    padding = _norm_pair(padding)
+    _, (pad_h, pad_w) = _pool2d_windows(
+        x, kernel, stride, padding, (1, 1), ceil_mode
+    )
+    sums = lax.reduce_window(
+        x.astype(jnp.float32), 0.0, lax.add,
+        window_dimensions=(1, 1) + kernel,
+        window_strides=(1, 1) + stride,
+        padding=((0, 0), (0, 0), pad_h, pad_w),
+    )
+    if divisor_override:
+        return (sums / divisor_override).astype(x.dtype)
+    # Divisor counts positions inside [input + symmetric padding]; the extra
+    # ceil-mode tail never counts. count_include_pad=False counts only real
+    # input positions.
+    ones = jnp.ones((1, 1) + x.shape[2:], jnp.float32)
+    inc = (padding if count_include_pad else (0, 0))
+    ones = jnp.pad(
+        ones, ((0, 0), (0, 0), (inc[0], inc[0]), (inc[1], inc[1])),
+        constant_values=1.0 if count_include_pad else 0.0,
+    )
+    extra = (
+        (pad_h[0] - inc[0], pad_h[1] - inc[0]),
+        (pad_w[0] - inc[1], pad_w[1] - inc[1]),
+    )
+    counts = lax.reduce_window(
+        ones, 0.0, lax.add,
+        window_dimensions=(1, 1) + kernel,
+        window_strides=(1, 1) + stride,
+        padding=((0, 0), (0, 0)) + extra,
+    )
+    return (sums / counts).astype(x.dtype)
+
+
+def _adaptive_weights(insz: int, outsz: int) -> jax.Array:
+    wm = np.zeros((outsz, insz), np.float32)
+    for i in range(outsz):
+        lo = (i * insz) // outsz
+        hi = -(-((i + 1) * insz) // outsz)
+        wm[i, lo:hi] = 1.0 / (hi - lo)
+    return jnp.asarray(wm)
+
+
+@_op("aten.adaptive_avg_pool2d.default", "aten._adaptive_avg_pool2d.default")
+def _adaptive_avg_pool2d(x, output_size):
+    oh, ow = _norm_pair(output_size)
+    oh = x.shape[2] if oh is None else oh
+    ow = x.shape[3] if ow is None else ow
+    if (oh, ow) == (1, 1):
+        return jnp.mean(x, axis=(2, 3), keepdims=True)
+    wh = _adaptive_weights(x.shape[2], oh)
+    ww = _adaptive_weights(x.shape[3], ow)
+    out = jnp.einsum("oh,bchw->bcow", wh, x.astype(jnp.float32))
+    out = jnp.einsum("pw,bchw->bchp", ww, out)
+    return out.astype(x.dtype)
+
+
+@_op("aten.adaptive_avg_pool1d.default")
+def _adaptive_avg_pool1d(x, output_size):
+    o = output_size[0] if isinstance(output_size, (list, tuple)) else output_size
+    if o == 1:
+        return jnp.mean(x, axis=-1, keepdims=True)
+    wm = _adaptive_weights(x.shape[-1], o)
+    return jnp.einsum("ol,bcl->bco", wm, x.astype(jnp.float32)).astype(x.dtype)
+
+
+@_op("aten.adaptive_max_pool2d.default")
+def _adaptive_max_pool2d(x, output_size):
+    oh, ow = _norm_pair(output_size)
+    h, w = x.shape[2], x.shape[3]
+    if h % oh or w % ow:
+        raise UnsupportedTorchOpError(
+            "adaptive_max_pool2d with non-divisible sizes"
+        )
+    b, c = x.shape[:2]
+    xr = x.reshape(b, c, oh, h // oh, ow, w // ow)
+    vals = jnp.max(xr, axis=(3, 5))
+    return vals, jnp.zeros_like(vals, dtype=jnp.int32)
+
+
+# -- resize -------------------------------------------------------------------
+
+
+def _nearest_index(outsz, insz, exact):
+    i = np.arange(outsz, dtype=np.float64)
+    if exact:
+        src = np.floor((i + 0.5) * insz / outsz)
+    else:
+        src = np.floor(i * insz / outsz)
+    return jnp.asarray(np.clip(src, 0, insz - 1).astype(np.int32))
+
+
+def _resolve_size(x, output_size, scales_h, scales_w):
+    """Handle both the .default (scales_h, scales_w) and .vec
+    ([sh, sw] list) overload calling conventions."""
+    if output_size is not None:
+        return output_size
+    if isinstance(scales_h, (list, tuple)):
+        scales_h, scales_w = scales_h
+    return [int(x.shape[2] * scales_h), int(x.shape[3] * scales_w)]
+
+
+@_op("aten.upsample_nearest2d.default", "aten.upsample_nearest2d.vec")
+def _upsample_nearest2d(x, output_size, scales_h=None, scales_w=None):
+    oh, ow = _resolve_size(x, output_size, scales_h, scales_w)
+    ih = _nearest_index(oh, x.shape[2], exact=False)
+    iw = _nearest_index(ow, x.shape[3], exact=False)
+    return x[:, :, ih][:, :, :, iw]
+
+
+@_op("aten._upsample_nearest_exact2d.default",
+     "aten._upsample_nearest_exact2d.vec")
+def _upsample_nearest_exact2d(x, output_size, scales_h=None, scales_w=None):
+    oh, ow = _resolve_size(x, output_size, scales_h, scales_w)
+    ih = _nearest_index(oh, x.shape[2], exact=True)
+    iw = _nearest_index(ow, x.shape[3], exact=True)
+    return x[:, :, ih][:, :, :, iw]
+
+
+def _linear_weights(insz, outsz, align_corners, scale=None):
+    """(outsz, insz) two-tap bilinear weight matrix (torch semantics)."""
+    wm = np.zeros((outsz, insz), np.float32)
+    i = np.arange(outsz, dtype=np.float64)
+    if align_corners:
+        src = i * (insz - 1) / max(outsz - 1, 1)
+    else:
+        s = (insz / outsz) if scale in (None, 0.0) else (1.0 / scale)
+        src = np.clip((i + 0.5) * s - 0.5, 0, insz - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, insz - 1)
+    frac = src - lo
+    wm[np.arange(outsz), lo] += 1 - frac
+    wm[np.arange(outsz), hi] += frac
+    return jnp.asarray(wm)
+
+
+def _cubic_weights(insz, outsz, align_corners, scale=None):
+    a = -0.75
+
+    def k(t):
+        t = np.abs(t)
+        return np.where(
+            t <= 1,
+            (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+
+    wm = np.zeros((outsz, insz), np.float64)
+    i = np.arange(outsz, dtype=np.float64)
+    if align_corners:
+        src = i * (insz - 1) / max(outsz - 1, 1)
+    else:
+        s = (insz / outsz) if scale in (None, 0.0) else (1.0 / scale)
+        src = (i + 0.5) * s - 0.5
+    base = np.floor(src).astype(np.int64)
+    for t in range(-1, 3):
+        idx = np.clip(base + t, 0, insz - 1)
+        wm[np.arange(outsz), idx] += k(src - (base + t))
+    return jnp.asarray(wm.astype(np.float32))
+
+
+def _sep_resize(x, oh, ow, weight_fn, align_corners, sh, sw):
+    wh = weight_fn(x.shape[2], oh, align_corners, sh)
+    ww = weight_fn(x.shape[3], ow, align_corners, sw)
+    out = jnp.einsum("oh,bchw->bcow", wh, x.astype(jnp.float32))
+    out = jnp.einsum("pw,bchw->bchp", ww, out)
+    return out.astype(x.dtype)
+
+
+@_op("aten.upsample_bilinear2d.default", "aten.upsample_bilinear2d.vec")
+def _upsample_bilinear2d(x, output_size, align_corners=False, scales_h=None,
+                         scales_w=None):
+    oh, ow = _resolve_size(x, output_size, scales_h, scales_w)
+    if isinstance(scales_h, (list, tuple)):
+        scales_h, scales_w = scales_h
+    return _sep_resize(
+        x, oh, ow, _linear_weights, align_corners, scales_h, scales_w
+    )
+
+
+@_op("aten.upsample_bicubic2d.default", "aten.upsample_bicubic2d.vec")
+def _upsample_bicubic2d(x, output_size, align_corners=False, scales_h=None,
+                        scales_w=None):
+    oh, ow = _resolve_size(x, output_size, scales_h, scales_w)
+    if isinstance(scales_h, (list, tuple)):
+        scales_h, scales_w = scales_h
+    return _sep_resize(
+        x, oh, ow, _cubic_weights, align_corners, scales_h, scales_w
+    )
+
+
+# -- padding ------------------------------------------------------------------
+
+
+def _pad_pairs(x, pads):
+    """torch pads are (last_dim_lo, last_dim_hi, ...); -> per-dim pairs."""
+    pairs = [(0, 0)] * x.ndim
+    for i in range(len(pads) // 2):
+        pairs[x.ndim - 1 - i] = (pads[2 * i], pads[2 * i + 1])
+    return pairs
+
+
+def _apply_pad(x, pads, mode, value):
+    pairs = _pad_pairs(x, pads)
+    # Negative pads are slices.
+    if any(p < 0 for pair in pairs for p in pair):
+        idx = []
+        for d, (lo, hi) in enumerate(pairs):
+            start = -lo if lo < 0 else 0
+            stop = x.shape[d] + hi if hi < 0 else x.shape[d]
+            idx.append(slice(start, stop))
+        x = x[tuple(idx)]
+        pairs = [(max(lo, 0), max(hi, 0)) for lo, hi in pairs]
+    if mode == "constant":
+        return jnp.pad(x, pairs, constant_values=value or 0)
+    jmode = {"reflect": "reflect", "replicate": "edge",
+             "circular": "wrap"}[mode]
+    return jnp.pad(x, pairs, mode=jmode)
+
+
+@_op("aten.constant_pad_nd.default")
+def _constant_pad_nd(x, pads, value=0):
+    return _apply_pad(x, pads, "constant", value)
+
+
+@_op("aten.pad.default")
+def _pad(x, pads, mode="constant", value=None):
+    return _apply_pad(x, pads, mode, value)
+
+
+@_op("aten.reflection_pad2d.default", "aten.reflection_pad1d.default")
+def _reflection_pad(x, pads):
+    return _apply_pad(x, pads, "reflect", None)
+
+
+@_op("aten.replication_pad2d.default", "aten.replication_pad1d.default")
+def _replication_pad(x, pads):
+    return _apply_pad(x, pads, "replicate", None)
+
+
+# -- creation -----------------------------------------------------------------
+
+
+def _creation_dtype(kwargs, default=jnp.float32):
+    dt = kwargs.get("dtype")
+    return _torch_dtype_to_jnp(dt) if dt is not None else default
+
+
+@_op("aten.arange.default")
+def _arange_end(end, **kwargs):
+    default = jnp.int32 if isinstance(end, int) else jnp.float32
+    return jnp.arange(end, dtype=_creation_dtype(kwargs, default))
+
+
+@_op("aten.arange.start")
+def _arange_start(start, end, **kwargs):
+    default = (
+        jnp.int32
+        if isinstance(start, int) and isinstance(end, int)
+        else jnp.float32
+    )
+    return jnp.arange(start, end, dtype=_creation_dtype(kwargs, default))
+
+
+@_op("aten.arange.start_step")
+def _arange_step(start, end, step=1, **kwargs):
+    default = (
+        jnp.int32
+        if all(isinstance(v, int) for v in (start, end, step))
+        else jnp.float32
+    )
+    return jnp.arange(start, end, step, dtype=_creation_dtype(kwargs, default))
+
+
+@_op("aten.linspace.default")
+def _linspace(start, end, steps, **kwargs):
+    return jnp.linspace(start, end, steps, dtype=_creation_dtype(kwargs))
+
+
+@_op("aten.zeros.default", "aten.empty.memory_format", "aten.empty.default")
+def _zeros(size, **kwargs):
+    return jnp.zeros(size, dtype=_creation_dtype(kwargs))
+
+
+@_op("aten.ones.default")
+def _ones(size, **kwargs):
+    return jnp.ones(size, dtype=_creation_dtype(kwargs))
+
+
+@_op("aten.full.default")
+def _full(size, value, **kwargs):
+    default = jnp.float32 if isinstance(value, float) else jnp.int32
+    return jnp.full(size, value, dtype=_creation_dtype(kwargs, default))
+
+
+@_op("aten.zeros_like.default", "aten.empty_like.default")
+def _zeros_like(x, **kwargs):
+    return jnp.zeros(x.shape, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.ones_like.default")
+def _ones_like(x, **kwargs):
+    return jnp.ones(x.shape, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.full_like.default")
+def _full_like(x, value, **kwargs):
+    return jnp.full(x.shape, value, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.new_zeros.default", "aten.new_empty.default")
+def _new_zeros(x, size, **kwargs):
+    return jnp.zeros(size, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.new_ones.default")
+def _new_ones(x, size, **kwargs):
+    return jnp.ones(size, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.new_full.default")
+def _new_full(x, size, value, **kwargs):
+    return jnp.full(size, value, dtype=_creation_dtype(kwargs, x.dtype))
+
+
+@_op("aten.scalar_tensor.default")
+def _scalar_tensor(v, **kwargs):
+    default = jnp.float32 if isinstance(v, float) else jnp.int32
+    return jnp.asarray(v, dtype=_creation_dtype(kwargs, default))
+
+
+@_op("aten.eye.default")
+def _eye(n, m=None, **kwargs):
+    return jnp.eye(n, m, dtype=_creation_dtype(kwargs))
+
+
+@_op("aten.meshgrid.indexing")
+def _meshgrid(tensors, indexing="ij"):
+    return tuple(jnp.meshgrid(*tensors, indexing=indexing))
+
+
+# -- random -------------------------------------------------------------------
+
+
+def _rand_op(name):
+    _NEEDS_CTX.add(name)
+
+
+@_op("aten.native_dropout.default")
+def _native_dropout(ctx, x, p, train):
+    if not train or p == 0.0:
+        return x, jnp.ones_like(x, dtype=jnp.bool_)
+    keep = jax.random.bernoulli(ctx.next_key(), 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0).astype(x.dtype), keep
+
+
+_rand_op("aten.native_dropout.default")
+
+
+@_op("aten.dropout.default")
+def _dropout(ctx, x, p, train):
+    return _native_dropout(ctx, x, p, train)[0]
+
+
+_rand_op("aten.dropout.default")
+
+
+@_op("aten.bernoulli.p", "aten.bernoulli.default")
+def _bernoulli(ctx, x, p=None, generator=None):
+    prob = x if p is None else p
+    shape = x.shape
+    if p is None:
+        return jax.random.bernoulli(ctx.next_key(), prob, shape).astype(
+            x.dtype
+        )
+    return jax.random.bernoulli(ctx.next_key(), prob, shape).astype(x.dtype)
+
+
+_rand_op("aten.bernoulli.p")
+_rand_op("aten.bernoulli.default")
+
+
+@_op("aten.rand.default")
+def _rand(ctx, size, **kwargs):
+    return jax.random.uniform(
+        ctx.next_key(), tuple(size), dtype=_creation_dtype(kwargs)
+    )
+
+
+_rand_op("aten.rand.default")
+
+
+@_op("aten.rand_like.default")
+def _rand_like(ctx, x, **kwargs):
+    return jax.random.uniform(
+        ctx.next_key(), x.shape, dtype=_creation_dtype(kwargs, x.dtype)
+    )
+
+
+_rand_op("aten.rand_like.default")
+
+
+@_op("aten.randn.default")
+def _randn(ctx, size, **kwargs):
+    return jax.random.normal(
+        ctx.next_key(), tuple(size), dtype=_creation_dtype(kwargs)
+    )
+
+
+_rand_op("aten.randn.default")
+
+
+@_op("aten.uniform.default", "aten.uniform_.default")
+def _uniform(ctx, x, low=0.0, high=1.0, generator=None):
+    return jax.random.uniform(
+        ctx.next_key(), x.shape, dtype=x.dtype, minval=low, maxval=high
+    )
+
+
+_rand_op("aten.uniform.default")
+_rand_op("aten.uniform_.default")
+
+
+# -- misc / no-ops ------------------------------------------------------------
+
+
+@_op("aten.sym_size.int")
+def _sym_size(x, dim):
+    return x.shape[dim]
+
+
+@_op("aten.sym_numel.default")
+def _sym_numel(x):
+    return x.size
+
+
+@_op("aten._assert_tensor_metadata.default", "aten._assert_async.default",
+     "aten._assert_async.msg", "aten._assert_scalar.default")
+def _noop_assert(*a, **k):
+    return None
+
+
+@_op("aten.pin_memory.default")
+def _pin_memory(x, *a, **k):
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Flax integration
+# ---------------------------------------------------------------------------
+
+import flax.linen as linen  # noqa: E402
+
+
+def _unflatten_outputs(exp: _Exported, outs: List[Any]) -> Any:
+    if exp.out_spec is not None:
+        try:
+            import torch.utils._pytree as torch_pytree
+
+            return torch_pytree.tree_unflatten(outs, exp.out_spec)
+        except Exception:  # noqa: BLE001 - fall back to the flat tuple
+            pass
+    return outs[0] if len(outs) == 1 else tuple(outs)
+
+
+class TorchBridged(linen.Module):
+    """A torch module compiled to JAX, as a first-class Flax module.
+
+    - ``params`` collection: every torch parameter (trainable), keyed by its
+      torch FQN (dots kept).
+    - ``batch_stats`` collection: every torch buffer; functionalized buffer
+      mutations (BN running stats, num_batches_tracked) are written back when
+      the collection is mutable.
+    - ``dropout``/``droppath`` rng: used when the train graph has random ops.
+    """
+
+    source: TorchGraphSource
+    matmul_dtype: Optional[str] = None
+    input_layout: str = "NHWC"  # incoming array layout; graph runs NCHW
+    feature_adapter: bool = True
+
+    @linen.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        mask: Optional[jax.Array] = None,
+        train: bool = False,
+    ) -> Any:
+        del mask  # torch backbones have no token-mask input
+        x = images
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)  # uint8 canonical batches (init path)
+        if self.input_layout == "NHWC" and x.ndim == 4:
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        exp = self.source.exported((tuple(int(s) for s in x.shape),), train)
+
+        params = {
+            fqn: self.param(fqn, lambda rng, v=v: jnp.asarray(v))
+            for fqn, v in self.source.param_init.items()
+        }
+        buffer_vars = {
+            fqn: self.variable("batch_stats", fqn, lambda v=v: jnp.asarray(v))
+            for fqn, v in self.source.buffer_init.items()
+        }
+        buffers = {fqn: var.value for fqn, var in buffer_vars.items()}
+        constants = {k: jnp.asarray(v) for k, v in exp.constants.items()}
+
+        rng = None
+        if exp.needs_rng:
+            for stream in ("dropout", "droppath"):
+                if self.has_rng(stream):
+                    rng = self.make_rng(stream)
+                    break
+
+        prev = _MATMUL_DTYPE[0]
+        _MATMUL_DTYPE[0] = self.matmul_dtype
+        try:
+            outs, mutations = _run_graph(
+                exp.ep, params, buffers, constants, [x], rng
+            )
+        finally:
+            _MATMUL_DTYPE[0] = prev
+
+        if mutations and self.is_mutable_collection("batch_stats"):
+            for fqn, val in mutations.items():
+                buffer_vars[fqn].value = val.astype(
+                    buffer_vars[fqn].value.dtype
+                )
+
+        result = _unflatten_outputs(exp, outs)
+        if not self.feature_adapter:
+            return result
+        feats = _pick_feature_map(result)
+        feats = jnp.transpose(feats, (0, 2, 3, 1))  # NCHW -> NHWC contract
+        b, h, w, d = feats.shape
+        return {
+            "features": feats,
+            "patch_tokens": feats.reshape(b, h * w, d),
+            "cls_token": jnp.mean(feats, axis=(1, 2)),
+        }
+
+
+def _pick_feature_map(result: Any) -> jax.Array:
+    """Last 4D (B,C,H,W) map from the forward's output — timm
+    ``features_only`` returns a list of maps; plain backbones a tensor."""
+    candidates: List[jax.Array] = []
+
+    def visit(v: Any) -> None:
+        if hasattr(v, "ndim") and v.ndim == 4:
+            candidates.append(v)
+        elif isinstance(v, (list, tuple)):
+            for u in v:
+                visit(u)
+        elif isinstance(v, dict):
+            if "features" in v:
+                visit(v["features"])
+            else:
+                for u in v.values():
+                    visit(u)
+
+    visit(result)
+    if not candidates:
+        raise UnsupportedTorchOpError(
+            "Bridged torch module produced no 4D (B, C, H, W) feature map; "
+            "wrap a features-only backbone (e.g. timm features_only=True)."
+        )
+    return candidates[-1]
+
+
+def bridge_torch_module(
+    torch_module: Any,
+    matmul_dtype: Optional[str] = None,
+    input_layout: str = "NHWC",
+    feature_adapter: bool = False,
+) -> TorchBridged:
+    """Compile a torch ``nn.Module`` into a Flax module (raw outputs)."""
+    return TorchBridged(
+        source=TorchGraphSource(torch_module),
+        matmul_dtype=matmul_dtype,
+        input_layout=input_layout,
+        feature_adapter=feature_adapter,
+    )
+
+
+def wrap_torch_module(
+    torch_module: Any,
+    name: Optional[str] = None,
+    sample_hw: Tuple[int, int] = (64, 64),
+    matmul_dtype: Optional[str] = None,
+):
+    """Wrap a torch backbone as a ``WrappedModel`` for pretraining/embedding.
+
+    The reference's custom/timm/ultralytics packages wrap live torch modules
+    (``_models/package_helpers.py``); here the module is export-compiled to
+    XLA and its parameters become the trainable pytree.
+    """
+    from lightly_train_tpu.errors import ConfigError
+    from lightly_train_tpu.models.wrapper import WrappedModel
+
+    module = TorchBridged(
+        source=TorchGraphSource(torch_module),
+        matmul_dtype=matmul_dtype,
+        feature_adapter=True,
+    )
+
+    def _shape_probe():
+        sample = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)
+        variables = module.init(
+            {"params": jax.random.key(0), "droppath": jax.random.key(1)},
+            sample,
+            train=False,
+        )
+        return module.apply(variables, sample, train=False)
+
+    try:
+        out_shapes = jax.eval_shape(_shape_probe)
+    except UnsupportedTorchOpError:
+        raise
+    except Exception as e:  # noqa: BLE001 - surface as a config problem
+        raise ConfigError(
+            f"torch module could not be bridged to JAX: {e}"
+        ) from e
+    feature_dim = int(out_shapes["features"].shape[-1])
+    model_name = name or f"torch/{type(torch_module).__name__.lower()}"
+    return WrappedModel(
+        name=model_name,
+        module=module,
+        feature_dim=feature_dim,
+        patch_size=None,
+        architecture="conv",
+        supports_mask=False,
+    )
