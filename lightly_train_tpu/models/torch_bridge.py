@@ -225,11 +225,9 @@ def _run_graph(
     raise AssertionError("graph had no output node")
 
 
-import torch  # noqa: E402  (host-side export only; never runs on device)
-
-
 # ---------------------------------------------------------------------------
-# Export + caching
+# Export + caching (torch is imported lazily — only when a module is
+# actually bridged — so the package itself has no hard torch dependency)
 # ---------------------------------------------------------------------------
 
 
@@ -275,6 +273,8 @@ class TorchGraphSource:
     def exported(
         self, shapes: Tuple[Tuple[int, ...], ...], train: bool
     ) -> _Exported:
+        import torch
+
         key = (shapes, train)
         hit = self._cache.get(key)
         if hit is not None:
