@@ -358,7 +358,12 @@ class VisionTransformer(nn.Module):
         images: jax.Array,
         mask: Optional[jax.Array] = None,
         train: bool = False,
+        tap_indices: Optional[Tuple[int, ...]] = None,
     ) -> dict[str, jax.Array]:
+        """``tap_indices`` requests ``get_intermediate_layers``-equivalent
+        multi-scale features (reference ``vision_transformer.py:351-385``,
+        ``norm=True``): the returned ``out["taps"]`` holds one
+        (B, gh, gw, D) final-norm-applied patch-token map per index."""
         cfg = self.cfg
         B, H, W, _ = images.shape
         gh, gw = H // cfg.patch_size, W // cfg.patch_size
@@ -435,16 +440,27 @@ class VisionTransformer(nn.Module):
             intermediates.append(x)
         self.sow("intermediates", "blocks", intermediates)
 
-        x = nn.LayerNorm(epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm")(x)
+        final_norm = nn.LayerNorm(
+            epsilon=cfg.norm_eps, dtype=cfg.dtype, name="norm"
+        )
+        x = final_norm(x)
         p = self.num_prefix_tokens
         cls_out = x[:, 0]
         patch_tokens = x[:, p:]
-        return {
+        out = {
             "cls_token": cls_out,
             "patch_tokens": patch_tokens,
             "features": patch_tokens.reshape(B, gh, gw, cfg.embed_dim),
             "register_tokens": x[:, 1:p],
         }
+        if tap_indices is not None:
+            out["taps"] = [
+                final_norm(intermediates[i])[:, p:].reshape(
+                    B, gh, gw, cfg.embed_dim
+                )
+                for i in tap_indices
+            ]
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -61,43 +61,74 @@ class ObjectDetectionArgs(TaskArgs):
     # Decoder variant: "dfine" (distribution-based refinement + LQE,
     # LT-DETRv2 default in the reference) or "rtdetrv2" (direct deltas).
     decoder: str = "dfine"
+    # Per-level deformable sampling points + D-FINE bin count
+    # (``DFINETransformerConfig.num_points`` / ``reg_max`` + 1).
+    num_points: Tuple[int, int, int] = (4, 4, 4)
+    dfine_bins: int = 33
+    # ViT backbone adapter (DINOSTAs, ``dino_vit_wrapper.py:125-296``):
+    # block tap indexes and STA conv-stem width; None = auto per model
+    # size (``config.py:566-640``). Ignored for pyramid (CNN/ECViT)
+    # backbones, which already emit (P3, P4, P5).
+    interaction_indexes: Optional[Tuple[int, int, int]] = None
+    use_sta: bool = True
+    conv_inplane: Optional[int] = None
     default_steps: int = 60_000
     default_batch_size: int = 16
 
 
 class _LTDETRModule(nn.Module):
-    """Backbone feature pyramid + encoder + decoder in one module."""
+    """Backbone feature pyramid + encoder + decoder in one module.
+
+    ViT backbones go through the DINOSTAs adapter (three final-norm taps
+    + STA conv stem, ``dino_vit_wrapper.py``); pyramid backbones
+    (ECViT / ConvNeXt / ResNet / YOLO CSPDarknet) feed their last three
+    stages directly (``ecvit_vit_wrapper.py:20-52``)."""
 
     wrapped: WrappedModel
     cfg: DetrConfig
+    interaction_indexes: Optional[Tuple[int, int, int]] = None
+    use_sta: bool = True
+    conv_inplane: int = 32
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False,
                  dn_labels=None, dn_boxes=None, dn_group_size: int = 0):
-        D = self.cfg.d_model
+        from lightly_train_tpu.models.vit import VisionTransformer
+        from lightly_train_tpu.tasks.detection.backbone_adapter import (
+            DINOSTAs,
+        )
+
         # Fresh instance of the backbone module bound under the stable name
         # "trunk" (all backbone modules take a single cfg attribute).
         trunk = type(self.wrapped.module)(self.wrapped.module.cfg, name="trunk")
-        out = trunk(images, train=False)  # backbone submodule
+        is_vit = isinstance(trunk, VisionTransformer)
+        if is_vit and self.interaction_indexes is not None:
+            out = trunk(
+                images, train=False,
+                tap_indices=tuple(self.interaction_indexes),
+            )
+        else:
+            out = trunk(images, train=False)
         # Consumers with mutable=["intermediates"] (the instance-seg mask
         # head) reuse the trunk features instead of a second trunk forward.
         self.sow("intermediates", "trunk_features", out["features"])
         stage_feats = out.get("stage_features")
         if stage_feats is not None and len(stage_feats) >= 3:
-            feats = stage_feats[-3:]  # /8, /16, /32 for CNNs
+            feats = stage_feats[-3:]  # /8, /16, /32 pyramid backbones
         else:
-            # ViT single-scale (stride=patch): build /8, /16, /32 pyramid
-            # (reference dino_vit_wrapper.py).
-            f = out["features"]
-            B, H, W, C = f.shape
-            up = nn.ConvTranspose(
-                C, (2, 2), strides=(2, 2), dtype=self.cfg.dtype, name="vit_up"
-            )(f)
-            down = nn.Conv(
-                C, (3, 3), strides=(2, 2), padding="SAME",
-                dtype=self.cfg.dtype, name="vit_down",
-            )(f)
-            feats = [up, f, down]
+            taps = out.get("taps")
+            if taps is None:
+                # No tap indexes resolved (custom trunk): reuse the final
+                # feature map for all three taps.
+                f = out["features"]
+                taps = [f, f, f]
+            feats = DINOSTAs(
+                hidden_dim=self.cfg.d_model,
+                use_sta=self.use_sta,
+                conv_inplane=self.conv_inplane,
+                dtype=self.cfg.dtype,
+                name="backbone_sta",
+            )(images, taps, train)
         levels = HybridEncoder(self.cfg, name="encoder")(feats, train)
         return DETRDecoder(self.cfg, name="decoder")(
             levels, train, dn_labels=dn_labels, dn_boxes=dn_boxes,
@@ -117,10 +148,38 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             num_queries=args.num_queries,
             num_decoder_layers=args.num_decoder_layers,
             dim_feedforward=args.dim_feedforward,
+            enc_dim_feedforward=args.dim_feedforward,
             num_classes=args.num_classes,
             use_dfine=getattr(args, "decoder", "dfine") == "dfine",
+            num_points=tuple(getattr(args, "num_points", (4, 4, 4))),
+            dfine_bins=getattr(args, "dfine_bins", 33),
         )
-        self.module = _LTDETRModule(wrapped, self.cfg)
+        # ViT adapter resolution ("auto" per model size,
+        # ``config.py:566-640``).
+        indexes = getattr(args, "interaction_indexes", None)
+        inplane = getattr(args, "conv_inplane", None)
+        trunk_cfg = getattr(wrapped.module, "cfg", None)
+        if trunk_cfg is not None and hasattr(trunk_cfg, "depth"):
+            from lightly_train_tpu.tasks.detection.backbone_adapter import (
+                resolve_vit_adapter,
+            )
+
+            auto_idx, factor = resolve_vit_adapter(
+                trunk_cfg.embed_dim, trunk_cfg.depth
+            )
+            if indexes is None:
+                indexes = auto_idx
+            if inplane is None:
+                inplane = factor * getattr(trunk_cfg, "patch_size", 16)
+        self.module = _LTDETRModule(
+            wrapped,
+            self.cfg,
+            interaction_indexes=(
+                tuple(indexes) if indexes is not None else None
+            ),
+            use_sta=getattr(args, "use_sta", True),
+            conv_inplane=inplane if inplane is not None else 32,
+        )
 
     # val collection mode: outputs are concatenated, not summed.
     val_mode = "collect"
@@ -234,16 +293,25 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             variables, images, train=train, rngs=rngs,
             mutable=mutable or False, **kwargs,
         )
+
+        def _pad(outputs):
+            # The decoder emits reference-width (num_classes) logits; the
+            # criterion/_decode contract carries one extra ignored column.
+            return [
+                (jnp.pad(lg, ((0, 0), (0, 0), (0, 1))), bx)
+                for lg, bx in outputs
+            ]
+
         if mutable:
             outputs, new_vars = out
             new_vars = dict(new_vars)
             inter = new_vars.pop("intermediates", None)
             if want_intermediates:
-                return outputs, new_vars, inter
-            return outputs, new_vars
+                return _pad(outputs), new_vars, inter
+            return _pad(outputs), new_vars
         if want_intermediates:
-            return out, model_state, None
-        return out, model_state
+            return _pad(out), model_state, None
+        return _pad(out), model_state
 
     def _make_dn_queries(self, key, labels, boxes, valid):
         """Noised GT queries: jittered boxes + flipped labels, G groups."""
@@ -463,7 +531,13 @@ class ObjectDetectionTrainModel(TaskTrainModel):
 
         deploy = copy.copy(self)
         deploy.cfg = _dc.replace(self.cfg, deploy=True)
-        deploy.module = _LTDETRModule(self.wrapped, deploy.cfg)
+        deploy.module = _LTDETRModule(
+            self.wrapped,
+            deploy.cfg,
+            interaction_indexes=self.module.interaction_indexes,
+            use_sta=self.module.use_sta,
+            conv_inplane=self.module.conv_inplane,
+        )
         stats = variables.get("batch_stats", {})
         new_vars = {
             k: v

@@ -75,6 +75,12 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         new_model_state = {
             k: v for k, v in aux.items() if k != "intermediates"
         } or model_state
+        # Decoder logits are reference-width (num_classes); the criterion
+        # contract carries one extra ignored column (see ltdetr._apply).
+        outputs = [
+            (jnp.pad(lg, ((0, 0), (0, 0), (0, 1))), bx)
+            for lg, bx in outputs
+        ]
         return outputs, queries, feats, new_model_state
 
     def init(self, rng, sample_batch):

@@ -363,11 +363,12 @@ def test_repvgg_deploy_fusion_parity():
                                atol=1e-5, rtol=1e-4)
     assert (np.asarray(labels) == np.asarray(dlabels)).all()
 
-    # The deploy tree really is fused: no conv1/bn1 RepVgg leaves remain.
+    # The deploy tree really is fused: RepVgg bottleneck entries hold a
+    # single biased conv (no conv1/conv2 two-branch leaves remain).
     flat = jax.tree_util.tree_leaves_with_path(deploy_vars["params"])
     paths = ["/".join(str(k) for k in p) for p, _ in flat]
-    assert not any("conv1" in p and "rep" in p for p in paths)
-    assert any("fused" in p for p in paths)
+    assert not any("bottlenecks" in p and "conv1" in p for p in paths)
+    assert any("bottlenecks" in p and "bias" in p for p in paths)
 
 
 def test_ltdetrv2_zoo_name_resolves(tmp_path, yolo_dataset):
