@@ -532,13 +532,15 @@ def _grid_sample_zeros(level: jax.Array, locs: jax.Array) -> jax.Array:
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    flat = level.transpose(0, 3, 1, 2, 4).reshape(B, NH, Hl * Wl, hd)
+    flat = level.transpose(0, 3, 1, 2, 4).reshape(B * NH, Hl * Wl, hd)
 
     def corner(xi, yi):
         inb = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
         idx = jnp.clip(yi, 0, Hl - 1) * Wl + jnp.clip(xi, 0, Wl - 1)
-        idx_t = idx.transpose(0, 2, 1, 3).reshape(B, NH, Q * P)
-        g = jnp.take_along_axis(flat, idx_t[..., None], axis=2)
+        idx_t = idx.transpose(0, 2, 1, 3).reshape(B * NH, Q * P)
+        # vmapped integer indexing emits the canonical batched gather the
+        # ONNX exporter lowers to GatherND (Pattern A).
+        g = jax.vmap(lambda f, i: f[i])(flat, idx_t)
         g = g.reshape(B, NH, Q, P, hd).transpose(0, 2, 1, 3, 4)
         return g * inb[..., None].astype(level.dtype)
 
@@ -632,15 +634,17 @@ class MSDeformableAttention(nn.Module):
         nps = np.concatenate(
             [np.full((p,), 1.0 / p, np.float32) for p in pts]
         )
+        # Plain slices first, then broadcast dims — combined None+slice
+        # indexing lowers to lax.gather, which the ONNX exporter rejects.
+        ref_xy = ref_points[..., :2][:, :, None, None, :]
+        ref_wh = ref_points[..., 2:][:, :, None, None, :]
         offset = (
             offsets
             * jnp.asarray(nps)[None, None, None, :, None]
-            * ref_points[:, :, None, None, 2:].astype(offsets.dtype)
+            * ref_wh.astype(offsets.dtype)
             * cfg.offset_scale
         )
-        locs = (
-            ref_points[:, :, None, None, :2].astype(offsets.dtype) + offset
-        )  # (B, Q, H, total, 2)
+        locs = ref_xy.astype(offsets.dtype) + offset  # (B, Q, H, total, 2)
 
         out = jnp.zeros((B, Q, H, hd), query.dtype)
         start = 0

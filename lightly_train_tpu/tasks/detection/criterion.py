@@ -279,11 +279,18 @@ def detection_loss_from_assignment(
     onehot = onehot.at[scatter].max(
         assigned.astype(jnp.float32), mode="drop"
     )
-    prob = jax.nn.sigmoid(logits[..., :C])
+    # The focal weight is a CONSTANT w.r.t. the logits — the reference
+    # detaches pred_score (``dfine_criterion.py:143-144``) so no gradient
+    # flows through the weight, only through the BCE term.
+    prob = jax.lax.stop_gradient(jax.nn.sigmoid(logits[..., :C]))
     weight = alpha * (prob**gamma) * (1 - onehot) + target_scores
-    bce = -(
-        target_scores * jnp.log(prob + 1e-8)
-        + (1 - target_scores) * jnp.log(1 - prob + 1e-8)
+    # Exact logits-space BCE (torch ``binary_cross_entropy_with_logits``):
+    # max(x,0) - x*t + log1p(exp(-|x|)), no epsilon bias.
+    x = logits[..., :C]
+    bce = (
+        jnp.maximum(x, 0.0)
+        - x * target_scores
+        + jnp.log1p(jnp.exp(-jnp.abs(x)))
     )
     n_matched = jnp.maximum(jnp.sum(assigned), 1.0)
     loss_vfl = jnp.sum(bce * weight) / n_matched
