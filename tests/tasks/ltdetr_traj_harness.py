@@ -34,7 +34,14 @@ DEPTH = 3
 D = 16
 NHEAD = 2
 FFN = 32
-NQ = 10
+# num_queries == the anchor count (8² + 4² + 2² at IMG 56), so the
+# encoder top-k is the identity SET and the trajectory has no discrete
+# selection boundary: at tiny random-init scale the k-th/k+1-th encoder
+# scores sit ~1e-4 apart, and cross-framework fp noise flips the pick
+# (a permutation-invariant model makes query ORDER irrelevant to the
+# loss). Top-k selection correctness itself is covered by the golden
+# forward tests at real-checkpoint weight scales.
+NQ = 84
 NCLS = 5
 NLAYERS = 2
 REG_MAX = 8
@@ -470,12 +477,21 @@ class FlaxSide:
 
 
 def run_parity(n_steps: int = TOTAL_STEPS) -> List[Dict[str, float]]:
-    batches = make_batches(n_steps)
-    t = TorchSide()
-    f = FlaxSide(t.composed_state_dict())
-    records = []
-    for i, b in enumerate(batches):
-        lt = t.step(b, i)
-        lf = f.step(b, i)
-        records.append({"step": i, "torch": lt, "flax": lf})
-    return records
+    # Exact-parity regime: force the host scipy Hungarian matcher + host GO
+    # union. The auto rule would pick the greedy device matcher on the
+    # 8-device CPU test mesh (callback/collective deadlock avoidance), but
+    # this harness is a single unsharded program where callbacks are safe —
+    # and parity vs the reference requires the OPTIMAL assignment.
+    os.environ["LIGHTLY_TRAIN_MATCHER"] = "hungarian"
+    try:
+        batches = make_batches(n_steps)
+        t = TorchSide()
+        f = FlaxSide(t.composed_state_dict())
+        records = []
+        for i, b in enumerate(batches):
+            lt = t.step(b, i)
+            lf = f.step(b, i)
+            records.append({"step": i, "torch": lt, "flax": lf})
+        return records
+    finally:
+        os.environ.pop("LIGHTLY_TRAIN_MATCHER", None)
