@@ -13,6 +13,7 @@ throughput numbers, SURVEY.md §6).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -21,6 +22,40 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_START = time.monotonic()
+# Total wall budget for the WHOLE bench. Optional sections (host pipeline,
+# fine-tune rows) are skipped once the budget runs low so the mandatory
+# JSON line always prints inside the driver's timeout.
+_TOTAL_BUDGET = float(os.environ.get("LIGHTLY_BENCH_TOTAL_BUDGET", "2100"))
+# Set once the mandatory pretrain measurement exists; a SIGTERM after that
+# point prints the partial result instead of dying silently.
+_RESULT = None
+
+
+def _budget_left() -> float:
+    return _TOTAL_BUDGET - (time.monotonic() - _START)
+
+
+def _phase(msg: str) -> None:
+    print(f"# [{time.monotonic() - _START:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+def _on_term(signum, frame):
+    if _RESULT is not None:
+        _phase("SIGTERM — emitting partial result")
+        _emit(_RESULT)
+        sys.stdout.flush()
+        os._exit(0)
+    os._exit(143)
+
+
+signal.signal(signal.SIGTERM, _on_term)
 
 
 # Rough peak bf16 FLOP/s per chip by device kind.
@@ -161,7 +196,13 @@ def bench_finetune(on_tpu: bool) -> dict:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
 
-    row_budget = int(os.environ.get("LIGHTLY_BENCH_FINETUNE_TIMEOUT", "1500"))
+    env_budget = int(os.environ.get("LIGHTLY_BENCH_FINETUNE_TIMEOUT", "1500"))
+
+    def row_deadline() -> int:
+        # A row may use at most the env budget AND what is left of the
+        # global bench budget (minus a margin to emit the JSON line).
+        return max(1, min(env_budget, int(_budget_left() - 45)))
+
     rows = {}
     os.environ["LIGHTLY_TRAIN_MATCHER"] = "greedy"
     try:
@@ -195,7 +236,7 @@ def bench_finetune(on_tpu: bool) -> dict:
                 jnp.int32,
             ),
         }
-        with _deadline(row_budget):
+        with _deadline(row_deadline()):
             rows["eomt_vits16_semseg"] = _bench_task_step(
                 m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
                 f"EoMT ViT-S/16 {size}^2 train step",
@@ -240,7 +281,7 @@ def bench_finetune(on_tpu: bool) -> dict:
                 r.random((b, K)) < 0.5
             ),
         }
-        with _deadline(row_budget):
+        with _deadline(row_deadline()):
             rows["ltdetrv2_s_det"] = _bench_task_step(
                 m, batch, 8 if on_tpu else 2, 3 if on_tpu else 1,
                 f"LT-DETRv2-S (ECViT-T) {size}^2 train step",
@@ -380,6 +421,7 @@ def main() -> None:
     # never contend with the windows.
     n_iters = 10 if on_tpu else 3
     n_windows = 5 if on_tpu else 1
+    _phase("pretrain timing windows")
     window_times = []
     for _ in range(n_windows):
         t0 = time.perf_counter()
@@ -388,6 +430,51 @@ def main() -> None:
         jax.block_until_ready(metrics["train_loss"])
         window_times.append(time.perf_counter() - t0)
     dt = min(window_times)
+
+    # ---- mandatory metric is now measurable: register the partial result
+    # so a SIGTERM during the optional sections still emits a JSON line.
+    global _RESULT
+    imgs_per_sec = batch * n_iters / dt
+    n_chips = jax.device_count()
+    imgs_per_sec_chip = imgs_per_sec / n_chips
+    mfu = (flops * n_iters / dt) / (peak_flops(jax.devices()[0]) * n_chips)
+    step_time = dt / n_iters
+    flop_time = flops / peak_flops(jax.devices()[0])
+    hbm_time = bytes_accessed / peak_hbm_bw(jax.devices()[0])
+    mfu_ceiling = (
+        flop_time / max(flop_time, hbm_time) if flop_time > 0 else 0.0
+    )
+    roofline = {
+        "bytes_accessed_gb": round(bytes_accessed / 1e9, 2),
+        "flop_time_ms": round(flop_time * 1e3, 2),
+        "hbm_time_ms": round(hbm_time * 1e3, 2),
+        "mfu_ceiling": round(mfu_ceiling, 4),
+        "unexplained_ms": round(
+            (step_time - max(flop_time, hbm_time)) * 1e3, 2
+        ),
+    }
+    _RESULT = {
+        "metric": "dinov2_vitb14_pretrain_images_per_sec_per_chip",
+        "value": round(imgs_per_sec_chip, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(mfu / 0.45, 4),
+        "detail": {
+            "model": model_name,
+            "batch": batch,
+            "mfu": round(mfu, 4),
+            "step_time_s": round(dt / n_iters, 4),
+            "aug_gbps": round(aug_gbps, 2),
+            "host_img_s": 0.0,
+            "sustained_img_s": 0.0,
+            "device": str(getattr(jax.devices()[0], "device_kind", "?")),
+            "n_chips": n_chips,
+            "overlap_efficiency": 0.0,
+            "roofline": roofline,
+            "finetune": {},
+        },
+    }
+    _phase(f"pretrain row done: {imgs_per_sec_chip:.1f} img/s/chip, "
+           f"mfu {mfu:.4f}")
 
     # Host input pipeline: decode->collate img/s from disk (real JPEGs via
     # the persistent-pool PretrainLoader), proving the host feeds the device
@@ -400,6 +487,11 @@ def main() -> None:
     host_img_s = 0.0
     sustained_img_s = 0.0
     try:
+        if _budget_left() < 240:
+            raise TimeoutError(
+                f"budget low ({_budget_left():.0f}s left), skipping"
+            )
+        _phase("host pipeline / sustained section")
         import tempfile
 
         from PIL import Image
@@ -452,32 +544,6 @@ def main() -> None:
         print(f"# sustained/host pipeline unavailable: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    imgs_per_sec = batch * n_iters / dt
-    n_chips = jax.device_count()
-    imgs_per_sec_chip = imgs_per_sec / n_chips
-    mfu = (flops * n_iters / dt) / (peak_flops(jax.devices()[0]) * n_chips)
-
-    # Where does the non-MXU time go? Roofline residual from the compiled
-    # step's own cost analysis (VERDICT r3 weak #6): if the HBM-traffic time
-    # exceeds the FLOP time, the step is bandwidth-bound and mfu_ceiling
-    # (< 1) is the hard MFU limit for THIS program at THIS batch — measured
-    # MFU / mfu_ceiling says how close the implementation is to its roofline.
-    step_time = dt / n_iters
-    flop_time = flops / peak_flops(jax.devices()[0])
-    hbm_time = bytes_accessed / peak_hbm_bw(jax.devices()[0])
-    mfu_ceiling = (
-        flop_time / max(flop_time, hbm_time) if flop_time > 0 else 0.0
-    )
-    roofline = {
-        "bytes_accessed_gb": round(bytes_accessed / 1e9, 2),
-        "flop_time_ms": round(flop_time * 1e3, 2),
-        "hbm_time_ms": round(hbm_time * 1e3, 2),
-        "mfu_ceiling": round(mfu_ceiling, 4),
-        "unexplained_ms": round(
-            (step_time - max(flop_time, hbm_time)) * 1e3, 2
-        ),
-    }
-
     # Host->device overlap proof (VERDICT r3 weak #3): with the loader's
     # producer-side device_put, sustained ~= min(host rate, device rate).
     overlap_efficiency = 0.0
@@ -485,37 +551,22 @@ def main() -> None:
         overlap_efficiency = round(
             sustained_img_s / min(host_img_s, imgs_per_sec), 4
         )
+    _RESULT["detail"]["host_img_s"] = round(host_img_s, 1)
+    _RESULT["detail"]["sustained_img_s"] = round(sustained_img_s, 1)
+    _RESULT["detail"]["overlap_efficiency"] = overlap_efficiency
+    _RESULT["detail"]["aug_gbps"] = round(aug_gbps, 2)
 
     # Fine-tune training-step rows (EoMT + LT-DETR); opt out with
     # LIGHTLY_BENCH_FINETUNE=0 if the round driver's budget is tight.
-    finetune = {}
     if os.environ.get("LIGHTLY_BENCH_FINETUNE", "1") != "0":
-        finetune = bench_finetune(on_tpu)
+        if _budget_left() < 300:
+            _phase(f"budget low ({_budget_left():.0f}s), skipping fine-tune rows")
+        else:
+            _phase("fine-tune rows")
+            _RESULT["detail"]["finetune"] = bench_finetune(on_tpu)
 
-    print(
-        json.dumps(
-            {
-                "metric": "dinov2_vitb14_pretrain_images_per_sec_per_chip",
-                "value": round(imgs_per_sec_chip, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(mfu / 0.45, 4),
-                "detail": {
-                    "model": model_name,
-                    "batch": batch,
-                    "mfu": round(mfu, 4),
-                    "step_time_s": round(dt / n_iters, 4),
-                    "aug_gbps": round(aug_gbps, 2),
-                    "host_img_s": round(host_img_s, 1),
-                    "sustained_img_s": round(sustained_img_s, 1),
-                    "device": str(getattr(jax.devices()[0], "device_kind", "?")),
-                    "n_chips": n_chips,
-                    "overlap_efficiency": overlap_efficiency,
-                    "roofline": roofline,
-                    "finetune": finetune,
-                },
-            }
-        )
-    )
+    _phase("done")
+    _emit(_RESULT)
 
 
 if __name__ == "__main__":

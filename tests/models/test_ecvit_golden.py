@@ -51,11 +51,22 @@ def _load_reference_ecvit():
     if "torchvision" not in sys.modules:
         # lightly_train.types imports torchvision.tv_tensors for type aliases
         # only — a stub with the referenced names suffices.
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.tv_tensors")
         for name in ("Image", "BoundingBoxes", "Mask", "Video", "TVTensor"):
             setattr(tvt, name, type(name, (), {}))
         tv.tv_tensors = tvt
+        # A spec-less sys.modules entry makes importlib.util.find_spec
+        # RAISE (ValueError: __spec__ is None) for every later caller —
+        # transformers probes torchvision at import in tests/tasks.
+        tv.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision", loader=None, is_package=True
+        )
+        tvt.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision.tv_tensors", loader=None
+        )
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.tv_tensors"] = tvt
     import importlib

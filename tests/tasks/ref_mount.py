@@ -46,6 +46,22 @@ def _raise_stub(*_a, **_k):
 
 def mount_reference_tasks() -> None:
     """Make `lightly_train._task_models.*` importable with stubbed deps."""
+    # Repair spec-less stub modules other test files may have installed
+    # earlier in the pytest session (e.g. tests/models/test_ecvit_golden.py's
+    # torchvision stub): importlib.util.find_spec RAISES on a sys.modules
+    # entry whose __spec__ is None, which breaks the transformers import
+    # probe below. Giving the stub a loader-less spec makes find_spec
+    # return it; the dist-metadata check then correctly reports "absent".
+    import importlib.machinery
+
+    for _name in ("torchvision", "torchvision.tv_tensors",
+                  "lightning_utilities", "lightly_train"):
+        _m = sys.modules.get(_name)
+        if _m is not None and getattr(_m, "__spec__", None) is None:
+            _m.__spec__ = importlib.machinery.ModuleSpec(
+                _name, loader=None, is_package=hasattr(_m, "__path__")
+            )
+
     # transformers probes torchvision availability at import; import its
     # Mask2Former module BEFORE the torchvision stubs confuse the probe.
     import transformers.models.mask2former.modeling_mask2former  # noqa: F401
