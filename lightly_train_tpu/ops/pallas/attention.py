@@ -16,6 +16,12 @@ to HBM. Softmax normalization (1/l) is folded into the small (N, hd) output
 instead of the (N, N) probability matrix, and probabilities are cast to bf16
 for the MXU A@V matmul.
 
+Every in-kernel contraction pins ``precision=DEFAULT``: the operands are
+already bf16 by design, and a global ``jax_default_matmul_precision=
+"highest"`` (set e.g. by the test conftest for torch-parity numerics) would
+otherwise reach Mosaic as an fp32-contraction-of-bf16 request, which fails
+to compile ("Bad lhs type" on tpu.matmul).
+
 Measured on TPU v5e (ViT-B/14 DINOv2 shapes, bf16):
   globals (64, 12, 257, 64): 0.21 ms vs 0.95 ms XLA  (4.6x)
   locals (256, 12, 50, 64):  0.24 ms vs 0.63 ms XLA  (2.7x)
@@ -70,13 +76,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, bb, H):
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
                 )
                 * sm_scale
             )
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m).astype(jnp.bfloat16)
             l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-            o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            o = jax.lax.dot(p, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             o_ref[b, h] = (o / l).astype(o_ref.dtype)
             lse_ref[b, h] = (m + jnp.log(l))[:, 0]
 
@@ -97,6 +105,7 @@ def _bwd_kernel(
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
                 )
                 * sm_scale
             )
@@ -107,18 +116,22 @@ def _bwd_kernel(
             dv = jax.lax.dot_general(
                 p16, do16, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             # dP = do @ v^T ; dS = P * (dP - rowsum(do * o)) * scale
             dp = jax.lax.dot_general(
                 do16, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             delta = jnp.sum(do * o, axis=-1, keepdims=True)
             ds = (p * (dp - delta) * sm_scale).astype(jnp.bfloat16)
-            dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+            dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             dk = jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             dq_ref[b, h] = dq.astype(dq_ref.dtype)
             dk_ref[b, h] = dk.astype(dk_ref.dtype)
@@ -236,13 +249,15 @@ def _flat_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, sm_scale, bb, hpb, 
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
                 )
                 * sm_scale
             )
             m = jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s - m).astype(jnp.bfloat16)
             l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
-            o = jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+            o = jax.lax.dot(p, v, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             o_ref[b, :, sl] = (o / l).astype(o_ref.dtype)
             lse_ref[b, hh] = (m + jnp.log(l))[:, 0]
 
@@ -264,6 +279,7 @@ def _flat_bwd_kernel(
                 jax.lax.dot_general(
                     q, k, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
                 )
                 * sm_scale
             )
@@ -273,17 +289,21 @@ def _flat_bwd_kernel(
             dv = jax.lax.dot_general(
                 p16, do16, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             dp = jax.lax.dot_general(
                 do16, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             delta = jnp.sum(do * o, axis=-1, keepdims=True)
             ds = (p * (dp - delta) * sm_scale).astype(jnp.bfloat16)
-            dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+            dq = jax.lax.dot(ds, k, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
             dk = jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             dq_ref[b, :, sl] = dq.astype(dq_ref.dtype)
             dk_ref[b, :, sl] = dk.astype(dk_ref.dtype)
