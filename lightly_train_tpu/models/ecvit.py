@@ -9,8 +9,13 @@ Exact-fidelity rebuild of ``src/lightly_train/_models/ecvit/ecvit.py``:
   DINOv3-style axial RoPE (base 100, normalize_coords="separate") rotates
   patch q/k only (``ecvit.py:356,152-163``).
 - Pre-norm blocks (LN eps 1e-6) with fused-qkv attention (converted to the
-  TPU-friendly separate q/k/v projections) and a **SiLU** MLP; no LayerScale
-  (``ecvit.py:264-304`` Block, act_layer=nn.SiLU).
+  TPU-friendly separate q/k/v projections) and a **GELU** MLP; no LayerScale.
+  The torch ``Block`` defaults to ``act_layer=nn.SiLU`` (``ecvit.py:272``)
+  but ``VisionTransformer.__init__`` overrides it with ``nn.GELU``
+  ("Preserve EdgeCrafter behavior", ``ecvit.py:340-341``) — at tiny random
+  weights the two agree to O(x^2), which is how the original SiLU port
+  passed the small-weight golden test while diverging on realistic
+  checkpoints.
 - Wrapper path (``ecvit.py:440-612`` ECViTModelWrapper): token outputs of the
   ``interaction_indexes`` blocks (default [10, 11]) are averaged, reshaped to
   the /16 grid, bilinearly interpolated to three levels (×2, ×1, ×0.5), and
@@ -61,7 +66,7 @@ class ECViTConfig:
             rope_base=self.rope_base,
             use_pos_embed=False,
             norm_eps=1e-6,
-            mlp_act="silu",
+            mlp_act="gelu",
             drop_path_rate=self.drop_path_rate,
             dtype=self.dtype,
         )
@@ -153,8 +158,12 @@ class ECViT(nn.Module):
             scale = 2.0 ** (1 - i)
             hh = max(1, int(gh * scale))
             ww = max(1, int(gw * scale))
+            # torch F.interpolate(bilinear, align_corners=False) does NOT
+            # antialias; jax.image.resize defaults antialias=True, which on
+            # the x0.5 P5 level is a different filter entirely (measured
+            # 0.27 maxabs vs torch at realistic weights).
             lvl = jax.image.resize(
-                fused32, (B, hh, ww, D), method="bilinear"
+                fused32, (B, hh, ww, D), method="bilinear", antialias=False
             ).astype(cfg.dtype)
             levels.append(lvl)
 

@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# XLA:CPU routes fp32 convs/dots through oneDNN, which on AMX-BF16 hosts
+# computes them in bf16 fast-math (measured 4.5e-3 abs error vs float64 on a
+# 3x3 conv; torch's fp32 conv is exact). Golden parity tests against torch
+# need true fp32 — force HIGHEST everywhere on the test platform.
+jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: CPU compiles of the model zoo dominate test
 # time (single-core CI box); cache them across pytest runs. jax 0.9 ignores
 # the JAX_COMPILATION_CACHE_DIR env var for cache READS ("cache is
