@@ -718,6 +718,33 @@ def _load_backbone(config: TrainTaskConfig):
     return wrapped, pretrained, {"model_name": model_name}
 
 
+def _resolve_mask_classes(
+    data: Dict[str, Any], ignore_index: int = 255
+) -> Tuple[int, Optional[np.ndarray]]:
+    """Resolve the reference's mask-dataset class schema.
+
+    The reference takes ``classes`` ({raw mask id: name}) plus optional
+    ``ignore_classes`` (``mask_semantic_segmentation_dataset.py:478-503``):
+    raw ids remap to contiguous train ids, ignored/unlisted ids map to
+    ``ignore_index``. Returns (num_classes, lut) where ``lut`` is a raw-id ->
+    train-id lookup table (None when the plain ``num_classes`` form is used).
+    """
+    if "classes" not in data:
+        return int(data["num_classes"]), None
+    classes = {int(k): v for k, v in dict(data["classes"]).items()}
+    ignore = {int(i) for i in (data.get("ignore_classes") or ())}
+    included = [cid for cid in sorted(classes) if cid not in ignore]
+    if not included:
+        raise ConfigError(
+            "data['classes'] minus data['ignore_classes'] left no classes."
+        )
+    size = max(max(classes), ignore_index) + 1
+    lut = np.full(size, ignore_index, np.int32)
+    for tid, cid in enumerate(included):
+        lut[cid] = tid
+    return len(included), lut
+
+
 def train_image_classification(
     out: str,
     data: Dict[str, str],
@@ -816,13 +843,15 @@ def train_object_detection(
     val_ds = build(data["val"]) if "val" in data else None
     num_classes = int(
         data.get("num_classes")
+        or len(data.get("classes") or ())  # reference schema: {id: name}
         or len(getattr(train_ds, "class_names", []) or [])
         or 0
     )
     if num_classes <= 0:
         raise ConfigError(
-            "num_classes could not be determined: pass data={'num_classes':"
-            " N, ...} (YOLO datasets carry no category list)."
+            "num_classes could not be determined: pass data={'classes':"
+            " {id: name, ...}, ...} or data={'num_classes': N, ...} (YOLO"
+            " datasets carry no category list)."
         )
     if use_picodet:
         # picodet-s / picodet-l model names (reference config.py:53-70).
@@ -925,20 +954,22 @@ def train_semantic_segmentation_multihead(
         if config.val_image_size != AUTO
         else config.image_size
     )
+    num_classes, class_lut = _resolve_mask_classes(data)
     train_ds = MaskSemanticSegmentationDataset(
-        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
+        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw,
+        class_lut=class_lut,
     )
     val_ds = (
         MaskSemanticSegmentationDataset(
             Path(data["val"]["images"]), Path(data["val"]["masks"]),
-            (val_size, val_size),
+            (val_size, val_size), class_lut=class_lut,
         )
         if "val" in data
         else None
     )
     task_args = pydantic_model_validate(
         SemanticSegmentationMultiheadArgs,
-        {"num_classes": int(data["num_classes"]), **config.task_args},
+        {"num_classes": num_classes, **config.task_args},
     )
     wrapped, pretrained, meta = _load_backbone(config)
     train_model = SemanticSegmentationMultiheadTrainModel(wrapped, task_args)
@@ -1097,12 +1128,15 @@ def train_semantic_segmentation(
         else config.image_size
     )
     hw_val = (val_size, val_size)
+    num_classes, class_lut = _resolve_mask_classes(data)
     train_ds = MaskSemanticSegmentationDataset(
-        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw
+        Path(data["train"]["images"]), Path(data["train"]["masks"]), hw,
+        class_lut=class_lut,
     )
     val_ds = (
         MaskSemanticSegmentationDataset(
-            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw_val
+            Path(data["val"]["images"]), Path(data["val"]["masks"]), hw_val,
+            class_lut=class_lut,
         )
         if "val" in data
         else None
@@ -1116,14 +1150,14 @@ def train_semantic_segmentation(
 
         task_args = pydantic_model_validate(
             EoMTSemanticSegmentationArgs,
-            {"num_classes": int(data["num_classes"]), **config.task_args},
+            {"num_classes": num_classes, **config.task_args},
         )
         train_model: Any = EoMTSemanticSegmentationTrainModel(wrapped, task_args)
         meta["architecture"] = "eomt"
     else:
         task_args = pydantic_model_validate(
             LinearSemanticSegmentationArgs,
-            {"num_classes": int(data["num_classes"]), **config.task_args},
+            {"num_classes": num_classes, **config.task_args},
         )
         train_model = LinearSemanticSegmentationTrainModel(wrapped, task_args)
         meta["architecture"] = "linear"

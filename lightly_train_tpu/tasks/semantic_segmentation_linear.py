@@ -186,7 +186,13 @@ class MaskSemanticSegmentationDataset:
         images_dir: Path,
         masks_dir: Path,
         image_hw: Tuple[int, int] = (512, 512),
+        class_lut: "np.ndarray | None" = None,
+        ignore_index: int = 255,
     ):
+        # Optional raw-id -> train-id remap (reference ``classes`` +
+        # ``ignore_classes`` schema); raw ids beyond the table -> ignore.
+        self.class_lut = class_lut
+        self.ignore_index = ignore_index
         images_dir, masks_dir = Path(images_dir), Path(masks_dir)
         mask_by_stem = {
             p.stem: p
@@ -221,4 +227,11 @@ class MaskSemanticSegmentationDataset:
                 (self.image_hw[1], self.image_hw[0]), Image.NEAREST
             )
             mask = np.asarray(m, dtype=np.int32)
+        if self.class_lut is not None:
+            lut = self.class_lut
+            mask = np.where(
+                (mask >= 0) & (mask < len(lut)),
+                lut[np.clip(mask, 0, len(lut) - 1)],
+                self.ignore_index,
+            ).astype(np.int32)
         return {"images": image, "masks": mask}
