@@ -556,6 +556,15 @@ def main() -> None:
     _RESULT["detail"]["overlap_efficiency"] = overlap_efficiency
     _RESULT["detail"]["aug_gbps"] = round(aug_gbps, 2)
 
+    # Free the pretrain train state + batch BEFORE the fine-tune rows: the
+    # ViT-B state (params+EMA teacher+opt moments, ~3 GB) plus the LT-DETR
+    # step's 14.7 GB temp does not fit a 16 GB v5e — this is exactly the
+    # RESOURCE_EXHAUSTED the r4 ltdetr row died of.
+    del state, imgs
+    import gc
+
+    gc.collect()
+
     # Fine-tune training-step rows (EoMT + LT-DETR); opt out with
     # LIGHTLY_BENCH_FINETUNE=0 if the round driver's budget is tight.
     if os.environ.get("LIGHTLY_BENCH_FINETUNE", "1") != "0":
