@@ -143,6 +143,22 @@ class PretrainLoader:
                             for i in next(stream)
                         ]
                     )
+                # Single-process: jax.device_put with a sharding is ASYNC —
+                # it enqueues the transfer and returns, so decode of batch
+                # N+1 overlaps the copy of batch N (the r4 synchronous
+                # make_array_from_process_local_data serialized decode
+                # behind each transfer and cost ~35% of the measured host
+                # rate). Multi-process still needs the process-local
+                # assembly helper.
+                single = jax.process_count() == 1
+
+                def _place(arr):
+                    if single:
+                        return jax.device_put(arr, self.sharding)
+                    return jax.make_array_from_process_local_data(
+                        self.sharding, arr
+                    )
+
                 while not stop.is_set():
                     futures = window.get()
                     batch = self._collate([f.result() for f in futures])
@@ -151,16 +167,9 @@ class PretrainLoader:
                     # of step N-1 (double buffering; the queue bound keeps
                     # at most ``prefetch`` device-resident batches alive).
                     if isinstance(batch, dict):
-                        batch = {
-                            k: jax.make_array_from_process_local_data(
-                                self.sharding, v
-                            )
-                            for k, v in batch.items()
-                        }
+                        batch = {k: _place(v) for k, v in batch.items()}
                     else:
-                        batch = jax.make_array_from_process_local_data(
-                            self.sharding, batch
-                        )
+                        batch = _place(batch)
                     if not _offer(batch):
                         return
                     window.put(

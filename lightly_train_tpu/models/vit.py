@@ -156,24 +156,41 @@ def _rope_angles(
     2*pi*coord/period with periods base**(i/(D/4)). Train-time coordinate
     shift/jitter/rescale augmentations are eval-irrelevant and omitted.
     """
+    import math
+
+    import numpy as np
+
     gh, gw = grid_hw
     dim_quarter = head_dim // 4
-    two_pi = 2.0 * jnp.pi
-    freqs = two_pi * base ** (
-        -jnp.arange(dim_quarter, dtype=jnp.float32) / dim_quarter
+    # Tables are static per (grid, head_dim, base): build them on the host
+    # in numpy float32 replicating the torch op sequence bit-for-bit
+    # (``rope_position_encoding.py:62-131``: periods = base**(2i/(D/2)),
+    # angles = 2*pi*coords / periods — the former jnp formulation computed
+    # base**(-i/q) and multiplied, which lands ~12 ulp away; at realistic
+    # q/k magnitudes that table error amplifies to ~1e-3 on the attention
+    # output vs the torch reference).
+    periods = np.float32(base) ** (
+        np.float32(2)
+        * np.arange(dim_quarter, dtype=np.float32)
+        / np.float32(dim_quarter * 2)
     )
-    ys = (jnp.arange(gh, dtype=jnp.float32) + 0.5) / gh * 2.0 - 1.0
-    xs = (jnp.arange(gw, dtype=jnp.float32) + 0.5) / gw * 2.0 - 1.0
-    ang_y = ys[:, None] * freqs[None, :]  # (gh, dq)
-    ang_x = xs[:, None] * freqs[None, :]  # (gw, dq)
-    ang = jnp.concatenate(
+    ys = (
+        np.arange(0.5, gh, dtype=np.float32) / np.float32(gh)
+    ) * np.float32(2) - np.float32(1)
+    xs = (
+        np.arange(0.5, gw, dtype=np.float32) / np.float32(gw)
+    ) * np.float32(2) - np.float32(1)
+    two_pi = np.float32(2 * math.pi)
+    ang_y = (two_pi * ys)[:, None] / periods[None, :]  # (gh, dq)
+    ang_x = (two_pi * xs)[:, None] / periods[None, :]  # (gw, dq)
+    ang = np.concatenate(
         [
-            jnp.broadcast_to(ang_y[:, None, :], (gh, gw, dim_quarter)),
-            jnp.broadcast_to(ang_x[None, :, :], (gh, gw, dim_quarter)),
+            np.broadcast_to(ang_y[:, None, :], (gh, gw, dim_quarter)),
+            np.broadcast_to(ang_x[None, :, :], (gh, gw, dim_quarter)),
         ],
         axis=-1,
     ).reshape(gh * gw, head_dim // 2)
-    return jnp.cos(ang), jnp.sin(ang)
+    return jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
 
 
 def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
