@@ -860,10 +860,11 @@ def train_object_detection(
             PicoDetTrainModel,
         )
 
-        widths = (128, 256, 512) if config.model.endswith("-l") else (96, 192, 384)
+        model_size = "l" if config.model.endswith("-l") else "s"
         task_args = pydantic_model_validate(
             PicoDetArgs,
-            {"num_classes": num_classes, "widths": widths, **config.task_args},
+            {"num_classes": num_classes, "model_size": model_size,
+             **config.task_args},
         )
         train_model: Any = PicoDetTrainModel(None, task_args)
         meta = {"model_name": config.model, "architecture": "picodet"}

@@ -63,6 +63,11 @@ LN_EPS = 1e-5
 @dataclasses.dataclass(frozen=True)
 class DetrConfig:
     d_model: int = 256
+    # HybridEncoder width when it differs from the decoder width (the CNN/
+    # ConvNeXt presets run the encoder at 384 and the decoder at 256,
+    # ``config.py`` CNNTiny: encoder hidden_dim=384, RTDETRv2 hidden_dim=256;
+    # the decoder's input_proj convs bridge the gap). None = d_model.
+    enc_d_model: Optional[int] = None
     num_heads: int = 8
     num_levels: int = 3
     # Per-level sampling point counts (``DFINETransformerConfig.num_points``;
@@ -82,6 +87,10 @@ class DetrConfig:
     # Hybrid encoder (``HybridEncoderConfig``).
     csp_blocks: int = 3  # round(3 * depth_mult)
     expansion: float = 1.0
+    # upsample=False (only the legacy dinov2 no-registers preset): all taps
+    # share one spatial resolution, so FPN upsampling and PAN downsample
+    # convs are identity (``hybrid_encoder.py:424-440``).
+    upsample: bool = True
     enc_dim_feedforward: int = 1024
     enc_act: str = "gelu"
     act: str = "silu"
@@ -93,6 +102,10 @@ class DetrConfig:
     # params come from ``fuse_repvgg``; decoder runs only up to eval_idx.
     deploy: bool = False
     dtype: Any = jnp.float32
+
+    @property
+    def enc_dim(self) -> int:
+        return self.enc_d_model if self.enc_d_model is not None else self.d_model
 
     @property
     def points_list(self) -> Tuple[int, ...]:
@@ -342,7 +355,7 @@ class TransformerEncoderLayer(nn.Module):
         cfg = self.cfg
         qk = src + pos
         attn = TorchMHA(
-            cfg.d_model, cfg.num_heads, dtype=cfg.dtype, name="self_attn"
+            cfg.enc_dim, cfg.num_heads, dtype=cfg.dtype, name="self_attn"
         )(qk, qk, src)
         src = nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="norm1")(
             src + attn
@@ -351,7 +364,7 @@ class TransformerEncoderLayer(nn.Module):
             cfg.enc_dim_feedforward, dtype=cfg.dtype, name="linear1"
         )(src)
         h = get_act(cfg.enc_act)(h)
-        h = nn.Dense(cfg.d_model, dtype=cfg.dtype, name="linear2")(h)
+        h = nn.Dense(cfg.enc_dim, dtype=cfg.dtype, name="linear2")(h)
         return nn.LayerNorm(epsilon=LN_EPS, dtype=cfg.dtype, name="norm2")(
             src + h
         )
@@ -369,7 +382,7 @@ class HybridEncoder(nn.Module):
         self, features: Sequence[jax.Array], train: bool = False
     ) -> List[jax.Array]:
         cfg = self.cfg
-        D = cfg.d_model
+        D = cfg.enc_dim
         n = len(features)
         proj = []
         for i, f in enumerate(features):
@@ -407,10 +420,14 @@ class HybridEncoder(nn.Module):
             )(inner[0], train)
             inner[0] = feat_high
             feat_low = proj[idx - 1]
-            up = jax.image.resize(
-                feat_high,
-                (B,) + feat_low.shape[1:3] + (D,),
-                "nearest",
+            up = (
+                jax.image.resize(
+                    feat_high,
+                    (B,) + feat_low.shape[1:3] + (D,),
+                    "nearest",
+                )
+                if cfg.upsample
+                else feat_high
             )
             fused = CSPRepLayer(
                 D, cfg.csp_blocks, cfg.expansion, act=cfg.act,
@@ -421,10 +438,14 @@ class HybridEncoder(nn.Module):
         # Bottom-up PAN.
         outs = [inner[0]]
         for idx in range(n - 1):
-            down = ConvNormLayer(
-                D, 3, 2, act=cfg.act, dtype=cfg.dtype,
-                name=f"downsample{idx}",
-            )(outs[-1], train)
+            down = (
+                ConvNormLayer(
+                    D, 3, 2, act=cfg.act, dtype=cfg.dtype,
+                    name=f"downsample{idx}",
+                )(outs[-1], train)
+                if cfg.upsample
+                else outs[-1]
+            )
             out = CSPRepLayer(
                 D, cfg.csp_blocks, cfg.expansion, act=cfg.act,
                 deploy=cfg.deploy, dtype=cfg.dtype, name=f"pan{idx}",
@@ -594,9 +615,13 @@ def _bias_init_with_prob(p: float):
 class MSDeformableAttention(nn.Module):
     """D-FINE deformable attention (``dfine_decoder.py:89-240``): no value
     or output projections, per-level point counts, joint softmax over all
-    points, offsets scaled by the 4-d reference box."""
+    points, offsets scaled by the 4-d reference box. With
+    ``with_value_proj=True`` it is instead the RT-DETRv2 variant
+    (``rtdetrv2_decoder.py:66-237``): value_proj before sampling and
+    output_proj after aggregation."""
 
     cfg: DetrConfig
+    with_value_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -611,6 +636,9 @@ class MSDeformableAttention(nn.Module):
         hd = D // H
         pts = cfg.points_list
         total = sum(pts)
+        if self.with_value_proj:
+            value_proj = nn.Dense(D, dtype=cfg.dtype, name="value_proj")
+            value_levels = [value_proj(v) for v in value_levels]
 
         offsets = nn.Dense(
             H * total * 2,
@@ -657,7 +685,10 @@ class MSDeformableAttention(nn.Module):
             w_l = attn[:, :, :, start : start + p]
             out = out + jnp.sum(sampled * w_l[..., None], axis=3)
             start += p
-        return out.reshape(B, Q, D)
+        out = out.reshape(B, Q, D)
+        if self.with_value_proj:
+            out = nn.Dense(D, dtype=cfg.dtype, name="output_proj")(out)
+        return out
 
 
 class MLPRef(nn.Module):
@@ -742,7 +773,9 @@ class LQE(nn.Module):
 
 class TransformerDecoderLayer(nn.Module):
     """Post-norm decoder layer with gated cross-attention
-    (``dfine_decoder.py:241-327``)."""
+    (``dfine_decoder.py:241-327``). When ``cfg.use_dfine`` is False this is
+    instead the RT-DETRv2 layer (``rtdetrv2_decoder.py:240-320``): plain
+    residual + norm2 after a value/output-projected deformable attention."""
 
     cfg: DetrConfig
 
@@ -766,10 +799,15 @@ class TransformerDecoderLayer(nn.Module):
             epsilon=LN_EPS, dtype=cfg.dtype, name="norm1"
         )(target + sa)
 
-        ca = MSDeformableAttention(cfg, name="cross_attn")(
-            target + query_pos, ref_points, value_levels
-        )
-        target = Gate(D, dtype=cfg.dtype, name="gateway")(target, ca)
+        ca = MSDeformableAttention(
+            cfg, with_value_proj=not cfg.use_dfine, name="cross_attn"
+        )(target + query_pos, ref_points, value_levels)
+        if cfg.use_dfine:
+            target = Gate(D, dtype=cfg.dtype, name="gateway")(target, ca)
+        else:
+            target = nn.LayerNorm(
+                epsilon=LN_EPS, dtype=cfg.dtype, name="norm2"
+            )(target + ca)
 
         h = nn.Dense(cfg.dim_feedforward, dtype=cfg.dtype, name="linear1")(
             target
@@ -846,11 +884,14 @@ class DETRDecoder(nn.Module):
         C = cfg.num_classes
         B = levels[0].shape[0]
 
-        # Input projection (``_build_input_proj_layer``): identity when the
-        # encoder already emits hidden_dim channels (every shipped preset).
+        # Input projection (``_build_input_proj_layer``): D-FINE uses the
+        # identity when the encoder already emits hidden_dim channels
+        # (``dfine_decoder.py:745-760``); RT-DETRv2 ALWAYS projects
+        # (``rtdetrv2_decoder.py:559-603``), so its checkpoints carry
+        # input_proj weights even at matching widths.
         proj = []
         for i, f in enumerate(levels):
-            if f.shape[-1] != D:
+            if f.shape[-1] != D or not cfg.use_dfine:
                 x = nn.Conv(
                     D, (1, 1), use_bias=False, dtype=cfg.dtype,
                     name=f"input_proj{i}_conv",
@@ -971,13 +1012,18 @@ class DETRDecoder(nn.Module):
         corners_undetach = None
         ref_initial = None
         for i in range(cfg.num_decoder_layers):
-            qpe = jnp.clip(
-                query_pos_head(ref_detach.astype(cfg.dtype)), -10.0, 10.0
-            )
+            qpe = query_pos_head(ref_detach.astype(cfg.dtype))
+            if cfg.use_dfine:
+                # D-FINE clamps the query pos embed (``dfine_decoder.py:497``);
+                # RT-DETRv2 does not (``rtdetrv2_decoder.py:355``).
+                qpe = jnp.clip(qpe, -10.0, 10.0)
             output = TransformerDecoderLayer(cfg, name=f"layer{i}")(
                 output, ref_detach.astype(cfg.dtype), proj, qpe,
                 mask_keep, train,
             )
+            # Per-layer query state (torch ``return_query_states``,
+            # ``dfine_decoder.py:519-520``) for the EdgeCrafter seg head.
+            self.sow("intermediates", "query_states", output)
             out32 = output.astype(jnp.float32)
             score_head = nn.Dense(
                 C, dtype=cfg.dtype,

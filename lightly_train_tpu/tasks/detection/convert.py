@@ -213,9 +213,11 @@ def convert_torch_hybrid_encoder_state_dict(
         p[f"fpn{j}"], s[f"fpn{j}"] = _csp(
             sd, f"{prefix}fpn_blocks.{j}", csp_blocks
         )
-        p[f"downsample{j}"], s[f"downsample{j}"] = _conv_norm_tree(
-            sd, f"{prefix}downsample_convs.{j}"
-        )
+        # upsample=False (legacy preset): no downsample convs exist.
+        if f"{prefix}downsample_convs.{j}.conv.weight" in sd:
+            p[f"downsample{j}"], s[f"downsample{j}"] = _conv_norm_tree(
+                sd, f"{prefix}downsample_convs.{j}"
+            )
         p[f"pan{j}"], s[f"pan{j}"] = _csp(
             sd, f"{prefix}pan_blocks.{j}", csp_blocks
         )
@@ -312,6 +314,199 @@ def convert_torch_dfine_decoder_state_dict(
     return p, s
 
 
+def convert_torch_rtdetrv2_decoder_state_dict(
+    sd: Mapping[str, Any],
+    prefix: str = "decoder.",
+    num_layers: Optional[int] = None,
+) -> Tuple[Dict, Dict]:
+    """RTDETRTransformerv2 (``rtdetrv2_decoder.py:405-720``) -> flax
+    (params, batch_stats) for ``DETRDecoder`` with ``use_dfine=False``.
+    Unlike D-FINE, the input projections always exist and each layer's
+    deformable attention carries value/output projections."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+
+    if num_layers is None:
+        num_layers = 1 + max(
+            int(k[len(prefix) + len("decoder.layers."):].split(".")[0])
+            for k in sd
+            if k.startswith(f"{prefix}decoder.layers.")
+        )
+
+    i = 0
+    while f"{prefix}input_proj.{i}.conv.weight" in sd:
+        p[f"input_proj{i}_conv"] = _conv(sd, f"{prefix}input_proj.{i}.conv")
+        p[f"input_proj{i}_norm"], s[f"input_proj{i}_norm"] = _bn(
+            sd, f"{prefix}input_proj.{i}.norm"
+        )
+        i += 1
+
+    p["enc_output_proj"] = _lin(sd, f"{prefix}enc_output.proj")
+    p["enc_output_norm"] = _ln(sd, f"{prefix}enc_output.norm")
+    p["enc_score_head"] = _lin(sd, f"{prefix}enc_score_head")
+    p["enc_bbox_head"] = _mlp(sd, f"{prefix}enc_bbox_head", 3)
+    p["query_pos_head"] = _mlp(sd, f"{prefix}query_pos_head", 2)
+    if f"{prefix}denoising_class_embed.weight" in sd:
+        p["denoising_class_embed"] = _t(
+            sd[f"{prefix}denoising_class_embed.weight"]
+        )
+    else:
+        n_cls = p["enc_score_head"]["kernel"].shape[1]
+        hidden = p["enc_score_head"]["kernel"].shape[0]
+        p["denoising_class_embed"] = np.zeros(
+            (n_cls + 1, hidden), np.float32
+        )
+
+    for i in range(num_layers):
+        lp = f"{prefix}decoder.layers.{i}."
+        p[f"layer{i}"] = {
+            "self_attn": _mha(sd, f"{lp}self_attn"),
+            "norm1": _ln(sd, f"{lp}norm1"),
+            "cross_attn": {
+                "sampling_offsets": _lin(
+                    sd, f"{lp}cross_attn.sampling_offsets"
+                ),
+                "attention_weights": _lin(
+                    sd, f"{lp}cross_attn.attention_weights"
+                ),
+                "value_proj": _lin(sd, f"{lp}cross_attn.value_proj"),
+                "output_proj": _lin(sd, f"{lp}cross_attn.output_proj"),
+            },
+            "norm2": _ln(sd, f"{lp}norm2"),
+            "linear1": _lin(sd, f"{lp}linear1"),
+            "linear2": _lin(sd, f"{lp}linear2"),
+            "norm3": _ln(sd, f"{lp}norm3"),
+        }
+        p[f"dec_score_head{i}"] = _lin(sd, f"{prefix}dec_score_head.{i}")
+        p[f"dec_bbox_head{i}"] = _mlp(sd, f"{prefix}dec_bbox_head.{i}", 3)
+    return p, s
+
+
+def convert_torch_ecseg_mask_head_state_dict(
+    sd: Mapping[str, Any], prefix: str = "decoder.mask_head."
+) -> Dict[str, Any]:
+    """EdgeCrafterInstanceSegmentationHead (``edgecrafter_head.py:91-224``)
+    -> flax params for ``ECSegMaskHead`` (``tasks/detection/ltdetr_seg.py``)."""
+    p: Dict[str, Any] = {}
+    i = 0
+    while f"{prefix}blocks.{i}.dwconv.weight" in sd:
+        bp = f"{prefix}blocks.{i}."
+        p[f"block{i}"] = {
+            "dwconv": _conv(sd, f"{bp}dwconv"),
+            "norm": _ln(sd, f"{bp}norm"),
+            "pwconv1": _lin(sd, f"{bp}pwconv1"),
+        }
+        i += 1
+    p["spatial_proj"] = _conv(sd, f"{prefix}spatial_features_proj")
+    p["query_norm"] = _ln(sd, f"{prefix}query_features_block.norm_in")
+    p["query_fc1"] = _lin(sd, f"{prefix}query_features_block.layers.0")
+    p["query_fc2"] = _lin(sd, f"{prefix}query_features_block.layers.2")
+    p["query_proj"] = _lin(sd, f"{prefix}query_features_proj")
+    p["bias"] = _t(sd[f"{prefix}bias"]).reshape(1)
+    return p
+
+
+def convert_torch_ecvit_ltdetr_state_dict(
+    sd: Mapping[str, Any],
+    num_levels: int = 3,
+    csp_blocks: int = 3,
+    with_mask_head: bool = False,
+) -> Tuple[Dict, Dict, Optional[Dict]]:
+    """``LTDETRObjectDetection`` / ``LTDETRInstanceSegmentation`` state dict
+    with an ECViT (EdgeCrafter) backbone -> flax (params, batch_stats,
+    mask_head_params). The ECViT wrapper lives at
+    ``backbone._model_wrapper.`` (``ecvit_vit_wrapper.py:52``); the trunk
+    converts via ``models/convert.convert_ecvit_state_dict``."""
+    from lightly_train_tpu.models.convert import convert_ecvit_state_dict
+
+    wrapper_prefix = "backbone._model_wrapper."
+    trunk_sd = {
+        k[len(wrapper_prefix):]: v
+        for k, v in sd.items()
+        if k.startswith(wrapper_prefix)
+    }
+    depth = sum(
+        1 for k in trunk_sd
+        if k.startswith("backbone.blocks.") and k.endswith(".norm1.weight")
+    )
+    n_proj = sum(
+        1 for k in trunk_sd
+        if k.startswith("projector.") and k.endswith(".conv.weight")
+    )
+    trunk = convert_ecvit_state_dict(trunk_sd, depth, n_proj)
+    enc_p, enc_s = convert_torch_hybrid_encoder_state_dict(
+        sd, "encoder.", num_levels, csp_blocks
+    )
+    dec_p, dec_s = convert_torch_any_decoder_state_dict(sd, "decoder.")
+    params = {
+        "trunk": trunk["params"],
+        "encoder": enc_p,
+        "decoder": dec_p,
+    }
+    stats: Dict[str, Any] = {
+        "trunk": trunk["batch_stats"],
+        "encoder": enc_s,
+    }
+    if dec_s:
+        stats["decoder"] = dec_s
+    mask_head = (
+        convert_torch_ecseg_mask_head_state_dict(sd)
+        if with_mask_head
+        else None
+    )
+    return params, stats, mask_head
+
+
+def convert_torch_convnext_ltdetr_state_dict(
+    sd: Mapping[str, Any],
+    num_levels: int = 3,
+    csp_blocks: int = 3,
+) -> Tuple[Dict, Dict]:
+    """``LTDETRObjectDetection`` state dict with a DINOv3 ConvNeXt backbone
+    (``dinov3_convnext_wrapper.py``: pass-through of stages 1-3) -> flax
+    (params, batch_stats)."""
+    from lightly_train_tpu.models.convert import (
+        convert_torch_convnext_state_dict,
+    )
+
+    wrapper_prefix = "backbone._model_wrapper._model."
+    trunk_sd = {
+        k[len(wrapper_prefix):]: v
+        for k, v in sd.items()
+        if k.startswith(wrapper_prefix)
+    }
+    trunk = convert_torch_convnext_state_dict(trunk_sd)
+    enc_p, enc_s = convert_torch_hybrid_encoder_state_dict(
+        sd, "encoder.", num_levels, csp_blocks
+    )
+    dec_p, dec_s = convert_torch_any_decoder_state_dict(sd, "decoder.")
+    params = {
+        "trunk": trunk["params"] if "params" in trunk else trunk,
+        "encoder": enc_p,
+        "decoder": dec_p,
+    }
+    stats: Dict[str, Any] = {"encoder": enc_s}
+    if isinstance(trunk, dict) and "batch_stats" in trunk:
+        stats["trunk"] = trunk["batch_stats"]
+    if dec_s:
+        stats["decoder"] = dec_s
+    return params, stats
+
+
+def _decoder_is_dfine(sd: Mapping[str, Any], prefix: str = "decoder.") -> bool:
+    """D-FINE checkpoints carry ``pre_bbox_head``/``gateway`` weights;
+    RT-DETRv2 checkpoints carry per-layer ``cross_attn.value_proj``."""
+    return f"{prefix}pre_bbox_head.layers.0.weight" in sd
+
+
+def convert_torch_any_decoder_state_dict(
+    sd: Mapping[str, Any], prefix: str = "decoder."
+) -> Tuple[Dict, Dict]:
+    if _decoder_is_dfine(sd, prefix):
+        return convert_torch_dfine_decoder_state_dict(sd, prefix)
+    return convert_torch_rtdetrv2_decoder_state_dict(sd, prefix)
+
+
 def convert_torch_ltdetr_state_dict(
     sd: Mapping[str, Any],
     num_levels: int = 3,
@@ -326,7 +521,7 @@ def convert_torch_ltdetr_state_dict(
     enc_p, enc_s = convert_torch_hybrid_encoder_state_dict(
         sd, "encoder.", num_levels, csp_blocks
     )
-    dec_p, dec_s = convert_torch_dfine_decoder_state_dict(sd, "decoder.")
+    dec_p, dec_s = convert_torch_any_decoder_state_dict(sd, "decoder.")
     params = {
         "trunk": trunk,
         "backbone_sta": sta_p,
@@ -338,4 +533,132 @@ def convert_torch_ltdetr_state_dict(
         stats["backbone_sta"] = sta_s
     if dec_s:
         stats["decoder"] = dec_s
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# PicoDet (ESNet + CSP-PAN + GFL head)
+# ---------------------------------------------------------------------------
+
+
+def _pd_conv(sd: Mapping[str, Any], prefix: str):
+    bnp, bns = _bn(sd, f"{prefix}.bn")
+    return (
+        {"conv": _conv(sd, f"{prefix}.conv"), "bn": bnp},
+        {"bn": bns},
+    )
+
+
+def _pd_dwsep(sd: Mapping[str, Any], prefix: str):
+    bnp, bns = _bn(sd, f"{prefix}.bn")
+    return (
+        {
+            "depthwise": _conv(sd, f"{prefix}.depthwise"),
+            "pointwise": _conv(sd, f"{prefix}.pointwise"),
+            "bn": bnp,
+        },
+        {"bn": bns},
+    )
+
+
+def _pd_csp(sd: Mapping[str, Any], prefix: str):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for unit in ("short_conv", "main_conv", "final_conv"):
+        params[unit], stats[unit] = _pd_conv(sd, f"{prefix}.{unit}")
+    j = 0
+    while f"{prefix}.blocks.{j}.conv1.conv.weight" in sd:
+        c1p, c1s = _pd_conv(sd, f"{prefix}.blocks.{j}.conv1")
+        c2p, c2s = _pd_dwsep(sd, f"{prefix}.blocks.{j}.conv2")
+        params[f"blocks{j}"] = {"conv1": c1p, "conv2": c2p}
+        stats[f"blocks{j}"] = {"conv1": c1s, "conv2": c2s}
+        j += 1
+    return params, stats
+
+
+def convert_torch_picodet_state_dict(
+    sd: Mapping[str, Any], which_head: str = "o2o"
+) -> Tuple[Dict, Dict]:
+    """``PicoDetObjectDetection`` torch state dict -> flax
+    (params, batch_stats) for ``_PicoDetModule``
+    (``picodet_object_detection/{esnet,csp_pan,pico_head}.py``).
+
+    ``which_head`` selects which of the reference's two GFL heads becomes
+    the single head here: ``"o2o"`` (default) is the one-to-one head the
+    reference's predict/export paths run (``task_model.py:430,540``);
+    ``"o2m"`` is the one-to-many training head.
+    """
+    sd = {k: _t(v) for k, v in sd.items()}
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    # ---- backbone (ESNet) ----
+    bb_p: Dict[str, Any] = {}
+    bb_s: Dict[str, Any] = {}
+    bb_p["conv1"], bb_s["conv1"] = _pd_conv(sd, "backbone.conv1")
+    i = 0
+    while f"backbone.blocks.{i}.se.fc1.weight" in sd:
+        prefix = f"backbone.blocks.{i}"
+        units = (
+            ("conv_dw_1", "conv_linear_1", "conv_pw_2", "conv_dw_2",
+             "conv_linear_2", "conv_dw_mv1", "conv_pw_mv1")
+            if f"{prefix}.conv_dw_1.conv.weight" in sd
+            else ("conv_pw", "conv_dw", "conv_linear")
+        )
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        for u in units:
+            bp[u], bs[u] = _pd_conv(sd, f"{prefix}.{u}")
+        bp["se"] = {
+            "fc1": _conv(sd, f"{prefix}.se.fc1"),
+            "fc2": _conv(sd, f"{prefix}.se.fc2"),
+        }
+        bb_p[f"block{i}"] = bp
+        bb_s[f"block{i}"] = bs
+        i += 1
+    params["backbone"] = bb_p
+    stats["backbone"] = bb_s
+
+    # ---- neck (CSPPAN) ----
+    nk_p: Dict[str, Any] = {}
+    nk_s: Dict[str, Any] = {}
+    t = 0
+    while f"neck.transforms.{t}.conv.weight" in sd:
+        nk_p[f"transforms{t}"], nk_s[f"transforms{t}"] = _pd_conv(
+            sd, f"neck.transforms.{t}"
+        )
+        t += 1
+    for group, fn in (
+        ("top_down_blocks", _pd_csp),
+        ("bottom_up_blocks", _pd_csp),
+        ("downsamples", _pd_dwsep),
+    ):
+        g = 0
+        while any(k.startswith(f"neck.{group}.{g}.") for k in sd):
+            nk_p[f"{group}{g}"], nk_s[f"{group}{g}"] = fn(
+                sd, f"neck.{group}.{g}"
+            )
+            g += 1
+    for unit in ("first_top_conv", "second_top_conv"):
+        nk_p[unit], nk_s[unit] = _pd_dwsep(sd, f"neck.{unit}")
+    params["neck"] = nk_p
+    stats["neck"] = nk_s
+
+    # ---- head ----
+    hp = "o2o_head." if which_head == "o2o" else "head."
+    hd_p: Dict[str, Any] = {}
+    hd_s: Dict[str, Any] = {}
+    lvl = 0
+    while f"{hp}gfl_cls.{lvl}.weight" in sd:
+        i = 0
+        while f"{hp}cls_convs.{lvl}.{i}.depthwise.weight" in sd:
+            (
+                hd_p[f"cls_convs{lvl}_{i}"],
+                hd_s[f"cls_convs{lvl}_{i}"],
+            ) = _pd_dwsep(sd, f"{hp}cls_convs.{lvl}.{i}")
+            i += 1
+        hd_p[f"gfl_cls{lvl}"] = _conv(sd, f"{hp}gfl_cls.{lvl}")
+        lvl += 1
+    params["head"] = hd_p
+    stats["head"] = hd_s
     return params, stats

@@ -37,6 +37,16 @@ class ObjectDetectionArgs(TaskArgs):
     num_classes: int = 80
     num_queries: int = 300
     d_model: int = 256
+    # Encoder overrides for presets whose HybridEncoder runs at a different
+    # width than the decoder (reference CNN/ConvNeXt configs: encoder 384,
+    # decoder 256). None = follow d_model / dim_feedforward.
+    enc_d_model: Optional[int] = None
+    enc_dim_feedforward: Optional[int] = None
+    # CSPRepLayer shape knobs (reference ``HybridEncoderConfig.expansion`` /
+    # ``depth_mult``; csp_blocks = round(3 * depth_mult)).
+    expansion: float = 1.0
+    csp_blocks: int = 3
+    upsample: bool = True
     num_decoder_layers: int = 3
     num_heads: int = 8
     dim_feedforward: int = 1024
@@ -123,13 +133,17 @@ class _LTDETRModule(nn.Module):
                 f = out["features"]
                 taps = [f, f, f]
             feats = DINOSTAs(
-                hidden_dim=self.cfg.d_model,
+                hidden_dim=self.cfg.enc_dim,
                 use_sta=self.use_sta,
                 conv_inplane=self.conv_inplane,
                 dtype=self.cfg.dtype,
                 name="backbone_sta",
             )(images, taps, train)
         levels = HybridEncoder(self.cfg, name="encoder")(feats, train)
+        # Highest-resolution encoder level (the torch seg decoder's
+        # ``spatial_feat = proj_feats[0]``, ``edgecrafter_decoder.py:112``;
+        # the decoder input proj is identity in the ECViT presets).
+        self.sow("intermediates", "enc_p3", levels[0])
         return DETRDecoder(self.cfg, name="decoder")(
             levels, train, dn_labels=dn_labels, dn_boxes=dn_boxes,
             dn_group_size=dn_group_size,
@@ -144,11 +158,18 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         self.args: ObjectDetectionArgs = args
         self.cfg = DetrConfig(
             d_model=args.d_model,
+            enc_d_model=getattr(args, "enc_d_model", None),
             num_heads=args.num_heads,
             num_queries=args.num_queries,
             num_decoder_layers=args.num_decoder_layers,
             dim_feedforward=args.dim_feedforward,
-            enc_dim_feedforward=args.dim_feedforward,
+            enc_dim_feedforward=(
+                getattr(args, "enc_dim_feedforward", None)
+                or args.dim_feedforward
+            ),
+            expansion=getattr(args, "expansion", 1.0),
+            csp_blocks=getattr(args, "csp_blocks", 3),
+            upsample=getattr(args, "upsample", True),
             num_classes=args.num_classes,
             use_dfine=getattr(args, "decoder", "dfine") == "dfine",
             num_points=tuple(getattr(args, "num_points", (4, 4, 4))),
@@ -453,7 +474,7 @@ class ObjectDetectionTrainModel(TaskTrainModel):
             loss = loss + dn_total
         return loss, (new_model_state, metrics)
 
-    def _decode(self, outputs) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def _decode(self, outputs, return_q: bool = False):
         """Final-layer predictions -> top-k (boxes xyxy norm, scores, labels)."""
         logits, boxes = outputs[-1]
         C = self.args.num_classes
@@ -465,6 +486,8 @@ class ObjectDetectionTrainModel(TaskTrainModel):
         q_idx = top_idx // C
         cls_idx = top_idx % C
         sel_boxes = jnp.take_along_axis(boxes, q_idx[..., None], axis=1)
+        if return_q:
+            return cxcywh_to_xyxy(sel_boxes), top_scores, cls_idx, q_idx
         return cxcywh_to_xyxy(sel_boxes), top_scores, cls_idx
 
     def val_step(self, params, model_state, batch):

@@ -41,10 +41,97 @@ from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
 NO_SEGMENT = 255
 
 
+class _DepthwiseConvBlock(nn.Module):
+    """Reference ``DepthwiseConvBlock`` (``edgecrafter_head.py:34-59``):
+    residual dwconv3x3 -> LN(1e-6) -> Linear -> GELU (layer scale disabled
+    in every shipped preset). NHWC."""
+
+    dim: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.Conv(
+            self.dim, (3, 3), padding=((1, 1), (1, 1)),
+            feature_group_count=self.dim, dtype=self.dtype, name="dwconv",
+        )(x)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="pwconv1")(h)
+        h = nn.gelu(h, approximate=False)
+        return x + h
+
+
+class ECSegMaskHead(nn.Module):
+    """Parameter-isomorphic rebuild of the reference EdgeCrafter mask head
+    (``instance_segmentation_components/edgecrafter_head.py:91-224``).
+
+    The /8 encoder level is bilinearly resized to image/4, refined by one
+    cumulative DepthwiseConvBlock per decoder layer, and dot-producted with
+    MLP-refined + projected per-layer query states; a learned scalar bias is
+    added. Returns one (B, Q, Hm, Wm) logit tensor per decoder layer."""
+
+    dim: int
+    num_blocks: int
+    downsample_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        spatial: jax.Array,  # (B, H8, W8, C) NHWC
+        query_states,  # sequence of (B, Q, C), one per decoder layer
+        image_hw: Tuple[int, int],
+    ):
+        B = spatial.shape[0]
+        th = image_hw[0] // self.downsample_ratio
+        tw = image_hw[1] // self.downsample_ratio
+        x = jax.image.resize(
+            spatial.astype(jnp.float32), (B, th, tw, spatial.shape[-1]),
+            "bilinear", antialias=False,
+        ).astype(spatial.dtype)
+        # bottleneck_ratio=1 in every preset: real 1x1 conv / Linear projs.
+        spatial_proj = nn.Conv(
+            self.dim, (1, 1), dtype=self.dtype, name="spatial_proj"
+        )
+        query_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="query_norm"
+        )
+        query_fc1 = nn.Dense(4 * self.dim, dtype=self.dtype, name="query_fc1")
+        query_fc2 = nn.Dense(self.dim, dtype=self.dtype, name="query_fc2")
+        query_proj = nn.Dense(self.dim, dtype=self.dtype, name="query_proj")
+        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
+
+        out = []
+        for i, q in enumerate(query_states[: self.num_blocks]):
+            x = _DepthwiseConvBlock(
+                self.dim, self.dtype, name=f"block{i}"
+            )(x)
+            sp = spatial_proj(x)
+            qh = q + query_fc2(nn.gelu(query_fc1(query_norm(q)),
+                                       approximate=False))
+            qp = query_proj(qh)
+            logits = jnp.einsum(
+                "bhwc,bqc->bqhw", sp.astype(jnp.float32),
+                qp.astype(jnp.float32),
+            ) + bias[0]
+            out.append(logits)
+        return out
+
+
 class InstanceSegmentationLTDETRArgs(ObjectDetectionArgs):
+    # Mask head architecture: "edgecrafter" = the reference's cumulative
+    # depthwise-refinement head (parameter-isomorphic, convert-on-load for
+    # zoo checkpoints); "linear" = the original lightweight query/pixel
+    # projection head (kept for pre-r5 artifacts).
+    mask_head_arch: str = "edgecrafter"
     mask_dim: int = 64
-    mask_weight: float = 2.0
-    dice_weight: float = 2.0
+    # Reference ``loss_weight_dict``: loss_mask 5.0, loss_dice 5.0
+    # (``ltdetr_instance_segmentation/train_model.py:86-87``).
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    # Point-sampled mask loss budget: H*W // ratio, floored at H
+    # (``edgecrafter_criterion.py:121-126``; train_model.py:154 ratio=16).
+    mask_point_sample_ratio: int = 16
     max_instances: int = 50
     mask_threshold: float = 0.5
 
@@ -56,9 +143,20 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
                  args: InstanceSegmentationLTDETRArgs):
         super().__init__(wrapped, args)
         self.args: InstanceSegmentationLTDETRArgs = args
+        if args.mask_head_arch == "edgecrafter":
+            if self.cfg.enc_dim != self.cfg.d_model:
+                raise ValueError(
+                    "The EdgeCrafter mask head requires encoder and decoder "
+                    "widths to match (every reference seg preset does)."
+                )
+            self.mask_module = ECSegMaskHead(
+                dim=self.cfg.d_model,
+                num_blocks=self.cfg.num_decoder_layers,
+                dtype=self.cfg.dtype,
+            )
 
     # The detection module is reused; the mask head params live in
-    # an extra flax module applied to sown decoder queries.
+    # an extra flax module applied to sown decoder queries + features.
     def _apply_with_masks(self, params, model_state, images, train, rng=None):
         variables = {"params": params["backbone"], **model_state}
         mutable = ["intermediates"] + (
@@ -68,10 +166,17 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         (outputs), aux = self.module.apply(
             variables, images, train=train, rngs=rngs, mutable=mutable
         )
-        queries = aux["intermediates"]["decoder"]["final_queries"][0]
-        # Trunk features sown by _LTDETRModule: the mask head projects them
-        # directly — no second backbone forward.
-        feats = aux["intermediates"]["trunk_features"][0]
+        inter = aux["intermediates"]
+        if self.args.mask_head_arch == "edgecrafter":
+            # Per-layer decoder query states + the /8 encoder level feed the
+            # cumulative EdgeCrafter head (torch ``return_query_states``).
+            queries = list(inter["decoder"]["query_states"])
+            feats = inter["enc_p3"][0]
+        else:
+            queries = inter["decoder"]["final_queries"][0]
+            # Trunk features sown by _LTDETRModule: the mask head projects
+            # them directly — no second backbone forward.
+            feats = inter["trunk_features"][0]
         new_model_state = {
             k: v for k, v in aux.items() if k != "intermediates"
         } or model_state
@@ -85,38 +190,55 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
 
     def init(self, rng, sample_batch):
         k1, k2, k3 = jax.random.split(rng, 3)
+        images = sample_batch["images"].astype(jnp.float32)
         variables = self.module.init(
-            {"params": k1, "droppath": k2},
-            sample_batch["images"].astype(jnp.float32),
-            train=False,
+            {"params": k1, "droppath": k2}, images, train=False,
         )
         params = {"backbone": variables["params"]}
         model_state = {
             k: v for k, v in variables.items()
             if k not in ("params", "intermediates")
         }
-        # Mask head params: query proj + pixel proj on backbone features.
-        feat_dim = self.wrapped.feature_dim
         D = self.cfg.d_model
-        md = self.args.mask_dim
-        params["mask_head"] = {
-            "query_proj": {
-                "kernel": nn.initializers.lecun_normal()(
-                    k3, (D, md), jnp.float32
-                ),
-                "bias": jnp.zeros((md,), jnp.float32),
-            },
-            "pixel_proj": {
-                "kernel": nn.initializers.lecun_normal()(
-                    jax.random.fold_in(k3, 1), (feat_dim, md), jnp.float32
-                ),
-                "bias": jnp.zeros((md,), jnp.float32),
-            },
-        }
+        if self.args.mask_head_arch == "edgecrafter":
+            B, H, W = images.shape[0], images.shape[1], images.shape[2]
+            spatial = jnp.zeros((B, H // 8, W // 8, D), self.cfg.dtype)
+            qs = [
+                jnp.zeros((B, self.args.num_queries, D), self.cfg.dtype)
+                for _ in range(self.cfg.num_decoder_layers)
+            ]
+            mh_vars = self.mask_module.init(k3, spatial, qs, (H, W))
+            params["mask_head"] = mh_vars["params"]
+        else:
+            # Legacy head: query proj + pixel proj on backbone features.
+            feat_dim = self.wrapped.feature_dim
+            md = self.args.mask_dim
+            params["mask_head"] = {
+                "query_proj": {
+                    "kernel": nn.initializers.lecun_normal()(
+                        k3, (D, md), jnp.float32
+                    ),
+                    "bias": jnp.zeros((md,), jnp.float32),
+                },
+                "pixel_proj": {
+                    "kernel": nn.initializers.lecun_normal()(
+                        jax.random.fold_in(k3, 1), (feat_dim, md),
+                        jnp.float32
+                    ),
+                    "bias": jnp.zeros((md,), jnp.float32),
+                },
+            }
         return params, model_state
 
-    def _mask_logits(self, params, feats, queries):
-        """(B, Q, D) queries + (B, gh, gw, Df) trunk features -> mask logits."""
+    def _mask_logits(self, params, feats, queries, image_hw=None):
+        """-> flattened final-layer mask logits (B, Q, n) + their grid."""
+        if self.args.mask_head_arch == "edgecrafter":
+            levels = self.mask_module.apply(
+                {"params": params["mask_head"]}, feats, queries, image_hw
+            )
+            final = levels[-1]
+            B, Q, th, tw = final.shape
+            return final.reshape(B, Q, th * tw), (th, tw)
         mh = params["mask_head"]
         q_emb = queries @ mh["query_proj"]["kernel"] + mh["query_proj"]["bias"]
         p_emb = feats @ mh["pixel_proj"]["kernel"] + mh["pixel_proj"]["bias"]
@@ -128,24 +250,20 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
 
     def loss_fn(self, params, model_state, batch, rng, step):
         del step
+        k_pts, rng = jax.random.split(rng)
         outputs, queries, feats, new_model_state = self._apply_with_masks(
             params, model_state, batch["images"], True, rng
         )
         det_loss, metrics = detection_criterion(
             outputs, batch["seg_labels"], batch["boxes"], batch["seg_valid"]
         )
-        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
-        # Targets at patch resolution from the slot-id map.
+        a = self.args
+        image_hw = batch["images"].shape[1:3]
+        mask_logits, (gh, gw) = self._mask_logits(
+            params, feats, queries, image_hw
+        )
         K = batch["seg_labels"].shape[1]
         B = batch["seg_map"].shape[0]
-        onehot = jax.nn.one_hot(
-            jnp.where(batch["seg_map"] == NO_SEGMENT, K, batch["seg_map"]),
-            K + 1,
-        )[..., :K]
-        t = jax.image.resize(onehot, (B, gh, gw, K), "linear")
-        targets = (t > 0.5).astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
-            B, K, gh * gw
-        )
         # Match on the final detection level.
         logits_f, boxes_f = outputs[-1]
         cost = detection_matching_cost(
@@ -157,15 +275,69 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         assigned = assignment >= 0
         safe_q = jnp.maximum(assignment, 0)
         pred = jnp.take_along_axis(mask_logits, safe_q[..., None], axis=1)
-        sig = jax.nn.sigmoid(pred)
-        bce = jnp.mean(
-            targets * jax.nn.softplus(-pred)
-            + (1 - targets) * jax.nn.softplus(pred),
-            axis=-1,
-        )
-        dice = _dice_loss(sig, targets)
+        if a.mask_head_arch == "edgecrafter":
+            # Point-sampled CE+dice at importance-sampled coordinates
+            # (``edgecrafter_criterion.loss_masks``): budget
+            # max(H, H*W//ratio); targets nearest-sampled from the slot map.
+            from lightly_train_tpu.ops.point_sampling import (
+                bilinear_point_sample,
+                uncertainty_point_coords,
+            )
+
+            P = max(gh, gh * gw // a.mask_point_sample_ratio)
+            flat_pred = pred.reshape(B * K, gh, gw)
+            coords = uncertainty_point_coords(
+                k_pts, jax.lax.stop_gradient(flat_pred).astype(jnp.float32),
+                P, 3.0, 0.75,
+            )  # (B*K, P, 2)
+            pred_p = bilinear_point_sample(
+                flat_pred[:, None], coords
+            ).reshape(B, K, P).astype(jnp.float32)
+            # Nearest-neighbor target sampling (torch grid_sample
+            # mode="nearest", align_corners=False) from the slot-id map.
+            id_map = batch["seg_map"].astype(jnp.int32)  # (B, H, W)
+            H, W = id_map.shape[1:3]
+            c = coords.reshape(B, K * P, 2)
+            yi = jnp.clip(
+                jnp.round(c[..., 0] * H - 0.5).astype(jnp.int32), 0, H - 1
+            )
+            xi = jnp.clip(
+                jnp.round(c[..., 1] * W - 0.5).astype(jnp.int32), 0, W - 1
+            )
+            ids = jnp.take_along_axis(
+                id_map.reshape(B, H * W), yi * W + xi, axis=1
+            ).reshape(B, K, P)
+            targets_p = (
+                ids == jnp.arange(K, dtype=jnp.int32)[None, :, None]
+            ).astype(jnp.float32)
+            sig = jax.nn.sigmoid(pred_p)
+            bce = jnp.mean(
+                targets_p * jax.nn.softplus(-pred_p)
+                + (1 - targets_p) * jax.nn.softplus(pred_p),
+                axis=-1,
+            )
+            dice = _dice_loss(sig, targets_p)
+        else:
+            # Legacy head: full-mask loss at the head's grid resolution.
+            onehot = jax.nn.one_hot(
+                jnp.where(
+                    batch["seg_map"] == NO_SEGMENT, K, batch["seg_map"]
+                ),
+                K + 1,
+            )[..., :K]
+            t = jax.image.resize(onehot, (B, gh, gw, K), "linear")
+            targets = (
+                (t > 0.5).astype(jnp.float32)
+                .transpose(0, 3, 1, 2).reshape(B, K, gh * gw)
+            )
+            sig = jax.nn.sigmoid(pred)
+            bce = jnp.mean(
+                targets * jax.nn.softplus(-pred)
+                + (1 - targets) * jax.nn.softplus(pred),
+                axis=-1,
+            )
+            dice = _dice_loss(sig, targets)
         denom = jnp.maximum(jnp.sum(assigned), 1.0)
-        a = self.args
         mask_loss = (
             a.mask_weight * jnp.sum(bce * assigned) / denom
             + a.dice_weight * jnp.sum(dice * assigned) / denom
@@ -177,7 +349,9 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         outputs, queries, feats, _ = self._apply_with_masks(
             params, model_state, batch["images"], False
         )
-        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
+        mask_logits, (gh, gw) = self._mask_logits(
+            params, feats, queries, batch["images"].shape[1:3]
+        )
         logits_f, boxes_f = outputs[-1]
         C = self.args.num_classes
         scores = jax.nn.sigmoid(logits_f[..., :C])
@@ -240,11 +414,15 @@ class LTDETRInstanceSegmentationTrainModel(ObjectDetectionTrainModel):
         outputs, queries, feats, _ = self._apply_with_masks(
             params, model_state, images, False
         )
-        boxes, scores, labels = self._decode(outputs)
-        mask_logits, (gh, gw) = self._mask_logits(params, feats, queries)
-        B, Q = mask_logits.shape[:2]
-        masks = (jax.nn.sigmoid(mask_logits) > self.args.mask_threshold)
-        return boxes, scores, labels, masks.reshape(B, Q, gh, gw)
+        boxes, scores, labels, q_idx = self._decode(outputs, return_q=True)
+        mask_logits, (gh, gw) = self._mask_logits(
+            params, feats, queries, images.shape[1:3]
+        )
+        # Align masks with the top-k detections (gather by query index).
+        sel = jnp.take_along_axis(mask_logits, q_idx[..., None], axis=1)
+        B, k = sel.shape[:2]
+        masks = jax.nn.sigmoid(sel) > self.args.mask_threshold
+        return boxes, scores, labels, masks.reshape(B, k, gh, gw)
 
     @property
     def watch_metric(self):

@@ -9,6 +9,16 @@ discrete distance distribution per box side (DFL, ``Integral``
 ``pico_head.py:66``), supervised by VarifocalLoss + weighted GIoU + DFL under
 SimOTA dynamic-k assignment.
 
+The backbone/neck/head modules are PARAMETER-ISOMORPHIC with the
+reference (round 5): ``ESNet`` reproduces ``EnhancedInvertedResidual{,DS}``
+(ghost branch, SE placement, the DS blocks' MobileNetV1 dw/pw tail,
+per-block mid channels from the size's ``channel_ratios``), ``CSPPAN`` the
+``CSPLayer``/``DarknetBottleneck`` stacks + two-conv P6, ``PicoDetHead``
+the ``share_cls_reg`` GFL head — so reference checkpoints convert exactly
+(``convert.convert_torch_picodet_state_dict``; the deployed one-to-one
+head becomes this model's single head, golden round-trip in
+``tests/tasks/test_zoo_picodet_convert.py``).
+
 TPU-native design notes (not a translation):
 - SimOTA is data-dependent in the reference (per-image Python loop over gts
   with ``topk(k)`` for a *dynamic* k, ``sim_ota_assigner.py:352-420``). Here
@@ -42,9 +52,10 @@ _INF = 1e8
 
 class PicoDetArgs(TaskArgs):
     num_classes: int = 80
-    widths: Tuple[int, ...] = (96, 192, 384)
-    neck_dim: int = 96
-    head_convs: int = 2
+    # Reference size presets (``config.py:53-76``): "s" = Small416 (ESNet-s
+    # scale 0.75, neck/head 96, 2 stacked head convs), "l" = Large640
+    # (ESNet-l scale 1.25, neck/head 128, 3 stacked convs).
+    model_size: str = "s"
     reg_max: int = 7
     center_radius: float = 2.5
     candidate_topk: int = 10
@@ -59,16 +70,122 @@ class PicoDetArgs(TaskArgs):
     default_batch_size: int = 64
 
 
-class _SE(nn.Module):
-    dim: int
+def _make_divisible(v: float, divisor: int, min_value: "int | None" = None) -> int:
+    """Reference channel rounding (``esnet.py:23-40``)."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+# ESNet size settings (``esnet.py:273-330``): per-size width scale + the
+# per-block mid-channel ratios.
+_ESNET_SETTINGS: Dict[str, Tuple[float, Tuple[float, ...]]] = {
+    "s": (0.75, (0.875, 0.5, 0.5, 0.5, 0.625, 0.5, 0.625, 0.5, 0.5, 0.5,
+                 0.5, 0.5, 0.5)),
+    "m": (1.0, (0.875, 0.5, 1.0, 0.625, 0.5, 0.75, 0.625, 0.625, 0.5,
+                0.625, 1.0, 0.625, 0.75)),
+    "l": (1.25, (0.875, 0.5, 1.0, 0.625, 0.5, 0.75, 0.625, 0.625, 0.5,
+                 0.625, 1.0, 0.625, 0.75)),
+    # Hidden CPU-test size (stage channels 16/32/64).
+    "test": (0.125, (0.5,) * 13),
+}
+_ESNET_STAGE_REPEATS = (3, 7, 3)
+
+# Task-model preset (``config.py:53-76``): neck/head channels + stacked
+# head convs per size.
+_PICODET_PRESETS: Dict[str, Tuple[int, int, int]] = {
+    "s": (96, 96, 2),
+    "l": (128, 128, 3),
+    "test": (16, 16, 1),
+}
+
+
+def esnet_stage_channels(model_size: str) -> Tuple[int, ...]:
+    scale, _ = _ESNET_SETTINGS[model_size]
+    return (
+        24,
+        _make_divisible(128 * scale, 16),
+        _make_divisible(256 * scale, 16),
+        _make_divisible(512 * scale, 16),
+    )
+
+
+class PDConv(nn.Module):
+    """Reference esnet ``ConvBNAct`` (``esnet.py:68-104``): conv(bias=False)
+    + BN + {relu, identity}, torch (k-1)//2 padding."""
+
+    out_ch: int
+    kernel: int
+    stride: int = 1
+    groups: int = 1
+    act: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.out_ch, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=((p, p), (p, p)),
+            feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.relu(x) if self.act else x
+
+
+class PDDWSep(nn.Module):
+    """Reference ``DepthwiseSeparableConv`` (``csp_pan.py:23-60`` /
+    ``pico_head.py:30-64``): dw conv + pw conv (both bias-free) + one BN +
+    ReLU."""
+
+    out_ch: int
+    kernel: int = 5
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        p = self.kernel // 2
+        x = nn.Conv(
+            x.shape[-1], (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=((p, p), (p, p)),
+            feature_group_count=x.shape[-1], use_bias=False,
+            dtype=self.dtype, name="depthwise",
+        )(x)
+        x = nn.Conv(
+            self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.relu(x)
+
+
+class PDSE(nn.Module):
+    """Reference ``SEModule`` (``esnet.py:106-125``): 1x1 fc convs WITH
+    bias, relu then sigmoid gate."""
+
+    ch: int
+    reduction: int = 4
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        s = jnp.mean(x, axis=(1, 2))
-        s = nn.relu(nn.Dense(self.dim // 4, dtype=self.dtype, name="fc1")(s))
-        s = jax.nn.sigmoid(nn.Dense(self.dim, dtype=self.dtype, name="fc2")(s))
-        return x * s[:, None, None, :]
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.relu(nn.Conv(
+            self.ch // self.reduction, (1, 1), dtype=self.dtype, name="fc1"
+        )(s))
+        s = jax.nn.sigmoid(nn.Conv(
+            self.ch, (1, 1), dtype=self.dtype, name="fc2"
+        )(s))
+        return x * s
 
 
 def _channel_shuffle(x: jax.Array, groups: int = 2) -> jax.Array:
@@ -80,168 +197,214 @@ def _channel_shuffle(x: jax.Array, groups: int = 2) -> jax.Array:
     )
 
 
-class DWConvBNAct(nn.Module):
-    """Depthwise-separable conv (k×k dw + 1×1 pw) + BN + ReLU.
+class _EIR(nn.Module):
+    """``EnhancedInvertedResidual`` (stride 1, ``esnet.py:127-175``): split,
+    ghost branch (pw -> dw -> cat) + SE + linear, concat, shuffle."""
 
-    Matches ``pico_head.py:29-64`` / ``csp_pan.py`` DepthwiseSeparableConv.
-    """
-
-    filters: int
-    kernel: int = 5
-    strides: int = 1
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Conv(
-            x.shape[-1], (self.kernel, self.kernel),
-            strides=(self.strides, self.strides), padding="SAME",
-            feature_group_count=x.shape[-1], use_bias=False,
-            dtype=self.dtype, name="dw",
-        )(x)
-        x = nn.Conv(
-            self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="pw"
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, dtype=self.dtype, name="bn"
-        )(x)
-        return nn.relu(x)
-
-
-class _ESBlock(nn.Module):
-    """ShuffleNetV2-style inverted residual with SE (ESNet block)."""
-
-    dim: int
-    stride: int
+    mid_ch: int
+    out_ch: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
-        half = self.dim // 2
-        if self.stride == 1:
-            a, b = jnp.split(x, 2, axis=-1)
-            b = ConvBNAct(half, 1, dtype=self.dtype, name="pw1")(b, train)
-            b = nn.Conv(
-                half, (3, 3), padding="SAME", feature_group_count=half,
-                use_bias=False, dtype=self.dtype, name="dw",
-            )(b)
-            b = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype, name="dw_bn"
-            )(b)
-            b = ConvBNAct(half, 1, dtype=self.dtype, name="pw2")(b, train)
-            b = _SE(half, self.dtype, name="se")(b)
-            out = jnp.concatenate([a, b], axis=-1)
-        else:
-            a = nn.Conv(
-                x.shape[-1], (3, 3), (2, 2), padding="SAME",
-                feature_group_count=x.shape[-1], use_bias=False,
-                dtype=self.dtype, name="branch_dw",
-            )(x)
-            a = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype,
-                name="branch_dw_bn",
-            )(a)
-            a = ConvBNAct(half, 1, dtype=self.dtype, name="branch_pw")(a, train)
-            b = ConvBNAct(half, 1, dtype=self.dtype, name="pw1")(x, train)
-            b = nn.Conv(
-                half, (3, 3), (2, 2), padding="SAME", feature_group_count=half,
-                use_bias=False, dtype=self.dtype, name="dw",
-            )(b)
-            b = nn.BatchNorm(
-                use_running_average=not train, dtype=self.dtype, name="dw_bn"
-            )(b)
-            b = ConvBNAct(half, 1, dtype=self.dtype, name="pw2")(b, train)
-            b = _SE(half, self.dtype, name="se")(b)
-            out = jnp.concatenate([a, b], axis=-1)
-        return _channel_shuffle(out)
+        half_mid = self.mid_ch // 2
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x2 = PDConv(half_mid, 1, dtype=self.dtype, name="conv_pw")(x2, train)
+        x3 = PDConv(
+            half_mid, 3, groups=half_mid, act=False, dtype=self.dtype,
+            name="conv_dw",
+        )(x2, train)
+        x3 = jnp.concatenate([x2, x3], axis=-1)
+        x3 = PDSE(self.mid_ch, dtype=self.dtype, name="se")(x3)
+        x3 = PDConv(
+            self.out_ch // 2, 1, dtype=self.dtype, name="conv_linear"
+        )(x3, train)
+        return _channel_shuffle(jnp.concatenate([x1, x3], axis=-1))
+
+
+class _EIRDS(nn.Module):
+    """``EnhancedInvertedResidualDS`` (stride 2, ``esnet.py:178-252``): two
+    downsampling branches + a MobileNetV1-style dw/pw tail."""
+
+    mid_ch: int
+    out_ch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        in_ch = x.shape[-1]
+        half_mid = self.mid_ch // 2
+        x1 = PDConv(
+            in_ch, 3, stride=2, groups=in_ch, act=False, dtype=self.dtype,
+            name="conv_dw_1",
+        )(x, train)
+        x1 = PDConv(
+            self.out_ch // 2, 1, dtype=self.dtype, name="conv_linear_1"
+        )(x1, train)
+        x2 = PDConv(half_mid, 1, dtype=self.dtype, name="conv_pw_2")(x, train)
+        x2 = PDConv(
+            half_mid, 3, stride=2, groups=half_mid, act=False,
+            dtype=self.dtype, name="conv_dw_2",
+        )(x2, train)
+        x2 = PDSE(half_mid, dtype=self.dtype, name="se")(x2)
+        x2 = PDConv(
+            self.out_ch // 2, 1, dtype=self.dtype, name="conv_linear_2"
+        )(x2, train)
+        out = jnp.concatenate([x1, x2], axis=-1)
+        out = PDConv(
+            self.out_ch, 3, groups=self.out_ch, dtype=self.dtype,
+            name="conv_dw_mv1",
+        )(out, train)
+        return PDConv(
+            self.out_ch, 1, dtype=self.dtype, name="conv_pw_mv1"
+        )(out, train)
 
 
 class ESNet(nn.Module):
-    widths: Tuple[int, ...]
-    depths: Tuple[int, ...] = (3, 7, 3)
+    """Parameter-isomorphic ESNet (``esnet.py:254-430``); out_indices
+    (2, 9, 12) -> C3/C4/C5 at strides 8/16/32."""
+
+    model_size: str = "s"
+    out_indices: Tuple[int, ...] = (2, 9, 12)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
-        x = ConvBNAct(24, 3, 2, self.dtype, name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        scale, ratios = _ESNET_SETTINGS[self.model_size]
+        stage_ch = esnet_stage_channels(self.model_size)
+        x = PDConv(stage_ch[0], 3, stride=2, dtype=self.dtype, name="conv1")(
+            x, train
+        )
+        x = nn.max_pool(
+            x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+        )
         feats = []
-        for s, (width, depth) in enumerate(zip(self.widths, self.depths)):
-            x = _ESBlock(width, 2, self.dtype, name=f"s{s}_down")(x, train)
-            for i in range(depth):
-                x = _ESBlock(width, 1, self.dtype, name=f"s{s}_b{i}")(x, train)
-            feats.append(x)
+        arch_idx = 0
+        for stage_id, num_repeat in enumerate(_ESNET_STAGE_REPEATS):
+            for i in range(num_repeat):
+                out_ch = stage_ch[stage_id + 1]
+                mid_ch = _make_divisible(out_ch * ratios[arch_idx], 8)
+                if i == 0:
+                    x = _EIRDS(
+                        mid_ch, out_ch, self.dtype, name=f"block{arch_idx}"
+                    )(x, train)
+                else:
+                    x = _EIR(
+                        mid_ch, out_ch, self.dtype, name=f"block{arch_idx}"
+                    )(x, train)
+                if arch_idx in self.out_indices:
+                    feats.append(x)
+                arch_idx += 1
         return feats  # strides 8, 16, 32
 
 
-class _CSPBlock(nn.Module):
-    """CSP fusion with depthwise 5×5 convs (``csp_pan.py`` CSPLayer)."""
+class _DarknetBottleneck(nn.Module):
+    """``DarknetBottleneck`` (``csp_pan.py:93-136``): 1x1 ConvBNAct +
+    k5 depthwise-separable; optional identity."""
 
-    dim: int
+    out_ch: int
+    kernel: int = 5
+    expansion: float = 0.5
+    add_identity: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        a = ConvBNAct(self.dim // 2, 1, dtype=self.dtype, name="a")(x, train)
-        b = ConvBNAct(self.dim // 2, 1, dtype=self.dtype, name="b")(x, train)
-        b = DWConvBNAct(self.dim // 2, 5, dtype=self.dtype, name="m")(b, train)
-        return ConvBNAct(self.dim, 1, dtype=self.dtype, name="out")(
-            jnp.concatenate([a, b], axis=-1), train
+        hidden = int(self.out_ch * self.expansion)
+        h = PDConv(hidden, 1, dtype=self.dtype, name="conv1")(x, train)
+        h = PDDWSep(self.out_ch, self.kernel, dtype=self.dtype, name="conv2")(
+            h, train
+        )
+        if self.add_identity and x.shape[-1] == self.out_ch:
+            h = h + x
+        return h
+
+
+class _CSPLayer(nn.Module):
+    """``CSPLayer`` (``csp_pan.py:139-192``)."""
+
+    out_ch: int
+    kernel: int = 5
+    expansion: float = 0.5
+    num_blocks: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        mid = int(self.out_ch * self.expansion)
+        short = PDConv(mid, 1, dtype=self.dtype, name="short_conv")(x, train)
+        main = PDConv(mid, 1, dtype=self.dtype, name="main_conv")(x, train)
+        for j in range(self.num_blocks):
+            main = _DarknetBottleneck(
+                mid, self.kernel, self.expansion, dtype=self.dtype,
+                name=f"blocks{j}",
+            )(main, train)
+        return PDConv(self.out_ch, 1, dtype=self.dtype, name="final_conv")(
+            jnp.concatenate([main, short], axis=-1), train
         )
 
 
 class CSPPAN(nn.Module):
-    """4-level CSP-PAN: P3..P5 top-down/bottom-up + extra P6.
+    """Parameter-isomorphic CSP-PAN (``csp_pan.py:196-340``): per-level 1x1
+    transforms, top-down + bottom-up k5 CSP layers, and the two-conv P6."""
 
-    ``csp_pan.py:196-336``: P6 = dw-conv(stride 2)(transformed C5) +
-    dw-conv(stride 2)(P5 out).
-    """
-
-    dim: int
+    out_ch: int
+    kernel: int = 5
+    expansion: float = 1.0
+    num_csp_blocks: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool) -> List[jax.Array]:
-        levels = [
-            ConvBNAct(self.dim, 1, dtype=self.dtype, name=f"lat{i}")(f, train)
+        n = len(feats)
+        inputs = [
+            PDConv(self.out_ch, 1, dtype=self.dtype, name=f"transforms{i}")(
+                f, train
+            )
             for i, f in enumerate(feats)
         ]
-        c5_t = levels[-1]
-        B = levels[0].shape[0]
-        for i in range(len(levels) - 1, 0, -1):
+        B = inputs[0].shape[0]
+        inner = [inputs[-1]]
+        for idx in range(n - 1, 0, -1):
             up = jax.image.resize(
-                levels[i], (B,) + levels[i - 1].shape[1:3] + (self.dim,),
+                inner[0],
+                (B,) + inputs[idx - 1].shape[1:3] + (self.out_ch,),
                 "nearest",
             )
-            levels[i - 1] = _CSPBlock(self.dim, self.dtype, name=f"td{i}")(
-                jnp.concatenate([up, levels[i - 1]], axis=-1), train
-            )
-        for i in range(len(levels) - 1):
-            down = DWConvBNAct(self.dim, 5, 2, self.dtype, name=f"bu{i}")(
-                levels[i], train
-            )
-            levels[i + 1] = _CSPBlock(self.dim, self.dtype, name=f"pan{i}")(
-                jnp.concatenate([down, levels[i + 1]], axis=-1), train
-            )
-        p6 = DWConvBNAct(self.dim, 5, 2, self.dtype, name="p6_first")(
-            c5_t, train
-        ) + DWConvBNAct(self.dim, 5, 2, self.dtype, name="p6_second")(
-            levels[-1], train
-        )
-        return levels + [p6]
+            inner.insert(0, _CSPLayer(
+                self.out_ch, self.kernel, self.expansion,
+                self.num_csp_blocks, dtype=self.dtype,
+                name=f"top_down_blocks{n - 1 - idx}",
+            )(jnp.concatenate([up, inputs[idx - 1]], axis=-1), train))
+        outs = [inner[0]]
+        for idx in range(n - 1):
+            down = PDDWSep(
+                self.out_ch, self.kernel, 2, dtype=self.dtype,
+                name=f"downsamples{idx}",
+            )(outs[-1], train)
+            outs.append(_CSPLayer(
+                self.out_ch, self.kernel, self.expansion,
+                self.num_csp_blocks, dtype=self.dtype,
+                name=f"bottom_up_blocks{idx}",
+            )(jnp.concatenate([down, inner[idx + 1]], axis=-1), train))
+        p6 = PDDWSep(
+            self.out_ch, self.kernel, 2, dtype=self.dtype,
+            name="first_top_conv",
+        )(inputs[-1], train) + PDDWSep(
+            self.out_ch, self.kernel, 2, dtype=self.dtype,
+            name="second_top_conv",
+        )(outs[-1], train)
+        return outs + [p6]
 
 
 class PicoDetHead(nn.Module):
-    """GFL head: per-level shared conv stack → class + DFL distribution.
-
-    ``pico_head.py:188-370`` with ``share_cls_reg=True``: stacked 5×5
-    depthwise-separable convs, one 1×1 conv emitting
-    ``num_classes + 4*(reg_max+1)`` channels per level.
-    """
+    """Parameter-isomorphic GFL head (``pico_head.py:188-370``,
+    ``share_cls_reg=True``): per-level stacked k5 depthwise-separable convs
+    + one 1x1 conv emitting ``num_classes + 4*(reg_max+1)`` channels."""
 
     num_classes: int
-    dim: int
-    num_convs: int
+    feat_ch: int
+    stacked_convs: int
     reg_max: int
     dtype: Any = jnp.float32
 
@@ -250,13 +413,14 @@ class PicoDetHead(nn.Module):
         cls_outs, reg_outs = [], []
         for li, f in enumerate(levels):
             h = f
-            for i in range(self.num_convs):
-                h = DWConvBNAct(
-                    self.dim, 5, dtype=self.dtype, name=f"l{li}_conv{i}"
+            for i in range(self.stacked_convs):
+                h = PDDWSep(
+                    self.feat_ch, 5, dtype=self.dtype,
+                    name=f"cls_convs{li}_{i}",
                 )(h, train)
             out = nn.Conv(
                 self.num_classes + 4 * (self.reg_max + 1), (1, 1),
-                dtype=self.dtype, name=f"l{li}_gfl",
+                dtype=self.dtype, name=f"gfl_cls{li}",
             )(h)
             cls_outs.append(out[..., : self.num_classes])
             reg_outs.append(out[..., self.num_classes:])
@@ -268,13 +432,17 @@ class _PicoDetModule(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = False):
-        feats = ESNet(self.args.widths, name="backbone")(
+        size = self.args.model_size
+        neck_ch, head_ch, stacked = _PICODET_PRESETS.get(
+            size, _PICODET_PRESETS["s"]
+        )
+        feats = ESNet(size, name="backbone")(
             images.astype(jnp.float32), train
         )
-        levels = CSPPAN(self.args.neck_dim, name="neck")(feats, train)
+        levels = CSPPAN(neck_ch, name="neck")(feats, train)
         return PicoDetHead(
-            self.args.num_classes, self.args.neck_dim, self.args.head_convs,
-            self.args.reg_max, name="head",
+            self.args.num_classes, head_ch, stacked, self.args.reg_max,
+            name="head",
         )(levels, train)
 
 
@@ -681,4 +849,69 @@ def optax_sigmoid_bce(logits: jax.Array, targets: jax.Array) -> jax.Array:
     """Elementwise BCE-with-logits (stable log-sum-exp form)."""
     return jnp.clip(logits, 0) - logits * targets + jnp.log1p(
         jnp.exp(-jnp.abs(logits))
+    )
+
+
+def load_torch_picodet_zoo(name: str, init_args: Dict[str, Any], state):
+    """Zoo conversion-on-load for ``picodet-{s,l}-coco`` checkpoints.
+
+    Builds the parameter-isomorphic PicoDet and loads the reference torch
+    weights via ``convert_torch_picodet_state_dict``. The reference deploys
+    its one-to-one head (``task_model.py:430,540``), so that head becomes
+    this model's single GFL head; the one-to-many training head is dropped
+    (fine-tuning re-trains the head either way).
+    """
+    from lightly_train_tpu.errors import CheckpointError
+    from lightly_train_tpu.tasks.detection.convert import (
+        convert_torch_picodet_state_dict,
+    )
+    from lightly_train_tpu.tasks.model_io import LoadedTaskModel
+
+    base = str(init_args.get("model_name", name))
+    model_size = "l" if ("-l" in base or base.endswith("l")) else "s"
+    classes = init_args.get("classes", {})
+    img = init_args.get("image_size", 640 if model_size == "l" else 416)
+    if isinstance(img, (tuple, list)):
+        img = img[0]
+    args = PicoDetArgs(
+        num_classes=len(classes) if classes else 80,
+        model_size=model_size,
+        reg_max=int(init_args.get("reg_max", 7)),
+    )
+    train_model = PicoDetTrainModel(None, args)
+    params, stats = convert_torch_picodet_state_dict(state, which_head="o2o")
+    variables: Dict[str, Any] = {
+        "params": {"backbone": params},
+        "batch_stats": stats,
+    }
+
+    # Structural check against a fresh init.
+    sample = {"images": jnp.zeros((1, 64, 64, 3), jnp.float32)}
+    init_params, init_state = train_model.init(jax.random.key(0), sample)
+
+    def _paths(tree):
+        return {
+            jax.tree_util.keystr(p): tuple(v.shape)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    got, want = _paths(variables["params"]), _paths(init_params)
+    got_s = _paths(stats)
+    want_s = _paths((init_state or {}).get("batch_stats", {}))
+    if got != want or got_s != want_s:
+        missing = sorted(set(want) - set(got)) + sorted(set(want_s) - set(got_s))
+        extra = sorted(set(got) - set(want)) + sorted(set(got_s) - set(want_s))
+        shapes = [
+            f"{k}: {got[k]} != {want[k]}"
+            for k in set(got) & set(want)
+            if got[k] != want[k]
+        ]
+        raise CheckpointError(
+            f"Converted '{name}' does not match the PicoDet parameter tree "
+            f"(missing: {missing[:4]}; extra: {extra[:4]}; shape "
+            f"mismatches: {shapes[:4]})."
+        )
+    return LoadedTaskModel(
+        train_model=train_model, variables=variables,
+        task="object_detection", image_size=int(img),
     )

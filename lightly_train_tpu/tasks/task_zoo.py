@@ -12,9 +12,13 @@ converts the torch checkpoint into this package's task models on the fly:
   parameter-isomorphic, trajectory-parity-tested);
 - Depth-Anything checkpoints convert via
   ``tasks.depth_anything.convert_depth_anything_state_dict``;
-- LT-DETR / PicoDet checkpoints resolve + download + verify, but weight
-  conversion raises with guidance (the rebuild's decoder is architecturally
-  TPU-native rather than parameter-isomorphic).
+- LT-DETR detection / instance-segmentation checkpoints convert exactly for
+  every backbone family (ECViT, DINOv3 ViT + DINOSTAs, DINOv3 ConvNeXt,
+  legacy DINOv2): the encoder/decoder are parameter-isomorphic since r4 and
+  ``tasks/detection/convert.py`` maps both the D-FINE and RT-DETRv2 decoder
+  layouts;
+- PicoDet checkpoints convert via ``tasks/detection/picodet.py``'s
+  converter.
 
 URLs point at the reference's public bucket; ``file://`` URLs work for
 air-gapped round trips (tests/tasks/test_task_zoo.py).
@@ -394,11 +398,15 @@ def load_model_from_torch_zoo(name: str, ckpt_path: Path, image_size: int):
         return _load_eomt(name, family, init_args, state, image_size)
     if family == "depth_estimation":
         return _load_depth(name, init_args, ckpt, state, image_size)
+    if family == "object_detection":
+        return _load_ltdetr(name, init_args, state, with_masks=False)
+    if family == "instance_segmentation_ltdetr":
+        return _load_ltdetr(name, init_args, state, with_masks=True)
+    if family == "object_detection_picodet":
+        return _load_picodet(name, init_args, state)
     raise CheckpointError(
-        f"Zoo checkpoint '{name}' downloaded and verified, but weight "
-        "conversion for its family is not implemented yet: the rebuild's "
-        f"{family} decoder is TPU-native rather than parameter-isomorphic "
-        "with the reference. Fine-tune from a backbone checkpoint instead."
+        f"Zoo checkpoint '{name}' downloaded and verified, but its family "
+        f"'{family}' has no registered loader."
     )
 
 
@@ -465,6 +473,217 @@ def _load_eomt(name, family, init_args, state, image_size):
         train_model=train_model, variables=variables, task=task,
         image_size=image_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# LT-DETR zoo loading (detection + instance segmentation)
+# ---------------------------------------------------------------------------
+
+# Reference registry presets (``ltdetr_object_detection/config.py`` +
+# ``ltdetr_instance_segmentation/config.py``). Keyed by the shape class;
+# values are ObjectDetectionArgs overrides.
+_VIT_TINY = dict(
+    d_model=192, enc_dim_feedforward=512, expansion=0.34, csp_blocks=2,
+    num_decoder_layers=4, dim_feedforward=512, num_points=(3, 6, 3),
+)
+_VIT_TINY_PLUS = dict(
+    d_model=256, enc_dim_feedforward=512, expansion=0.67, csp_blocks=3,
+    num_decoder_layers=4, dim_feedforward=512, num_points=(3, 6, 3),
+)
+_VIT_SMALL = dict(
+    d_model=224, enc_dim_feedforward=896, expansion=1.0, csp_blocks=3,
+    num_decoder_layers=4, dim_feedforward=1792, num_points=(3, 6, 3),
+)
+_CNN = dict(
+    d_model=256, enc_d_model=384, enc_dim_feedforward=2048, expansion=1.0,
+    csp_blocks=3, num_decoder_layers=6, dim_feedforward=1024,
+    num_points=(4, 4, 4),
+)
+
+# repo backbone name -> (args preset, decoder kind)
+_LTDETR_BACKBONE_PRESETS: Dict[str, Tuple[Dict[str, Any], str]] = {
+    "ecvit/ecvitt": (_VIT_TINY, "dfine"),
+    "ecvit/ecvittplus": (_VIT_TINY_PLUS, "dfine"),
+    "ecvit/ecvits": (_VIT_TINY_PLUS, "dfine"),
+    "ecvit/ecvitsplus": (_VIT_TINY_PLUS, "dfine"),
+    "dinov3/vitt16": (_VIT_TINY, "rtdetrv2"),
+    "dinov3/vitt16plus": (_VIT_TINY_PLUS, "rtdetrv2"),
+    "dinov3/vits16": (_VIT_SMALL, "rtdetrv2"),
+    "dinov3/convnext-tiny": (_CNN, "rtdetrv2"),
+    "dinov3/convnext-small": (_CNN, "rtdetrv2"),
+    "dinov3/convnext-base": (_CNN, "rtdetrv2"),
+    "dinov3/convnext-large": (_CNN, "rtdetrv2"),
+    # Legacy DINOv2 ViT-S/14 no-registers preset: stride-14 uniform taps,
+    # no STA stem, upsample=False encoder (``config.py`` DINOv2ViTSmall
+    # NoRegistersLegacy).
+    "dinov2/vits14": (
+        dict(_CNN, enc_d_model=384, use_sta=False, upsample=False,
+             interaction_indexes=(5, 8, 11)),
+        "rtdetrv2",
+    ),
+}
+
+
+def _ltdetr_backbone_from_name(name: str, init_args: Dict[str, Any]) -> str:
+    """Zoo/checkpoint model name -> repo backbone registry name."""
+    base = str(init_args.get("model_name", name))
+    # e.g. "edgecrafter/ecvitt-ltdetr[-coco]" / "dinov3/vits16-ltdetr-coco"
+    base = base.split("-ltdetr")[0]
+    aliases = {
+        # ltdetrv2-{s,m,l,x} aliases resolve to EdgeCrafter backbones
+        # (``config.py:1103-1210``).
+        "ltdetrv2-s": "ecvit/ecvitt",
+        "ltdetrv2-m": "ecvit/ecvittplus",
+        "ltdetrv2-l": "ecvit/ecvits",
+        "ltdetrv2-x": "ecvit/ecvitsplus",
+        "ltdetrv2-seg-s": "ecvit/ecvitt",
+        "ltdetrv2-seg-m": "ecvit/ecvittplus",
+        "ltdetrv2-seg-l": "ecvit/ecvits",
+        "ltdetrv2-seg-x": "ecvit/ecvitsplus",
+    }
+    for alias, backbone in aliases.items():
+        if base.startswith(alias):
+            return backbone
+    base = base.replace("edgecrafter/", "ecvit/")
+    if base.startswith("dinov2/vits14"):
+        return "dinov2/vits14"
+    return base
+
+
+def _load_ltdetr(name: str, init_args: Dict[str, Any], state, with_masks: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from lightly_train_tpu.models.package_registry import get_wrapped_model
+    from lightly_train_tpu.models.vit import VisionTransformer
+    from lightly_train_tpu.tasks.detection.convert import (
+        convert_torch_convnext_ltdetr_state_dict,
+        convert_torch_ecvit_ltdetr_state_dict,
+        convert_torch_ecseg_mask_head_state_dict,
+        convert_torch_ltdetr_state_dict,
+    )
+    from lightly_train_tpu.tasks.model_io import LoadedTaskModel
+
+    backbone_name = _ltdetr_backbone_from_name(name, init_args)
+    if backbone_name not in _LTDETR_BACKBONE_PRESETS:
+        raise CheckpointError(
+            f"Zoo checkpoint '{name}': no LT-DETR preset registered for "
+            f"backbone '{backbone_name}'."
+        )
+    preset, decoder_kind = _LTDETR_BACKBONE_PRESETS[backbone_name]
+    classes = init_args.get("classes", {})
+    img = init_args.get("image_size", (640, 640))
+    if isinstance(img, int):
+        img = (img, img)
+    image_size = int(img[0])
+
+    wrapped = get_wrapped_model(backbone_name)
+    task_args: Dict[str, Any] = dict(preset)
+    task_args["num_classes"] = len(classes) if classes else 80
+    task_args["decoder"] = decoder_kind
+    # 300 is the reference preset; the fixture tests override it to the
+    # anchor count so encoder top-k has no discrete tie boundary
+    # (ltdetr_traj_harness.py uses the same device).
+    task_args["num_queries"] = int(init_args.get("num_queries", 300))
+
+    if with_masks:
+        from lightly_train_tpu.tasks.detection.ltdetr_seg import (
+            InstanceSegmentationLTDETRArgs,
+            LTDETRInstanceSegmentationTrainModel,
+        )
+
+        args = InstanceSegmentationLTDETRArgs(
+            mask_head_arch="edgecrafter", **task_args
+        )
+        train_model = LTDETRInstanceSegmentationTrainModel(wrapped, args)
+        task = "instance_segmentation"
+    else:
+        from lightly_train_tpu.tasks.detection.ltdetr import (
+            ObjectDetectionArgs,
+            ObjectDetectionTrainModel,
+        )
+
+        args = ObjectDetectionArgs(**task_args)
+        train_model = ObjectDetectionTrainModel(wrapped, args)
+        task = "object_detection"
+
+    csp = task_args["csp_blocks"]
+    if backbone_name.startswith("ecvit/"):
+        params, stats, mask_head = convert_torch_ecvit_ltdetr_state_dict(
+            state, csp_blocks=csp, with_mask_head=with_masks
+        )
+    elif backbone_name.startswith("dinov3/convnext"):
+        params, stats = convert_torch_convnext_ltdetr_state_dict(
+            state, csp_blocks=csp
+        )
+        mask_head = None
+    else:  # ViT + DINOSTAs path (dinov3 ViTs, legacy dinov2)
+        params, stats = convert_torch_ltdetr_state_dict(
+            state, csp_blocks=csp
+        )
+        mask_head = (
+            convert_torch_ecseg_mask_head_state_dict(state)
+            if with_masks
+            else None
+        )
+
+    full_params: Dict[str, Any] = {"backbone": params}
+    if with_masks:
+        if mask_head is None:
+            mask_head = convert_torch_ecseg_mask_head_state_dict(state)
+        full_params["mask_head"] = mask_head
+    variables: Dict[str, Any] = {"params": full_params}
+    if stats:
+        variables["batch_stats"] = stats
+
+    # Structural check against a fresh init at a small (shape-independent)
+    # resolution: every converted leaf must exist with the same path.
+    probe = 128
+    sample = {
+        "images": jnp.zeros((1, probe, probe, 3), jnp.float32),
+    }
+    init_params, init_state = train_model.init(jax.random.key(0), sample)
+
+    def _paths(tree):
+        return {
+            jax.tree_util.keystr(p): tuple(v.shape)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    got_s = _paths(stats or {})
+    want_s = _paths((init_state or {}).get("batch_stats", {}))
+    if got_s != want_s:
+        raise CheckpointError(
+            f"Converted '{name}' batch_stats do not match the task model "
+            f"(missing: {sorted(set(want_s) - set(got_s))[:4]}; "
+            f"extra: {sorted(set(got_s) - set(want_s))[:4]})."
+        )
+    got, want = _paths(full_params), _paths(init_params)
+    if got != want:
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        shapes = [
+            f"{k}: {got[k]} != {want[k]}"
+            for k in set(got) & set(want)
+            if got[k] != want[k]
+        ]
+        raise CheckpointError(
+            f"Converted '{name}' does not match the task model's parameter "
+            f"tree (missing: {missing[:4]}; extra: {extra[:4]}; "
+            f"shape mismatches: {shapes[:4]})."
+        )
+    return LoadedTaskModel(
+        train_model=train_model, variables=variables, task=task,
+        image_size=image_size,
+    )
+
+
+def _load_picodet(name: str, init_args: Dict[str, Any], state):
+    from lightly_train_tpu.tasks.detection.picodet import (
+        load_torch_picodet_zoo,
+    )
+
+    return load_torch_picodet_zoo(name, init_args, state)
 
 
 class DepthPredictor:

@@ -132,8 +132,7 @@ def test_picodet_end_to_end(tmp_path, yolo_dataset):
             "num_classes": 2,
         },
         model="picodet-s",
-        task_args={"widths": (16, 32, 64), "neck_dim": 16, "head_convs": 1,
-                   "max_detections": 8},
+        task_args={"model_size": "test", "max_detections": 8},
         steps=2, batch_size=8, image_size=64, precision="fp32",
         num_workers=2, log_every=1, val_every=2,
     )
