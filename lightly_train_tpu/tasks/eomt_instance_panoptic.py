@@ -70,14 +70,17 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
         outputs, grid_hw = self.trunk.apply(
             {"params": params["backbone"]},
             batch["images"].astype(self.cfg.dtype),
-            mask_probs, rng_trunk, True, rngs={"droppath": rng_dp},
+            mask_probs, rng_trunk, True,
+            return_factors=a.use_point_sampling,
+            rngs={"droppath": rng_dp},
         )
         total = 0.0
         if a.use_point_sampling:
             # seg_map already IS the slot-id map (NO_SEGMENT -> background).
             id_map = batch["seg_map"].astype(jnp.int32)
             valid = batch["seg_valid"]
-            for li, (cls_logits, mask_logits) in enumerate(outputs):
+            for li, out_l in enumerate(outputs):
+                cls_logits, mask_logits = out_l[0], out_l[1]
                 total = total + point_sampled_mask_loss(
                     cls_logits, mask_logits, grid_hw, id_map, valid,
                     batch["seg_labels"], jax.random.fold_in(rng_loss, li),
@@ -89,6 +92,7 @@ class EoMTInstanceSegmentationTrainModel(EoMTSemanticSegmentationTrainModel):
                     num_points=a.num_points,
                     oversample_ratio=a.oversample_ratio,
                     importance_sample_ratio=a.importance_sample_ratio,
+                    factors=out_l[2:] if len(out_l) > 2 else None,
                 )
             # Levels SUMMED (reference ``loss_total`` over all layers).
             return total, (model_state, {})

@@ -137,7 +137,13 @@ class _EoMTTrunk(nn.Module):
         mask_prob: jax.Array,  # (num_joint_blocks,) annealed probabilities
         rng: Optional[jax.Array],
         train: bool,
-    ) -> Tuple[List[Tuple[jax.Array, jax.Array]], Tuple[int, int]]:
+        return_factors: bool = False,
+    ) -> Tuple[List[Tuple[jax.Array, ...]], Tuple[int, int]]:
+        # return_factors: additionally emit the (query embedding, pixel
+        # embedding) FACTORS of each level's mask logits
+        # (mask = einsum(q_emb, pixels)), so the point-sampled loss can
+        # sample pixel features with cheap row gathers instead of
+        # per-query scalar gathers in its matching stage.
         cfg = self.cfg
         B, H, W, _ = images.shape
         gh, gw = H // cfg.patch_size, W // cfg.patch_size
@@ -246,10 +252,16 @@ class _EoMTTrunk(nn.Module):
             mask_logits = jnp.einsum(
                 "bqd,bhwd->bqhw", q_emb, p
             )  # no scaling (reference einsum, ``task_model.py:648-650``)
-            return (
+            out = (
                 cls_logits.astype(jnp.float32),
                 mask_logits.astype(jnp.float32).reshape(B, Q, mh * mw),
             )
+            if return_factors:
+                out = out + (
+                    q_emb.astype(jnp.float32),
+                    p.astype(jnp.float32),
+                )
+            return out
 
         from lightly_train_tpu.ops.point_sampling import _uniform
 
@@ -257,8 +269,9 @@ class _EoMTTrunk(nn.Module):
         for j in range(self.num_joint_blocks):
             i = n_plain + j
             # Predict BEFORE the block runs; level-j logits gate block j.
-            cls_l, mask_l = predict(x)
-            outputs.append((cls_l, mask_l))
+            out_l = predict(x)
+            mask_l = out_l[1]
+            outputs.append(out_l)
             attn_mask = None
             if train:
                 # Downsample level-j mask logits to the patch grid (torch
@@ -487,8 +500,18 @@ def point_sampled_mask_loss(
     num_points: int = 12544,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    factors: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
     """Point-sampled Mask2Former loss (reference ``mask_loss.py:28-54``).
+
+    ``factors``: optional (q_emb (B, Q, D), pixels (B, gh, gw, D)) such
+    that ``mask_logits == einsum(q_emb, pixels)`` (the trunk's
+    ``return_factors=True`` outputs). When given, the matching stage
+    samples the D-dim pixel embedding at the shared points with ROW
+    gathers and contracts with q_emb on the MXU — element-granular
+    gathers over (B, Q, P) run ~1e8 taps/s on TPU and dominated the step
+    without it. Bilinear sampling commutes with the D-contraction, so the
+    values match the materialized path up to fp32 rounding order.
 
     Matching costs use ``num_points`` shared uniform samples; the matched
     CE+dice use importance(uncertainty)+uniform samples per mask — both at
@@ -500,17 +523,16 @@ def point_sampled_mask_loss(
     from lightly_train_tpu.ops.point_sampling import (
         _uniform,
         bilinear_point_sample,
+        bilinear_point_sample_rows,
         sample_id_indicator,
         sample_slot_indicator,
         uncertainty_point_coords,
     )
 
-    # PERFORMANCE-CRITICAL: force the trunk's logits to materialize before
-    # any point gather reads them. Without this barrier XLA fuses the mask-
-    # logits producer (the bqd,bhwd einsum + upscale stack) into the gather
-    # consumers and recomputes it PER SAMPLED POINT — measured 14.5 s/step
-    # vs 6 ms/step for the identical program on TPU v5e (ViT-S/16, 512^2,
-    # batch 8; this loss alone with materialized inputs runs in 0.08 ms).
+    # Keep XLA from fusing the mask-logits producer (the bqd,bhwd einsum +
+    # upscale stack) into the many gather consumers below — a fused
+    # producer would recompute per consumer. (Identity op; gradients pass
+    # through unchanged.)
     cls_logits, mask_logits = jax.lax.optimization_barrier(
         (cls_logits, mask_logits)
     )
@@ -525,7 +547,12 @@ def point_sampled_mask_loss(
     # ---- matching costs at per-image uniform points (HF matcher draws
     # rand(1, P, 2) per image; one (B, P, 2) batch draw is equivalent) ----
     coords_m = _uniform(k_match, (B, P, 2))
-    pred_pts = bilinear_point_sample(pred_grid, coords_m)  # (B, Q, P)
+    if factors is not None:
+        q_emb, pixels = factors
+        pix_pts = bilinear_point_sample_rows(pixels, coords_m)  # (B, P, D)
+        pred_pts = jnp.einsum("bqd,bpd->bqp", q_emb, pix_pts)
+    else:
+        pred_pts = bilinear_point_sample(pred_grid, coords_m)  # (B, Q, P)
     tgt_pts = sample_id_indicator(id_map, coords_m, K)  # (B, K, P)
 
     cls_prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
@@ -739,6 +766,7 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             mask_probs,
             rng_trunk,
             True,
+            return_factors=a.use_point_sampling,
             rngs={"droppath": rng_dp},
         )
         tgt_classes = jnp.arange(a.num_classes)[None, :].repeat(
@@ -758,7 +786,8 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
 
         total = 0.0
         metrics: Dict[str, jax.Array] = {}
-        for li, (cls_logits, mask_logits) in enumerate(outputs):
+        for li, out_l in enumerate(outputs):
+            cls_logits, mask_logits = out_l[0], out_l[1]
             if a.use_point_sampling:
                 loss_l = point_sampled_mask_loss(
                     cls_logits, mask_logits, grid_hw, id_map, valid,
@@ -771,6 +800,7 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
                     num_points=a.num_points,
                     oversample_ratio=a.oversample_ratio,
                     importance_sample_ratio=a.importance_sample_ratio,
+                    factors=out_l[2:] if len(out_l) > 2 else None,
                 )
             else:
                 loss_l = self._single_level_loss(
