@@ -358,10 +358,15 @@ def detection_criterion(
     stack = jnp.stack(assignments)
     n_pairs = min(Q, len(outputs) * K)
     choice = os.environ.get("LIGHTLY_TRAIN_MATCHER", "auto")
+    # Same auto rule as the matcher (eomt_semantic_segmentation.py
+    # hungarian_match): device-native on TPU / multi-device CPU, host
+    # exact on the single-device CPU parity platform.
     use_device = choice == "greedy" or (
         choice == "auto"
-        and jax.device_count() > 1
-        and jax.devices()[0].platform == "cpu"
+        and (
+            jax.devices()[0].platform != "cpu"
+            or jax.device_count() > 1
+        )
     )
     if use_device:
         go_q, go_t, go_valid = go_union_device(stack, tgt_valid, n_pairs)

@@ -381,11 +381,22 @@ def greedy_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
 def hungarian_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
     """Matching dispatcher.
 
-    Host Hungarian (optimal) by default on TPU / single-device; the greedy
-    device matcher on multi-device CPU, where XLA's in-process collectives
-    deadlock when a host callback shares the program with cross-device
-    all-reduces (observed on the 8-device test mesh). Override with
-    LIGHTLY_TRAIN_MATCHER=hungarian|greedy.
+    ``auto`` picks the DEVICE-NATIVE greedy matcher on TPU and on
+    multi-device CPU, the host Hungarian (scipy LSA, optimal) on
+    single-device CPU:
+
+    - On TPU a per-step ``pure_callback`` serializes the pipeline on a
+      device->host->device round trip (and relay-attached TPUs don't
+      support host callbacks at all). Training-quality evidence for the
+      greedy matcher: ``docs/task_convergence_r5_det.json`` — identical
+      loss trajectories vs host Hungarian on the same data/seed.
+    - On multi-device CPU, XLA's in-process collectives deadlock when a
+      host callback shares the program with cross-device all-reduces
+      (observed on the 8-device test mesh).
+    - Single-device CPU (the torch-parity test platform) keeps the exact
+      reference semantics (``matcher.py:34``).
+
+    Override with LIGHTLY_TRAIN_MATCHER=hungarian|greedy.
     """
     import os
 
@@ -394,7 +405,8 @@ def hungarian_match(cost: jax.Array, valid: jax.Array) -> jax.Array:
         return hungarian_match_host(cost, valid)
     if choice == "greedy":
         return greedy_match(cost, valid)
-    if jax.device_count() > 1 and jax.devices()[0].platform == "cpu":
+    platform = jax.devices()[0].platform
+    if platform != "cpu" or jax.device_count() > 1:
         return greedy_match(cost, valid)
     return hungarian_match_host(cost, valid)
 
