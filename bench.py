@@ -474,6 +474,10 @@ def main() -> None:
             "sustained_img_s": 0.0,
             "device": str(getattr(jax.devices()[0], "device_kind", "?")),
             "n_chips": n_chips,
+            # r5: every window ends in a scalar readback; block_until_ready
+            # acks early through the axon relay and flattered r3/r4 numbers
+            # by ~15-20% (and reported impossible sub-ms fine-tune steps).
+            "timing": "scalar-readback-synced",
             "overlap_efficiency": 0.0,
             "roofline": roofline,
             "finetune": {},
