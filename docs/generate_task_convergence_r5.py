@@ -194,7 +194,7 @@ def run_det(steps=400):
         os.environ.pop("LIGHTLY_TRAIN_MATCHER", None)
     art = {
         "task": "ltdetr_object_detection",
-        "dataset": "procedural shapes (256 train / 64 val, 128^2, 3 classes)",
+        "dataset": "procedural shapes (96 train / 32 val, 64^2, 3 classes)",
         "model": "ecvit/ecvittest",
         "steps": steps,
         "comparison": "host Hungarian vs greedy device matcher, same data/seed",
