@@ -231,14 +231,23 @@ def bench_finetune(on_tpu: bool) -> dict:
         )
         m.total_steps = 60_000
         r = np.random.default_rng(0)
+        # Region-structured masks with ~12 classes per image (real ADE20K
+        # images average ~10 present classes; per-pixel-random masks would
+        # put all 150 in every image — a workload the reference, which
+        # builds targets only for PRESENT classes, never sees either).
+        ncls = 150 if on_tpu else 4
+        per_img = min(12, ncls)
+        masks_np = np.empty((b, size, size), np.int32)
+        for i in range(b):
+            ids = r.choice(ncls, size=per_img, replace=False)
+            coarse = r.integers(0, per_img, (8, 8))
+            rep = size // 8
+            masks_np[i] = ids[np.repeat(np.repeat(coarse, rep, 0), rep, 1)]
         batch = {
             "images": jnp.asarray(
                 r.random((b, size, size, 3), dtype=np.float32)
             ),
-            "masks": jnp.asarray(
-                r.integers(0, 150 if on_tpu else 4, (b, size, size)),
-                jnp.int32,
-            ),
+            "masks": jnp.asarray(masks_np, jnp.int32),
         }
         with _deadline(row_deadline()):
             rows["eomt_vits16_semseg"] = _bench_task_step(

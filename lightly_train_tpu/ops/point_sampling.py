@@ -174,7 +174,10 @@ def bilinear_point_sample_rows(
 
 
 def sample_id_indicator(
-    id_map: jax.Array, coords: jax.Array, num_slots: int
+    id_map: jax.Array,
+    coords: jax.Array,
+    num_slots: int,
+    slot_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Bilinearly sample the one-hot indicator of an integer id map.
 
@@ -182,8 +185,15 @@ def sample_id_indicator(
     background); coords: (B, P, 2) shared across slots. Returns (B, K, P)
     float32 — equivalent to bilinear sampling of each slot's binary mask
     without materializing (B, K, H, W) one-hot targets.
+
+    ``slot_ids`` (B, K) optional per-image id list: slot k matches
+    ``id_map == slot_ids[b, k]`` instead of ``id_map == k`` (the
+    active-slot compaction path; ``num_slots`` is ignored in favour of
+    ``slot_ids.shape[1]``).
     """
     B, H, W = id_map.shape
+    if slot_ids is not None:
+        num_slots = slot_ids.shape[1]
     flat = id_map.reshape(B, H * W)
     y = coords[..., 0] * H - 0.5
     x = coords[..., 1] * W - 0.5
@@ -201,7 +211,12 @@ def sample_id_indicator(
             yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
             xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
             ids = jnp.take_along_axis(flat, yc * W + xc, axis=1)  # (B, P)
-            onehot = jax.nn.one_hot(ids, num_slots, dtype=jnp.float32)
+            if slot_ids is None:
+                onehot = jax.nn.one_hot(ids, num_slots, dtype=jnp.float32)
+            else:
+                onehot = (
+                    ids[..., None] == slot_ids[:, None, :]
+                ).astype(jnp.float32)
             out = out + onehot * (w * inb)[..., None]
     return out.transpose(0, 2, 1)  # (B, K, P)
 
@@ -212,15 +227,17 @@ def sample_slot_indicator(
     """Per-slot target sampling at per-slot coordinates, as tent matmuls.
 
     id_map: (B, H, W) int; coords: (B, S, P, 2); slot_ids: (S,) the id each
-    slot row matches. Returns (B, S, P) float32 bilinear indicator samples
-    — bilinear interpolation of ``id_map == slot`` with zero padding, via
-    two MXU contractions against the per-slot hit mask (the scalar-gather
+    slot row matches, or (B, S) per-image ids (active-slot compaction).
+    Returns (B, S, P) float32 bilinear indicator samples — bilinear
+    interpolation of ``id_map == slot`` with zero padding, via two MXU
+    contractions against the per-slot hit mask (the scalar-gather
     formulation runs ~1e8 taps/s on TPU; this is the hot per-slot path).
     """
     B, H, W = id_map.shape
     S, P = coords.shape[1], coords.shape[2]
+    ids = slot_ids[None, :] if slot_ids.ndim == 1 else slot_ids  # (B|1, S)
     hit = (
-        id_map[:, None, :, :] == slot_ids[None, :, None, None]
+        id_map[:, None, :, :] == ids[:, :, None, None]
     ).astype(jnp.float32)  # (B, S, H, W)
 
     wdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

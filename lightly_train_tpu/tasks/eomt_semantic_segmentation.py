@@ -76,6 +76,12 @@ class EoMTSemanticSegmentationArgs(TaskArgs):
     num_points: int = 12544
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
+    # Active-slot compaction: supervise at most this many classes per image
+    # (the classes PRESENT in it — the reference builds targets only for
+    # those, ~10/image on ADE20K, under torch dynamic shapes). Static-shape
+    # equivalent: top-k presence compaction. Exact whenever every image has
+    # <= max_active_slots classes; None supervises all num_classes slots.
+    max_active_slots: Optional[int] = 32
     default_steps: int = 40_000
     default_batch_size: int = 16
 
@@ -513,6 +519,7 @@ def point_sampled_mask_loss(
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
     factors: Optional[Tuple[jax.Array, jax.Array]] = None,
+    slot_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Point-sampled Mask2Former loss (reference ``mask_loss.py:28-54``).
 
@@ -531,6 +538,13 @@ def point_sampled_mask_loss(
     logits sampled bilinearly from the patch grid), so high-resolution
     supervision never materializes (B, Q, H, W) upsampled masks. Static
     shapes throughout: fixed point budgets, per-slot chunked ``lax.scan``.
+
+    ``slot_ids`` (B, K) optional per-image id list: slot k supervises
+    ``id_map == slot_ids[b, k]`` (the active-slot compaction path — the
+    reference builds targets only for the classes PRESENT in each image,
+    so its per-image slot count is ~10, not ``num_classes``; compaction
+    recovers that sparsity under static shapes). ``None`` keeps slot k ==
+    id k.
     """
     from lightly_train_tpu.ops.point_sampling import (
         _uniform,
@@ -565,7 +579,9 @@ def point_sampled_mask_loss(
         pred_pts = jnp.einsum("bqd,bpd->bqp", q_emb, pix_pts)
     else:
         pred_pts = bilinear_point_sample(pred_grid, coords_m)  # (B, Q, P)
-    tgt_pts = sample_id_indicator(id_map, coords_m, K)  # (B, K, P)
+    tgt_pts = sample_id_indicator(
+        id_map, coords_m, K, slot_ids=slot_ids
+    )  # (B, K, P)
 
     cls_prob = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
     cost_class = -jnp.take_along_axis(
@@ -614,7 +630,12 @@ def point_sampled_mask_loss(
     pred_chunks = pred_matched.reshape(B, nk, kc, gh, gw).transpose(
         1, 0, 2, 3, 4
     )  # (nk, B, kc, gh, gw)
-    slot_chunks = jnp.arange(K, dtype=id_map.dtype).reshape(nk, kc)
+    if slot_ids is None:
+        slot_chunks = jnp.arange(K, dtype=id_map.dtype).reshape(nk, kc)
+    else:
+        slot_chunks = slot_ids.astype(id_map.dtype).reshape(
+            B, nk, kc
+        ).transpose(1, 0, 2)  # (nk, B, kc)
     keys = jax.random.split(k_loss, nk)
 
     def chunk_losses(xs):
@@ -785,6 +806,7 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             images.shape[0], 0
         )  # semantic: target k IS class k
 
+        slot_ids = None
         if a.use_point_sampling:
             # Labels double as the slot-id map (class k == slot k); ignore
             # pixels map to an out-of-range id -> background for every slot.
@@ -793,6 +815,23 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
             ).astype(jnp.int32)
             valid = self._class_presence(masks)
             targets = None
+            K = a.num_classes
+            Kc = K if a.max_active_slots is None else min(
+                a.max_active_slots, K
+            )
+            if Kc < K:
+                # Active-slot compaction: keep the present classes (ascending
+                # id), pad with absent ones flagged invalid. Exact vs the
+                # all-slots path whenever #present <= Kc (invalid slots are
+                # never matched and contribute 0 to every loss term).
+                score = jnp.where(
+                    valid,
+                    2.0 * K - jnp.arange(K, dtype=jnp.float32)[None, :],
+                    -jnp.arange(K, dtype=jnp.float32)[None, :],
+                )
+                vals, slot_ids = jax.lax.top_k(score, Kc)
+                valid = vals > float(K)
+                tgt_classes = slot_ids
         else:
             targets, valid = self._targets_from_mask(masks, grid_hw)
 
@@ -813,6 +852,7 @@ class EoMTSemanticSegmentationTrainModel(TaskTrainModel):
                     oversample_ratio=a.oversample_ratio,
                     importance_sample_ratio=a.importance_sample_ratio,
                     factors=out_l[2:] if len(out_l) > 2 else None,
+                    slot_ids=slot_ids,
                 )
             else:
                 loss_l = self._single_level_loss(

@@ -119,3 +119,57 @@ def test_point_loss_approximates_full_mask_loss_on_block_labels():
     # Same matching on these well-separated targets; sampled CE/dice converge
     # to the full-mask values (bilinear target softening only at block edges).
     np.testing.assert_allclose(float(point), float(full), rtol=0.08)
+
+
+def test_active_slot_compaction_is_exact():
+    """Compacted slots (slot_ids=...) == direct loss over the relabeled
+    compact id map: the compaction is a pure re-indexing whenever every
+    present class fits in the slot budget."""
+    from lightly_train_tpu.tasks.eomt_semantic_segmentation import (
+        point_sampled_mask_loss,
+    )
+
+    rng = np.random.default_rng(7)
+    B, Q, gh, gw, K, Kc = 2, 6, 4, 4, 8, 4
+    H = W = 16
+    present = [np.array([0, 2, 5]), np.array([1, 2, 7])]
+    cls_logits = jnp.asarray(rng.normal(size=(B, Q, K + 1)).astype(np.float32))
+    mask_logits = jnp.asarray(
+        rng.normal(size=(B, Q, gh * gw)).astype(np.float32)
+    )
+    id_map = np.stack(
+        [rng.choice(p, size=(H, W)) for p in present]
+    ).astype(np.int32)
+    id_map[0, :2, :2] = -1  # ignore region
+
+    # Compaction rule: present classes ascending, absent padding, flagged.
+    slot_ids = np.stack([
+        np.concatenate([p, np.setdiff1d(np.arange(K), p)[: Kc - len(p)]])
+        for p in present
+    ]).astype(np.int32)
+    valid = np.stack([
+        np.arange(Kc) < len(p) for p in present
+    ])
+    kw = dict(
+        num_classes=K, class_weight=2.0, mask_weight=5.0, dice_weight=5.0,
+        no_object_weight=0.1, num_points=256, oversample_ratio=3.0,
+        importance_sample_ratio=0.75,
+    )
+    loss_c = point_sampled_mask_loss(
+        cls_logits, mask_logits, (gh, gw), jnp.asarray(id_map),
+        jnp.asarray(valid), jnp.asarray(slot_ids), jax.random.key(3),
+        slot_ids=jnp.asarray(slot_ids), **kw,
+    )
+
+    # Direct emulation: relabel the id map to compact ids 0..Kc-1.
+    id_direct = np.full_like(id_map, -1)
+    for b in range(B):
+        for k in range(Kc):
+            if valid[b, k]:
+                id_direct[b][id_map[b] == slot_ids[b, k]] = k
+    loss_d = point_sampled_mask_loss(
+        cls_logits, mask_logits, (gh, gw), jnp.asarray(id_direct),
+        jnp.asarray(valid), jnp.asarray(slot_ids), jax.random.key(3),
+        slot_ids=None, **kw,
+    )
+    np.testing.assert_allclose(float(loss_c), float(loss_d), rtol=0, atol=0)
